@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Fns, Tables}
+
+/** Star-schema mart queries + dimension/fact builds — Spark-first re-design
+  * of the reference's gold/mart layer:
+  *
+  *  - top products: reference `trino_scripts/top_product.sql:1-14`
+  *  - sales summary: reference `trino_scripts/business_sales_summary.sql:1-33`
+  *  - fact build with date keys: reference `dags/sales.py:62-106`
+  *  - 3-way dim joins: reference `dags/address_pipeline.py:83-87`,
+  *    `dags/customer_pipeline.py:138-143`
+  *  - 4-way enrichment join: reference `dags/product.py:105-111`
+  *  - dedup-latest window: reference `dags/product.py:174-177`
+  *  - latest-partition scalar subquery: reference
+  *    `trino_scripts/business_sales_summary.sql:31`
+  *
+  * Scale notes (100 TB): every dim side of a join here (part, customer,
+  * supplier, nation, region) is orders of magnitude smaller than the fact
+  * (lineitem/orders), so all fact⋈dim joins are explicitly `broadcast()` —
+  * no shuffle of the fact table for joins; the only shuffles are the final
+  * hash aggregations on the (small) grouped key space, which Catalyst runs
+  * as partial (map-side) + final. Double-valued aggregates are rounded at
+  * the output boundary so results are stable across partition orderings.
+  */
+object Marts {
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Top-K products by revenue — flagship query (SURVEY.md §7.4).
+    * lineitem ⋈ part (broadcast) → hash agg → TakeOrderedAndProject. */
+  def topProducts(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("p_brand"))
+      .agg(
+        Fns.money(Fns.sumMoney(revenue)).as("total_revenue"),
+        Fns.money(Fns.sumMoney(col("l_quantity"))).as("total_qty"),
+        countDistinct(col("l_orderkey")).as("order_count"))
+      .orderBy(col("total_revenue").desc, col("p_partkey"))
+      .limit(k)
+  }
+
+  /** Star join + multi-key grouped aggregates — the reference's
+    * business_sales_summary mart. Fact stays shuffle-free through the five
+    * broadcast dim joins; one exchange for the final group-by. */
+  def salesSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(
+        col("r_name").as("region_name"),
+        col("n_name").as("nation_name"),
+        col("c_mktsegment").as("mktsegment"),
+        col("p_brand").as("brand"),
+        year(col("o_orderdate")).as("order_year"),
+        quarter(col("o_orderdate")).as("order_quarter"))
+      .agg(
+        Fns.money(Fns.sumMoney(revenue)).as("total_revenue"),
+        Fns.money(Fns.sumMoney(col("l_quantity"))).as("total_qty"),
+        Fns.money(Fns.sumMoney(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        Fns.money(Fns.sumMoney(col("l_extendedprice") * col("l_discount"))).as("total_discount"),
+        countDistinct(col("l_orderkey")).as("order_count"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("region_name"), col("nation_name"), col("mktsegment"),
+        col("brand"), col("order_year"), col("order_quarter"))
+  }
+
+  /** Fact assembly: detail LEFT JOIN header + yyyyMMdd int date keys
+    * (reference `dags/sales.py:82-97`). Header side is broadcast — at
+    * 100 TB orders is ~4× smaller than lineitem, so if it outgrows the
+    * broadcast threshold Catalyst falls back to a shuffle join on the
+    * already-co-partitioned orderkey; no code change needed. */
+  def factSales(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"), "left")
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("l_partkey").as("part_key"),
+        col("l_suppkey").as("supp_key"),
+        col("o_custkey").as("cust_key"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("order_date_key"),
+        date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("ship_date_key"),
+        col("l_quantity").as("quantity"),
+        Fns.money(revenue).as("net_revenue"),
+        col("o_orderstatus").as("order_status"))
+      .orderBy(col("order_key"), col("line_number"))
+  }
+
+  /** 3-way dim join: customer ⋈ nation ⋈ region — mirror of the
+    * reference's dim_customers / dim_address builds. */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey").as("customer_key"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("mktsegment"),
+        col("n_name").as("nation_name"),
+        col("r_name").as("region_name"),
+        col("c_acctbal").as("acctbal"))
+      .orderBy(col("customer_key"))
+  }
+
+  /** 4-way inner join enrichment (reference `dags/product.py:105-111`):
+    * lineitem ⋈ part ⋈ supplier ⋈ nation, rolled up per part × supplier
+    * nation. */
+  def productEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("p_partkey").as("part_key"),
+        col("p_brand").as("brand"),
+        col("p_type").as("part_type"),
+        col("n_name").as("supplier_nation"))
+      .agg(
+        Fns.money(Fns.sumMoney(col("l_quantity"))).as("total_qty"),
+        Fns.money(Fns.sumMoney(revenue)).as("total_revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("part_key"), col("supplier_nation"))
+  }
+
+  /** Window-rank dedup — keep the latest shipment per part
+    * (reference `dags/product.py:174-177` keeps the latest product
+    * version per business key). Shuffles once on the partition key;
+    * ties broken deterministically for the oracle. */
+  def latestShipmentPerPart(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("l_partkey").as("part_key"),
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("ship_date_key"),
+        col("l_quantity").as("quantity"))
+      .orderBy(col("part_key"))
+  }
+
+  /** Latest-partition filter via scalar subquery (reference
+    * `business_sales_summary.sql:31` — `WHERE ingestion_date =
+    * (SELECT MAX(...))`). Catalyst rewrites the scalar subquery to a
+    * broadcast join; with a date-partitioned table this prunes to the
+    * newest partition only. */
+  def latestMonthOrderSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("""
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS order_count,
+             floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_price
+      FROM orders
+      WHERE date_trunc('month', o_orderdate) =
+            (SELECT MAX(date_trunc('month', o_orderdate)) FROM orders)
+      GROUP BY o_orderpriority
+      ORDER BY priority
+    """)
+  }
+}
