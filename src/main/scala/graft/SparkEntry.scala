@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.DimDate
-import graft.queries.Marts
+import graft.engine.{DimDate, XmlShred}
+import graft.queries.{Events, Marts, Scd2Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,13 @@ object SparkEntry {
     "latest_ship"        -> ((s, d) => Marts.latestShipmentPerPart(s, d)),
     "latest_month_orders"-> ((s, d) => Marts.latestMonthOrderSummary(s, d)),
     "dim_date"           -> ((s, _) => DimDate.generate(s)),
+    "scd2_initial"       -> ((s, d) => Scd2Queries.initial(s, d)),
+    "scd2_upsert"        -> ((s, d) => Scd2Queries.upsert(s, d)),
+    "xml_shred"          -> ((s, d) => XmlShred.shred(s, d)),
+    "incremental_extract"-> ((s, d) => Events.incrementalExtract(s, d)),
+    "json_props"         -> ((s, d) => Events.jsonProps(s, d)),
+    "events_by_type"     -> ((s, d) => Events.byType(s, d)),
+    "events_hourly"      -> ((s, d) => Events.hourly(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +127,96 @@ object SparkEntry {
       ORDER BY priority
     """,
     "dim_date" -> DimDate.oracleSql(),
+    "scd2_initial" -> """
+      SELECT row_number() OVER (ORDER BY p_partkey) AS surrogate_key,
+             p_partkey AS part_key, p_name, p_brand, p_type, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             md5(concat_ws('|', p_name, p_brand, p_type,
+                 CAST(p_size AS VARCHAR),
+                 CAST(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS VARCHAR))) AS attr_hash,
+             DATE '2024-01-01' AS effective_date,
+             CAST(NULL AS DATE) AS expiry_date,
+             TRUE AS is_current
+      FROM part
+      ORDER BY surrogate_key
+    """,
+    "scd2_upsert" -> """
+      WITH base AS (
+        SELECT p_partkey AS part_key, p_name, p_brand, p_type, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM part),
+      dim0 AS (
+        SELECT row_number() OVER (ORDER BY part_key) AS surrogate_key, base.*,
+               md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM base),
+      src AS (
+        SELECT part_key, p_name, p_brand, p_type, p_size,
+               CASE WHEN part_key % 7 = 0 THEN price_cents + 100 ELSE price_cents END AS price_cents
+        FROM base
+        UNION ALL
+        SELECT part_key + 1000000, p_name || '_v2', p_brand, p_type, p_size, price_cents
+        FROM base WHERE part_key % 50 = 0),
+      srch AS (
+        SELECT src.*, md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM src),
+      changed AS (
+        SELECT s.* FROM srch s LEFT JOIN dim0 d USING (part_key)
+        WHERE d.part_key IS NULL OR d.attr_hash <> s.attr_hash),
+      old_rows AS (
+        SELECT d.part_key, d.p_name, d.p_brand, d.p_type, d.p_size,
+               d.price_cents, d.attr_hash, d.surrogate_key,
+               DATE '2024-01-01' AS effective_date,
+               CASE WHEN c.part_key IS NOT NULL THEN DATE '2024-06-01'
+                    ELSE CAST(NULL AS DATE) END AS expiry_date,
+               c.part_key IS NULL AS is_current
+        FROM dim0 d LEFT JOIN (SELECT DISTINCT part_key FROM changed) c USING (part_key)),
+      new_rows AS (
+        SELECT part_key, p_name, p_brand, p_type, p_size, price_cents, attr_hash,
+               (SELECT count(*) FROM dim0) + row_number() OVER (ORDER BY part_key) AS surrogate_key,
+               DATE '2024-06-01' AS effective_date,
+               CAST(NULL AS DATE) AS expiry_date,
+               TRUE AS is_current
+        FROM changed)
+      SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows ORDER BY surrogate_key
+    """,
+    "xml_shred" -> """
+      SELECT c_custkey AS customer_key, c_mktsegment AS segment,
+             c_nationkey AS nation_key,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+      ORDER BY customer_key
+    """,
+    "incremental_extract" -> """
+      SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+             floor(value * 10000 + 0.5) / 10000 AS value4
+      FROM events
+      WHERE ts::TIMESTAMP > TIMESTAMP '2024-01-05 00:00:00'
+      ORDER BY event_id
+    """,
+    "json_props" -> """
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+      FROM events
+      ORDER BY event_id
+    """,
+    "events_by_type" -> """
+      SELECT event_type, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             floor(CAST(sum(CAST((floor(value * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_value,
+             floor(CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """,
+    "events_hourly" -> """
+      SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+             event_type, count(*) AS n_events,
+             floor(CAST(sum(CAST((floor(value * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type
+    """,
   )
 }

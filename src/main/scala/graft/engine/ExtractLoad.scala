@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Try
+
+/** Incremental watermark extract-load — Spark-native re-expression of the
+  * reference's reusable extractor (`dags/utils/extract_load_template.py:20-209`):
+  * JSON checkpoint doc → full-vs-incremental branch → event-time cast →
+  * count-gated append partitioned by ingestion_date → watermark save.
+  *
+  * The JDBC transport is abstracted behind a source DataFrame (SURVEY.md
+  * §7.1 — no JDBC drivers locally); the watermark predicate is applied to
+  * the source plan, which Catalyst pushes into the scan (parquet min/max
+  * skipping locally, a JDBC WHERE on a cluster — the reference builds the
+  * same predicate by hand at `extract_load_template.py:158`).
+  *
+  * Scale notes: the checkpoint is a single tiny JSON doc (`coalesce(1)`,
+  * reference `:209`); the data path stays fully distributed, appends are
+  * partitioned by `ingestion_date` so re-loads prune to new partitions.
+  */
+object ExtractLoad {
+
+  /** Watermark doc — field-for-field the reference's checkpoint
+    * (`extract_load_template.py:60-62`). The event time is stored as a
+    * microsecond-precision string: Spark's JSON timestamp writer only
+    * keeps milliseconds, which would silently widen the strictly-greater
+    * watermark (the reference formats the timestamp by hand for the same
+    * reason, `extract_load_template.py:133-154`). */
+  case class Checkpoint(
+      table_name: String,
+      last_id: Long,
+      last_event_time: String, // "yyyy-MM-dd HH:mm:ss.SSSSSS", session TZ
+      processed_at: String)
+
+  /** S3: read watermark; empty/missing dir → None → full load
+    * (reference `extract_load_template.py:102-119`). */
+  def readCheckpoint(spark: SparkSession, dir: String): Option[Checkpoint] = {
+    import spark.implicits._
+    Try {
+      val df = spark.read.json(dir)
+      if (df.isEmpty) None
+      else {
+        val r = df.select(
+          col("table_name"), col("last_id").cast("long"),
+          col("last_event_time").cast("string"),
+          col("processed_at").cast("string")).as[Checkpoint].head()
+        Some(r)
+      }
+    }.toOption.flatten
+  }
+
+  /** S4: single-row JSON overwrite (reference `extract_load_template.py:197-209`). */
+  def saveCheckpoint(spark: SparkSession, dir: String, ckpt: Checkpoint): Unit = {
+    import spark.implicits._
+    Seq(ckpt).toDS().toDF().coalesce(1).write.mode(SaveMode.Overwrite).json(dir)
+  }
+
+  /** S2: incremental scan — watermark predicate pushed into the source
+    * plan (strictly `>`, like the reference's `ModifiedDate >` at `:158`). */
+  def incremental(source: DataFrame, idCol: String, eventCol: String,
+      ckpt: Option[Checkpoint]): DataFrame =
+    ckpt match {
+      case Some(c) => source.filter(col(eventCol) > to_timestamp(lit(c.last_event_time)))
+      case None    => source
+    }
+
+  /** Full pipeline run: returns number of rows appended. `ingestionDate`
+    * is injectable for reproducibility (SURVEY.md §7.5.5 — the reference
+    * uses wall-clock `current_timestamp` at `:169`). */
+  def run(spark: SparkSession, source: DataFrame, tableName: String,
+      idCol: String, eventCol: String, ckptDir: String, outDir: String,
+      ingestionDate: String): Long = {
+    val ckpt = readCheckpoint(spark, ckptDir)
+    val delta = incremental(source, idCol, eventCol, ckpt)
+      .withColumn("ingestion_date", to_date(lit(ingestionDate)))
+    val n = delta.count() // count gate (reference :78,166)
+    if (n > 0) {
+      delta.write.mode(SaveMode.Append)
+        .partitionBy("ingestion_date")
+        .parquet(outDir)
+      val wm = delta.agg(
+        max(col(idCol)).cast("long"),
+        date_format(max(col(eventCol)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
+      saveCheckpoint(spark, ckptDir, Checkpoint(
+        tableName, wm.getLong(0), wm.getString(1), s"$ingestionDate 00:00:00"))
+    }
+    n
+  }
+}

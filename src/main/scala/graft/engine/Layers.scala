@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Medallion-layer catalog management — the reference's bronze/silver/
+  * gold/mart Hive schemas over Delta (`trino_scripts/create_schema.sql:1-12`)
+  * re-expressed as Spark catalog databases over parquet (no Delta jars
+  * locally — SURVEY.md §7.5.3; the API keeps the substrate swappable).
+  *
+  * Covers S5-S13: partitioned append with schema merge, overwrite with
+  * schema replace, saveAsTable, CTAS, INSERT INTO, catalog scans.
+  */
+object Layers {
+
+  val layers: Seq[String] = Seq("bronze", "silver", "gold", "mart")
+
+  /** S10: CREATE DATABASE per layer (reference create_schema.sql). */
+  def createAll(spark: SparkSession): Unit =
+    layers.foreach(l => spark.sql(s"CREATE DATABASE IF NOT EXISTS $l"))
+
+  /** S5: append sink with schema evolution. Parquet `mergeSchema` is a
+    * read-side option, so evolution on append = union of schemas happens
+    * at scan; partitioned by `ingestion_date` like the reference
+    * (`extract_load_template.py:171-175`). */
+  def appendPartitioned(df: DataFrame, table: String, partitionCol: String = "ingestion_date"): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol)
+      .option("mergeSchema", "true").format("parquet").saveAsTable(table)
+
+  /** S6: overwrite sink with schema replace (`overwriteSchema=true` on
+    * Delta → drop/recreate on parquet). */
+  def overwrite(df: DataFrame, table: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** S11: CTAS (reference `business_sales_summary.sql:1`). */
+  def ctas(spark: SparkSession, table: String, select: String): Unit =
+    spark.sql(s"CREATE TABLE $table USING parquet AS $select")
+
+  /** S13: INSERT INTO an existing table (reference `create_dim_date.sql:24`). */
+  def insertInto(df: DataFrame, table: String): Unit =
+    df.write.insertInto(table)
+
+  /** S7: catalog scan. */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

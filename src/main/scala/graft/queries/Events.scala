@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Fns, Tables}
+
+/** Event-table operators: incremental watermark scans, semi-structured
+  * (JSON) extraction, and time-windowed aggregation.
+  *
+  *  - watermark predicate: reference `dags/utils/extract_load_template.py:126-159`
+  *  - JSON-in-string props: stand-in for the reference's XML-in-string
+  *    Demographics column (`dags/customer_pipeline.py:74-90`), exercised
+  *    with `get_json_object`/`from_json`
+  *  - tumbling-window agg: the Structured Streaming-compatible batch
+  *    form ([[graft.streaming.EventStream]] runs the same transform on a
+  *    stream)
+  */
+object Events {
+
+  /** Incremental extract with a (fixed, reproducible) watermark — strictly
+    * `>`, pushed down to the parquet scan. */
+  def incrementalExtract(spark: SparkSession, dir: String,
+      watermark: String = "2024-01-05 00:00:00"): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") > to_timestamp(lit(watermark))) // session-TZ (UTC) parse
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        Fns.money(col("value")).as("value4"))
+      .orderBy(col("event_id"))
+
+  /** JSON property extraction per event (`get_json_object`). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .orderBy(col("event_id"))
+
+  /** Grouped aggregation over event types with per-row-rounded money sums
+    * (raw doubles are pre-rounded so decimal accumulation is exact). */
+  def byType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Fns.money(Fns.sumMoney(Fns.money(col("value")))).as("total_value"),
+        Fns.money(Fns.sumMoney(get_json_object(col("props"), "$.k").cast("int"))).as("total_k"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling 1-hour window aggregation — batch twin of the streaming
+    * windowed count. Emits the window start as a plain timestamp column
+    * for the oracle. */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Fns.money(Fns.sumMoney(Fns.money(col("value")))).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{ExtractLoad, Layers, Scd2, XmlShred}
+import graft.queries.Scd2Queries
+import java.nio.file.Files
+
+class Scd2Spec extends SparkSpec {
+
+  test("initial load: one current version per key, contiguous surrogates") {
+    val dim = Scd2Queries.initial(spark, sf)
+    val n = dim.count()
+    assert(dim.filter(col("is_current")).count() == n)
+    assert(dim.filter(col("expiry_date").isNotNull).count() == 0)
+    val sks = dim.select("surrogate_key").collect().map(_.getLong(0)).sorted
+    assert(sks.head == 1L && sks.last == n && sks.distinct.length == n.toInt)
+  }
+
+  test("upsert: ≤1 current version per business key; changed keys expired") {
+    val dim = Scd2Queries.upsert(spark, sf)
+    val perKey = dim.filter(col("is_current"))
+      .groupBy("part_key").count().filter(col("count") > 1)
+    assert(perKey.count() == 0)
+    // every changed key (part_key % 7 == 0) has exactly one expired and one new version
+    val changed = dim.filter(col("part_key") % 7 === 0 && col("part_key") < 1000000)
+    val expired = changed.filter(!col("is_current"))
+    val fresh = changed.filter(col("is_current"))
+    assert(expired.count() == fresh.count())
+    assert(expired.filter(col("expiry_date") =!= to_date(lit("2024-06-01"))).count() == 0)
+    assert(fresh.filter(col("effective_date") =!= to_date(lit("2024-06-01"))).count() == 0)
+  }
+
+  test("upsert twice with same source is idempotent on version count") {
+    val d1 = Scd2Queries.upsert(spark, sf)
+    val d2 = Scd2.applyChanges(d1, Scd2Queries.secondSource(spark, sf),
+      Scd2Queries.cfg, "2024-07-01")
+    assert(d2.count() == d1.count()) // no-op load adds nothing
+  }
+
+  test("assignIds matches global row_number ordering") {
+    val df = Tables.part(spark, sf).select(col("p_partkey"))
+    val ids = Scd2.assignIds(df, "p_partkey", "id")
+      .orderBy("p_partkey").collect().map(_.getLong(1))
+    assert(ids.sameElements(1L to ids.length.toLong))
+  }
+}
+
+class ExtractLoadSpec extends SparkSpec {
+
+  test("checkpoint lifecycle: full load then empty incremental then new data") {
+    val tmp = Files.createTempDirectory("el").toString
+    val ckpt = s"$tmp/ckpt"
+    val out = s"$tmp/bronze"
+    val ev = Tables.events(spark, sf)
+
+    // run 1: no checkpoint → full load
+    val n1 = ExtractLoad.run(spark, ev, "events", "event_id", "ts", ckpt, out, "2024-02-01")
+    assert(n1 == ev.count())
+    val c1 = ExtractLoad.readCheckpoint(spark, ckpt).get
+    assert(c1.last_id == ev.agg(max("event_id")).head().getLong(0))
+
+    // run 2: watermark is max(ts) → nothing new, checkpoint untouched
+    val n2 = ExtractLoad.run(spark, ev, "events", "event_id", "ts", ckpt, out, "2024-02-02")
+    assert(n2 == 0)
+
+    // run 3: later data arrives → only new rows appended
+    val later = ev.withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+      .withColumn("event_id", col("event_id") + lit(1000000))
+    val n3 = ExtractLoad.run(spark, later, "events", "event_id", "ts", ckpt, out, "2024-02-03")
+    assert(n3 == ev.count())
+    val total = spark.read.parquet(out).count()
+    assert(total == 2 * ev.count())
+    // partition pruning by ingestion_date works
+    val d3 = spark.read.parquet(out).filter(col("ingestion_date") === "2024-02-03")
+    assert(d3.count() == n3)
+  }
+
+  test("watermark monotonicity: re-extract excludes rows ≤ watermark") {
+    val ev = Tables.events(spark, sf)
+    val ck = ExtractLoad.Checkpoint("events", 0L,
+      "2024-01-05 00:00:00.000000", "2024-01-05 00:00:00.000000")
+    val inc = ExtractLoad.incremental(ev, "event_id", "ts", Some(ck))
+    assert(inc.filter(col("ts") <= to_timestamp(lit(ck.last_event_time))).count() == 0)
+  }
+}
+
+class XmlShredSpec extends SparkSpec {
+  test("round-trip: shredded fields equal source attributes") {
+    val out = XmlShred.shred(spark, sf)
+    val src = Tables.customer(spark, sf)
+    assert(out.count() == src.count())
+    val joined = out.join(src, out("customer_key") === src("c_custkey"))
+    assert(joined.filter(col("segment") =!= col("c_mktsegment")).count() == 0)
+    assert(joined.filter(col("nation_key") =!= col("c_nationkey")).count() == 0)
+  }
+}
+
+class LayersSpec extends SparkSpec {
+  test("medallion flow: bronze append → CTAS mart → catalog scan") {
+    val s2 = spark
+    Layers.createAll(s2)
+    val df = Tables.orders(s2, sf).withColumn("ingestion_date", to_date(lit("2024-01-01")))
+    Layers.overwrite(df, "bronze.orders_t")
+    assert(Layers.table(s2, "bronze.orders_t").count() == df.count())
+    Layers.ctas(s2, "mart.order_counts",
+      "SELECT o_orderstatus, count(*) AS n FROM bronze.orders_t GROUP BY 1")
+    assert(Layers.table(s2, "mart.order_counts").count() > 0)
+    s2.sql("DROP TABLE mart.order_counts")
+    s2.sql("DROP TABLE bronze.orders_t")
+  }
+}
