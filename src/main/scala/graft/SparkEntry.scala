@@ -1,8 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.Dedup
 import graft.engine.{DimDate, XmlShred}
+import graft.multimodal.Multimodal
 import graft.queries.{Events, Marts, Scd2Queries}
+import graft.sim.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +40,18 @@ object SparkEntry {
     "json_props"         -> ((s, d) => Events.jsonProps(s, d)),
     "events_by_type"     -> ((s, d) => Events.byType(s, d)),
     "events_hourly"      -> ((s, d) => Events.hourly(s, d)),
+    "dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_embedding"    -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "knn_ivf"            -> ((s, d) => Similarity.knnIvf(s, d)),
+    "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
+    "token_counts"       -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "doc_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "media_meta"         -> ((s, d) => Multimodal.mediaMeta(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,6 +233,228 @@ object SparkEntry {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type
+    """,
+    "dedup_exact" -> """
+      SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY kept_doc_id
+    """,
+    "dedup_minhash" -> """
+      WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      th AS (
+        SELECT doc_id, toks,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id, toks,
+               list_transform(range(0, 16), i ->
+                 list_min(list_transform(h, x -> ((2*i+1) * x + 7*i+3) % 1000000007))) AS sig
+        FROM th),
+      bands AS (
+        SELECT doc_id, bs.b AS band,
+               array_to_string(list_transform(sig[bs.b*4+1 : bs.b*4+4], x -> x::VARCHAR), '-') AS bucket
+        FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(ta.toks, tb.toks)) AS inter,
+               len(ta.toks) AS na, len(tb.toks) AS nb
+        FROM cand
+          JOIN docs ta ON cand.doc_a = ta.doc_id
+          JOIN docs tb ON cand.doc_b = tb.doc_id)
+      SELECT doc_a, doc_b,
+             floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+      FROM pairs
+      WHERE inter / (na + nb - inter) >= 0.9
+      ORDER BY doc_a, doc_b
+    """,
+    "dedup_simhash" -> """
+      WITH th AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+        FROM documents)
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN list_sum(list_transform(h, x ->
+                      CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      FROM th ORDER BY doc_id
+    """,
+    "dedup_ngram" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(range(1, len(toks) - 1), i ->
+                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 END) AS s
+        FROM t),
+      inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
+      shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b,
+             floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+      FROM shared
+      WHERE inter / (na + nb - inter) >= 0.5
+      ORDER BY doc_a, doc_b
+    """,
+    "dedup_embedding" -> """
+      WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST(list_sum(list_transform(range(0, 8), j ->
+                 CASE WHEN (embedding::DOUBLE[])[j+1] > 0 THEN (1 << j) ELSE 0 END)) AS INT) AS bucket,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      c AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                           (x, y) -> x + y) / sqrt(a.norm2 * b.norm2) AS cos_raw
+        FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, floor(cos_raw * 10000 + 0.5) / 10000 AS cosine
+      FROM c WHERE cos_raw >= 0.2
+      ORDER BY id_a, id_b
+    """,
+    "knn_bruteforce" -> """
+      WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS va, norm2 AS na2 FROM p WHERE vec_id % 100 = 0),
+      s AS (
+        SELECT q.query_id, p.vec_id AS neighbor_id,
+               floor((list_reduce(list_transform(range(1, len(q.va) + 1), i -> q.va[i] * p.v[i]),
+                 (x, y) -> x + y) / sqrt(q.na2 * p.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM q JOIN p ON p.vec_id <> q.query_id)
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+             neighbor_id, cosine
+      FROM s
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank
+    """,
+    "knn_ivf" -> """
+      WITH p AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      comp AS (
+        SELECT label, i.i AS pos,
+               floor((CAST(sum(CAST(floor((embedding::DOUBLE[])[i.i + 1] * 10000 + 0.5) / 10000
+                 AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS c
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        GROUP BY 1, 2),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+      centn AS (
+        SELECT label, centroid,
+               list_reduce(list_transform(range(1, len(centroid) + 1), i ->
+                 centroid[i] * centroid[i]), (x, y) -> x + y) AS cnorm2
+        FROM cent),
+      q AS (SELECT vec_id AS query_id, v AS va, norm2 AS na2 FROM p WHERE vec_id % 100 = 0),
+      probes AS (
+        SELECT query_id, va, na2, label
+        FROM (
+          SELECT q.query_id, q.va, q.na2, c.label,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   floor((list_reduce(list_transform(range(1, len(q.va) + 1), i ->
+                     q.va[i] * c.centroid[i]), (x, y) -> x + y) / sqrt(q.na2 * c.cnorm2))
+                     * 10000 + 0.5) / 10000 DESC, c.label) AS pr
+          FROM q CROSS JOIN centn c)
+        WHERE pr <= 2),
+      s AS (
+        SELECT pr.query_id, p.vec_id AS neighbor_id,
+               floor((list_reduce(list_transform(range(1, len(pr.va) + 1), i ->
+                 pr.va[i] * p.v[i]), (x, y) -> x + y) / sqrt(pr.na2 * p.norm2))
+                 * 10000 + 0.5) / 10000 AS cosine
+        FROM probes pr JOIN p ON p.label = pr.label AND p.vec_id <> pr.query_id)
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+             neighbor_id, cosine
+      FROM s
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank
+    """,
+    "lang_id" -> """
+      SELECT doc_id, actual_lang,
+             CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+                  WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+                  WHEN s_zh > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang,
+             s_de, s_en, s_es, s_fr, s_zh
+      FROM (
+        SELECT doc_id, lang AS actual_lang,
+          CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist','nicht'))) AS INT) AS s_de,
+          CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','in'))) AS INT) AS s_en,
+          CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y'))) AS INT) AS s_es,
+          CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','une','est'))) AS INT) AS s_fr,
+          CAST(len(list_filter(string_split(text,' '), t -> t IN ('的','是','不','我','了'))) AS INT) AS s_zh
+        FROM documents)
+      ORDER BY doc_id
+    """,
+    "text_quality" -> """
+      SELECT doc_id, n_tokens,
+             floor(((n_chars - (n_tokens - 1)) / n_tokens) * 10000 + 0.5) / 10000 AS avg_token_len,
+             floor((s_en / n_tokens) * 10000 + 0.5) / 10000 AS stopword_ratio,
+             floor((n_digits / len_text) * 10000 + 0.5) / 10000 AS digit_ratio,
+             floor((least(1.0, n_tokens / 50.0) * (1.0 - n_digits / len_text) *
+                    (0.5 + 0.5 * least(1.0, s_en / n_tokens * 5))) * 10000 + 0.5) / 10000 AS quality_score
+      FROM (
+        SELECT doc_id, n_chars,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','in'))) AS INT) AS s_en,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+          CAST(length(text) AS INT) AS len_text
+        FROM documents)
+      ORDER BY doc_id
+    """,
+    "token_counts" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+      FROM documents ORDER BY doc_id
+    """,
+    "doc_fingerprints" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      h AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                 ELSE list_transform(range(1, len(toks) - 1), i ->
+                   ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT)
+                 END AS hs
+        FROM t),
+      f AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                 WHEN len(hs) < 4 THEN [list_min(hs)]
+                 ELSE list_transform(range(1, len(hs) - 2), j -> list_min(hs[j : j+3]))
+                 END) AS fps
+        FROM h)
+      SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+             list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+             CAST(list_sum(list_transform(fps, x -> x % 1000000007)) AS BIGINT) AS fp_checksum
+      FROM f ORDER BY doc_id
+    """,
+    "media_meta" -> """
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CAST(64 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 512) AS INT) AS width,
+             CAST(64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512) AS INT) AS height,
+             CAST(1 + strlen(text) % 24 AS INT) AS n_frames
+      FROM documents ORDER BY doc_id
     """,
   )
 }

@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Fns, Tables}
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * and `embeddings`: exact hash dedup, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-duplicates.
+  *
+  * Scale design: every operator avoids the O(n²) all-pairs comparison —
+  * candidates come from hash-bucket joins (LSH bands, shared shingles,
+  * hyperplane sign buckets), so the shuffles are keyed on bucket ids and
+  * the quadratic blow-up is confined to same-bucket groups. Signature
+  * computation is per-row higher-order-function work (codegen, no
+  * shuffle). All hashing goes through the engine-portable md5-based
+  * [[graft.Fns.h64]] so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object Dedup {
+
+  /** MinHash parameters: K hashes in B bands of R rows (K = B*R). With
+    * (aK+b) mod P permutations over 60-bit md5 token hashes. */
+  val K = 16; val B = 4; val R = 4
+  val P = 1000000007L
+
+  /** Exact dedup: group identical texts by md5, keep the smallest doc_id
+    * (hash-groupBy — one shuffle keyed on the digest). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("kept_doc_id"))
+
+  /** Distinct-token array + MinHash signature + band buckets, per doc. */
+  private def withSignature(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+      .withColumn("th", expr(
+        s"""transform(toks, t ->
+            CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P)"""))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${K - 1}), i ->
+            array_min(transform(th, h -> ((2 * i + 1) * h + 7 * i + 3) % $P)))"""))
+
+  /** MinHash+LSH near-duplicate pairs: band-bucket candidate join, then
+    * exact distinct-token Jaccard ≥ `threshold`. */
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val docs = withSignature(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("toks"), col("sig"))
+
+    val bands = docs.select(
+      col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${B - 1}), b -> named_struct(
+            'band', b,
+            'bucket', array_join(transform(slice(sig, b * $R + 1, $R),
+                                           x -> cast(x as string)), '-')))"""))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val ta = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("inter", expr("size(array_intersect(toks_a, toks_b))"))
+      .withColumn("jaccard_raw",
+        col("inter") / (expr("size(toks_a)") + expr("size(toks_b)") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash per document: per-bit votes over distinct-token
+    * hashes (bit set in hash → +1, else −1), bit set in the output when
+    * the vote is positive. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+      .withColumn("th", expr(
+        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+               transform(sequence(0, 31), j ->
+                 IF(aggregate(th, 0,
+                      (acc, h) -> acc + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+                    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+               CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Distinct word 3-gram shingles per doc. */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("shingles", expr(
+        """array_distinct(CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2), i ->
+             concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                       element_at(toks, i + 2)))
+           END)"""))
+
+  /** N-gram Jaccard near-duplicates via inverted shingle index: docs
+    * sharing a shingle become candidates (shuffle keyed on shingle),
+    * then exact shingle-set Jaccard ≥ `threshold`. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shingles"), expr("size(shingles)").as("n_sh"))
+
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val shared = inv.as("a")
+      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+
+    shared
+      .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine similar/near-dup pairs with random-hyperplane LSH
+    * pre-bucketing: 8 sign bits (coordinate hyperplanes) → candidate
+    * pairs only within a bucket → exact cosine ≥ `threshold`.
+    * Left-to-right fold for the dot product keeps the double bit-exact
+    * across engines. */
+  def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7), 0,
+             (acc, j) -> acc + IF(element_at(v, j + 1) > CAST(0 AS DOUBLE),
+                                  shiftleft(1, j), 0))"""))
+      .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .select(col("vec_id"), col("v"), col("bucket"), col("norm2"))
+
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("bucket"), col("norm2").as("na2"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("bucket"), col("norm2").as("nb2"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("cos_raw", col("dot") / sqrt(col("na2") * col("nb2")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), Fns.money(col("cos_raw")).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

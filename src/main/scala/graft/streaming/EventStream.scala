@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming redesign of the reference's hand-rolled
+  * micro-batch incrementality (SURVEY.md §2.9): the reference tracks a
+  * JSON watermark file and re-extracts `WHERE ModifiedDate > wm`
+  * (`dags/utils/extract_load_template.py:126-159`); the Spark-native
+  * form is `readStream` + event-time watermark + windowed aggregation,
+  * with checkpointed exactly-once state instead of append-duplication.
+  *
+  * The same transforms run on batch DataFrames (used by the driver
+  * contract through [[graft.queries.Events.hourly]]) and on streams —
+  * one definition, two execution modes.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark for
+    * late data (the reference silently drops late rows; here they are
+    * admitted within the lag). Works on batch and streaming inputs. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Per-user session state via mapGroupsWithState: running event count +
+    * last-seen timestamp per user (custom streaming state example). */
+  case class UserState(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
+
+  def userRunningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fn = (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[UserState]) => {
+      val prev = state.getOption.getOrElse(UserState(uid, 0L, new java.sql.Timestamp(0L)))
+      val batch = rows.toSeq
+      val next = UserState(uid, prev.n_events + batch.size,
+        batch.map(_._2).maxBy(_.getTime))
+      state.update(next)
+      next
+    }
+    events
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** File-source streaming read of the events table (parquet directory →
+    * micro-batches), for tests and as the deployment template. */
+  def readEventsStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+
+  /** Start a memory-sink query over the windowed aggregation. */
+  def startMemorySink(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

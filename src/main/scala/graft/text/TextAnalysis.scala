@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Fns, Tables}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language identification, quality scoring, token
+  * counting, and winnowing document fingerprints.
+  *
+  * Everything is built from Spark higher-order functions on the token
+  * array — per-row, codegen-friendly, no shuffle until the final sort —
+  * so each operator is embarrassingly parallel and scales linearly with
+  * document count (the 100 TB path is "more partitions", nothing else).
+  */
+object TextAnalysis {
+
+  /** Small function-word lists per language used by the n-gram/stopword
+    * language-ID heuristic (alphabetical language order = tie-break order). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "不", "我", "了"))
+
+  private def scoreExpr(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(text, ' '), t -> t IN ($lst)))"
+  }
+
+  /** Language ID: count stopword hits per language, argmax with
+    * alphabetical tie-break; no hits → 'und'. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = stopwords.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", expr(scoreExpr(words)))
+    }
+    val langs = stopwords.map(_._1)
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und")) { case (l, elseCol) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .select(Seq(col("doc_id"), col("lang").as("actual_lang"), col("pred_lang")) ++
+        langs.map(l => col(s"s_$l")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * digit ratio, composite score — length/punct/stopword heuristics. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("s_en", expr(scoreExpr(stopwords.toMap.apply("en"))))
+      .withColumn("n_digits",
+        length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        Fns.money((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens")).as("avg_token_len"),
+        Fns.money(col("s_en") / col("n_tokens")).as("stopword_ratio"),
+        Fns.money(col("n_digits") / length(col("text"))).as("digit_ratio"),
+        Fns.money(
+          least(lit(1.0), col("n_tokens") / lit(50.0)) *
+            (lit(1.0) - col("n_digits") / length(col("text"))) *
+            (lit(0.5) + lit(0.5) * least(lit(1.0), col("s_en") / col("n_tokens") * 5)))
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other chars), and the chars/4
+    * estimate used for LLM budgeting. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("re_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (local minima of rolling shingle hashes —
+    * the standard document-fingerprint scheme): word 3-gram shingles →
+    * 60-bit hashes → min per 4-window → distinct mins. Emits a per-doc
+    * summary (count/min/max/mod-sum of fingerprints) so the output is
+    * compact at any scale. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("hashes", expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2), i ->
+             CAST(conv(substr(md5(concat_ws(' ',
+               element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
+               1, 15), 16, 10) AS BIGINT))
+           END"""))
+      .withColumn("fps", expr(
+        """array_distinct(CASE WHEN size(hashes) = 0 THEN array()
+           WHEN size(hashes) < 4 THEN array(array_min(hashes))
+           ELSE transform(sequence(1, size(hashes) - 3), j ->
+             array_min(slice(hashes, j, 4)))
+           END)"""))
+      .select(
+        col("doc_id"),
+        expr("size(fps)").as("n_fingerprints"),
+        expr("array_min(fps)").as("min_fp"),
+        expr("array_max(fps)").as("max_fp"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (acc, f) -> acc + f % 1000000007)").as("fp_checksum"))
+      .orderBy(col("doc_id"))
+  }
+}

