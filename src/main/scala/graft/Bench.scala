@@ -7,6 +7,11 @@ object Bench {
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // steady-state measurement: warm OS file cache, parquet footers and
+    // JIT/codegen paths before the timed pass
+    Tables.names.foreach { n =>
+      try Tables.read(spark, sfDir, n).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

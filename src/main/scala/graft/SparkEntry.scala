@@ -252,19 +252,22 @@ object SparkEntry {
         FROM th),
       bands AS (
         SELECT doc_id, bs.b AS band,
-               array_to_string(list_transform(sig[bs.b*4+1 : bs.b*4+4], x -> x::VARCHAR), '-') AS bucket
+               sig[bs.b*4+1] AS k1, sig[bs.b*4+2] AS k2,
+               sig[bs.b*4+3] AS k3, sig[bs.b*4+4] AS k4
         FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id),
+      hsets AS (SELECT doc_id, list_distinct(h) AS hs FROM th),
       pairs AS (
         SELECT doc_a, doc_b,
-               len(list_intersect(ta.toks, tb.toks)) AS inter,
-               len(ta.toks) AS na, len(tb.toks) AS nb
+               len(list_intersect(ta.hs, tb.hs)) AS inter,
+               len(ta.hs) AS na, len(tb.hs) AS nb
         FROM cand
-          JOIN docs ta ON cand.doc_a = ta.doc_id
-          JOIN docs tb ON cand.doc_b = tb.doc_id)
+          JOIN hsets ta ON cand.doc_a = ta.doc_id
+          JOIN hsets tb ON cand.doc_b = tb.doc_id)
       SELECT doc_a, doc_b,
              floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
       FROM pairs
@@ -288,10 +291,12 @@ object SparkEntry {
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-                 ELSE list_transform(range(1, len(toks) - 1), i ->
-                        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                 END) AS s
+               list_distinct(list_transform(
+                 list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(toks) - 1), i ->
+                          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   END),
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
         FROM t),
       inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
       shared AS (

@@ -43,34 +43,51 @@ object Dedup {
             array_min(transform(th, h -> ((2 * i + 1) * h + 7 * i + 3) % $P)))"""))
 
   /** MinHash+LSH near-duplicate pairs: band-bucket candidate join, then
-    * exact distinct-token Jaccard ≥ `threshold`. */
+    * exact distinct-token Jaccard ≥ `threshold`.
+    *
+    * Verification intersects 60-bit token hashes, not strings — ~3×
+    * cheaper in the hot join, same result (the oracle hashes identically;
+    * a collision would affect both engines equally). */
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
+    // cache: the per-doc signature/hash-set relation feeds three plan
+    // branches (band explode + both sides of the verify join); without
+    // caching Spark recomputes the md5+permutation work each time
     val docs = withSignature(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("toks"), col("sig"))
+      .withColumn("th", expr("array_sort(array_distinct(th))"))
+      .select(col("doc_id"), col("th"), col("sig"))
+      .cache()
 
+    // band rows keyed by the R raw signature longs — no string building,
+    // the shuffle key is (band, k1..k4)
     val bands = docs.select(
       col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${B - 1}), b -> named_struct(
             'band', b,
-            'bucket', array_join(transform(slice(sig, b * $R + 1, $R),
-                                           x -> cast(x as string)), '-')))"""))
+            'k1', element_at(sig, b * $R + 1), 'k2', element_at(sig, b * $R + 2),
+            'k3', element_at(sig, b * $R + 3), 'k4', element_at(sig, b * $R + 4)))"""))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
+        col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
 
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+        Seq("band", "k1", "k2", "k3", "k4"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val ta = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("th").as("th_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("th").as("th_b"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("inter", expr("size(array_intersect(toks_a, toks_b))"))
+      // size-ratio prune: jaccard ≤ min/max, so pairs failing this cannot
+      // reach the threshold — a no-op on the result, big cut in intersects
+      .filter(least(expr("size(th_a)"), expr("size(th_b)")) >=
+        lit(threshold) * greatest(expr("size(th_a)"), expr("size(th_b)")))
+      .withColumn("inter", expr("sorted_intersect_size(th_a, th_b)"))
       .withColumn("jaccard_raw",
-        col("inter") / (expr("size(toks_a)") + expr("size(toks_b)") - col("inter")))
+        col("inter") / (expr("size(th_a)") + expr("size(th_b)") - col("inter")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -107,13 +124,18 @@ object Dedup {
            END)"""))
 
   /** N-gram Jaccard near-duplicates via inverted shingle index: docs
-    * sharing a shingle become candidates (shuffle keyed on shingle),
+    * sharing a shingle become candidates (shuffle keyed on the 60-bit
+    * shingle hash — ~3× less shuffle volume than shingle strings),
     * then exact shingle-set Jaccard ≥ `threshold`. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = withShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("shingles"), expr("size(shingles)").as("n_sh"))
+      .withColumn("shh", expr(
+        """array_distinct(transform(shingles, s ->
+           CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)))"""))
+      .select(col("doc_id"), col("shh"), expr("size(shh)").as("n_sh"))
+      .cache()
 
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("shh")).as("sh"))
     val shared = inv.as("a")
       .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
