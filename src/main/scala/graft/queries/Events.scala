@@ -18,14 +18,32 @@ import graft.{Fns, Tables}
 object Events {
 
   /** Incremental extract with a (fixed, reproducible) watermark — strictly
-    * `>`, pushed down to the parquet scan. */
+    * `>`, pushed down to the parquet scan.
+    *
+    * When the source stores nanosecond longs, the predicate is translated
+    * to the RAW column (`ns > wm_us*1000 + 999` ⟺ `ns div 1000 > wm_us`)
+    * so it reaches the scan as `PushedFilters: GreaterThan(ts, …)` and
+    * prunes row groups — filtering the derived µs timestamp would force a
+    * full scan at 100 TB. */
   def incrementalExtract(spark: SparkSession, dir: String,
-      watermark: String = "2024-01-05 00:00:00"): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") > to_timestamp(lit(watermark))) // session-TZ (UTC) parse
+      watermark: String = "2024-01-05 00:00:00"): DataFrame = {
+    val raw = Tables.read(spark, dir, "events")
+    val filtered = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val wmInstant = java.time.LocalDateTime
+          .parse(watermark.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        val wmMicros = wmInstant.getEpochSecond * 1000000L + wmInstant.getNano / 1000L
+        raw.filter(col("ts") > lit(wmMicros * 1000L + 999L))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.filter(col("ts") > to_timestamp(lit(watermark))) // session-TZ (UTC)
+    }
+    filtered
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         Fns.money(col("value")).as("value4"))
       .orderBy(col("event_id"))
+  }
 
   /** JSON property extraction per event (`get_json_object`). */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
