@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.engine.{DimDate, XmlShred}
 import graft.multimodal.Multimodal
-import graft.queries.{Events, Marts, Scd2Queries}
+import graft.queries.{Events, Extras, Marts, Scd2Queries}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -52,6 +52,9 @@ object SparkEntry {
     "token_counts"       -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "media_meta"         -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "sales_rollup"       -> ((s, d) => Extras.salesRollup(s, d)),
+    "customer_year_sets" -> ((s, d) => Extras.customerYearSets(s, d)),
+    "embedding_norm_quant" -> ((s, d) => Extras.embeddingNormQuant(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -460,6 +463,55 @@ object SparkEntry {
              CAST(64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512) AS INT) AS height,
              CAST(1 + strlen(text) % 24 AS INT) AS n_frames
       FROM documents ORDER BY doc_id
+    """,
+    "sales_rollup" -> """
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(n_name, 'ALL') AS nation_name,
+             floor(CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_revenue,
+             count(*) AS line_count
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region_name, nation_name
+    """,
+    "customer_year_sets" -> """
+      WITH y1 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      y2 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998),
+      u AS (
+        SELECT 'both_97_98' AS set_op, count(*) AS n_customers
+        FROM (SELECT o_custkey FROM y1 INTERSECT SELECT o_custkey FROM y2)
+        UNION ALL
+        SELECT 'only_97', count(*)
+        FROM (SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)
+        UNION ALL
+        SELECT 'either', count(*)
+        FROM (SELECT DISTINCT o_custkey
+              FROM (SELECT o_custkey FROM y1 UNION SELECT o_custkey FROM y2)))
+      SELECT set_op, n_customers FROM u ORDER BY set_op
+    """,
+    "embedding_norm_quant" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+                    (x, y) -> x + y)) AS norm,
+               greatest(list_reduce(list_transform(v, x -> abs(x)), (x, y) -> greatest(x, y)),
+                        1e-30) AS maxabs
+        FROM e),
+      q AS (
+        SELECT vec_id, v, norm,
+               list_transform(v, x -> CAST(floor(x / maxabs * 127 + 0.5) AS INT)) AS q8
+        FROM n)
+      SELECT vec_id,
+             floor(norm * 10000 + 0.5) / 10000 AS l2_norm,
+             floor((list_reduce(list_transform(v, x -> x / greatest(norm, 1e-30)),
+                    (x, y) -> x + y)) * 10000 + 0.5) / 10000 AS unit_sum,
+             CAST(list_sum(q8) AS INT) AS q8_sum,
+             greatest(0, list_max(q8)) AS q8_max
+      FROM q ORDER BY vec_id
     """,
   )
 }

@@ -43,4 +43,17 @@ object Layers {
 
   /** S7: catalog scan. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Bucketed table write: co-locates join keys so repeated fact⋈fact
+    * joins on `bucketCol` skip the shuffle entirely (scan-time bucketing
+    * replaces the exchange). The 100 TB answer to "this join runs every
+    * hour on the same key". */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      nBuckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.write.format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+  }
 }

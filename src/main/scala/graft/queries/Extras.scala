@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Fns, Tables}
+
+/** Operators beyond the reference's literal surface that a production
+  * mart/training-data pipeline needs: hierarchical rollups, set
+  * operations, and embedding maintenance (normalization + int8
+  * quantization for ANN index builds).
+  */
+object Extras {
+
+  /** ROLLUP region → nation subtotals + grand total (hierarchy mart).
+    * NULL grouping indicators are replaced with sentinels so ordering is
+    * total and engine-portable. */
+  def salesRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        Fns.money(Fns.sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_revenue"),
+        count(lit(1)).as("line_count"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("total_revenue"), col("line_count"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** Set operations (SURVEY §2.7 — unused by the reference, covered for
+    * completeness): customers ordering in both years (INTERSECT), only
+    * the first year (EXCEPT), either year (UNION). */
+  def customerYearSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def custIn(year: Int) =
+      o.filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+        .select(col("o_custkey"))
+    val y1 = custIn(1997); val y2 = custIn(1998)
+    val both    = y1.intersect(y2).withColumn("set_op", lit("both_97_98"))
+    val only97  = y1.except(y2).withColumn("set_op", lit("only_97"))
+    val either  = y1.union(y2).distinct().withColumn("set_op", lit("either"))
+    both.unionByName(only97).unionByName(either)
+      .groupBy(col("set_op")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("set_op"))
+  }
+
+  /** Embedding maintenance: L2 norm, unit-normalized checksum, and int8
+    * scalar quantization (symmetric, per-vector max-abs scale) — the
+    * standard prep for ANN index builds. All arithmetic is elementwise
+    * double work, bit-identical across engines. */
+  def embeddingNormQuant(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("maxabs", expr(
+        // 1e-30 floor guards the all-zero vector (NaN → engine-divergent)
+        "greatest(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x))), CAST(1e-30 AS DOUBLE))"))
+      .withColumn("q8", expr(
+        "transform(v, x -> CAST(floor(x / maxabs * 127 + 0.5) AS INT))"))
+      .select(
+        col("vec_id"),
+        Fns.money(col("norm")).as("l2_norm"),
+        Fns.money(expr(
+          "aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x / greatest(norm, CAST(1e-30 AS DOUBLE)))")).as("unit_sum"),
+        expr("aggregate(q8, 0, (acc, x) -> acc + x)").as("q8_sum"),
+        greatest(lit(0), expr("array_max(q8)")).as("q8_max"))
+      .orderBy(col("vec_id"))
+}

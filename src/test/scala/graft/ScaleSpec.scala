@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Layers, Skew}
+
+class SkewSpec extends SparkSpec {
+
+  test("salted aggregation equals plain groupBy sum/count") {
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(ev, col("user_id"), col("value"),
+        col("event_id"), salt = 8)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(plain.keySet == salted.keySet)
+    assert(plain.forall { case (k, (t, n)) =>
+      math.abs(salted(k)._1 - t) < 1e-6 && salted(k)._2 == n
+    })
+  }
+
+  test("salted aggregation handles a synthetic heavy hitter") {
+    import spark.implicits._
+    val skewed = (1 to 10000).map(i => (if (i % 100 == 0) i.toLong else 7L, 1.0))
+      .toDF("k", "v").withColumn("id", monotonically_increasing_id())
+    val out = Skew.saltedSumCount(skewed, col("k"), col("v"), col("id"), salt = 32)
+    val hot = out.filter(col("k") === 7L).head()
+    assert(hot.getAs[Long]("n") == 9900L)
+  }
+}
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    Layers.createAll(spark)
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Layers.writeBucketed(li, "silver.li_bucketed", "l_orderkey", 8)
+    Layers.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "silver.o_bucketed", "l_orderkey", 8)
+    try {
+      // disable broadcast so the join must choose a non-broadcast strategy;
+      // bucketing should then satisfy the distribution with zero exchanges
+      val s = spark
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = Layers.table(s, "silver.li_bucketed")
+          .join(Layers.table(s, "silver.o_bucketed"), "l_orderkey")
+        val physical = j.queryExecution.executedPlan.toString
+        assert(!physical.contains("Exchange hashpartitioning"),
+          s"expected bucket-co-located join without shuffle, got:\n$physical")
+        assert(j.count() > 0)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (64L * 1024 * 1024).toString)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS silver.li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS silver.o_bucketed")
+    }
+  }
+}
+
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact for big-pipeline cardinality") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
