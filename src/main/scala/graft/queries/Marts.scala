@@ -167,7 +167,7 @@ object Marts {
     * broadcast join; with a date-partitioned table this prunes to the
     * newest partition only. */
   def latestMonthOrderSummary(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
     spark.sql("""
       SELECT o_orderpriority AS priority,
              COUNT(*) AS order_count,
