@@ -55,6 +55,9 @@ object SparkEntry {
     "sales_rollup"       -> ((s, d) => Extras.salesRollup(s, d)),
     "customer_year_sets" -> ((s, d) => Extras.customerYearSets(s, d)),
     "embedding_norm_quant" -> ((s, d) => Extras.embeddingNormQuant(s, d)),
+    "events_asof_signup"   -> ((s, d) => Extras.eventsAsOfSignup(s, d)),
+    "events_pivot"         -> ((s, d) => Extras.eventsPivot(s, d)),
+    "order_value_percentiles" -> ((s, d) => Extras.orderValuePercentiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,6 +515,32 @@ object SparkEntry {
              CAST(list_sum(q8) AS INT) AS q8_sum,
              greatest(0, list_max(q8)) AS q8_max
       FROM q ORDER BY vec_id
+    """,
+    "events_asof_signup" -> """
+      SELECT e.event_id, e.user_id, e.ts::TIMESTAMP AS ts,
+             s.signup_event_id AS last_signup_event_id
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts, event_id AS signup_event_id
+         FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+      ORDER BY e.event_id
+    """,
+    "events_pivot" -> """
+      SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+             count(*) FILTER (event_type = 'view') AS view,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'error') AS error
+      FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "order_value_percentiles" -> """
+      SELECT o_orderpriority AS priority,
+             floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+             floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
+             floor(min(o_totalprice) * 10000 + 0.5) / 10000 AS min_price,
+             floor(max(o_totalprice) * 10000 + 0.5) / 10000 AS max_price
+      FROM orders GROUP BY 1 ORDER BY 1
     """,
   )
 }

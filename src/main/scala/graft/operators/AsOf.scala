@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, attach the latest
+  * right row with the same key and `rightTs <= leftTs`.
+  *
+  * Spark has no native as-of join; rather than a custom SparkPlan, this
+  * composes built-ins (preference (a) in the build rules): tag + union
+  * both sides, one window pass per key ordered by (ts, side) with
+  * `last(..., ignoreNulls)` carrying the right payload forward, keep left
+  * rows. Cost: ONE shuffle on the key — no range nested-loop, no
+  * per-row probing; scales like any windowed aggregation at 100 TB.
+  * Right rows sort before left rows at equal timestamps, giving the
+  * standard inclusive (`<=`) as-of semantics.
+  */
+object AsOf {
+
+  /** @param left       probe side
+    * @param right      reference side (must share `key` column name)
+    * @param key        equi-join key column name
+    * @param leftTs     event-time column name on `left`
+    * @param rightTs    event-time column name on `right`
+    * @param payload    right columns to attach (renamed as given)
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payload: Map[String, String]): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r0 = payload.foldLeft(
+        right.select((Seq(col(key), col(rightTs).as("__ts")) ++
+          payload.keys.toSeq.map(col)): _*)) { case (df, (src, dst)) =>
+        df.withColumnRenamed(src, s"__p_$dst")
+      }
+      .withColumn("__side", lit(0))
+    // align schemas: left gets null payload slots, right gets null left cols
+    val lAligned = payload.values.foldLeft(l) { case (df, dst) =>
+      df.withColumn(s"__p_$dst", lit(null).cast(r0.schema(s"__p_$dst").dataType))
+    }
+    val rAligned = lCols.filterNot(c => c == key).foldLeft(r0) { case (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = lAligned.select((lCols.map(col) ++
+      Seq(col("__ts"), col("__side")) ++
+      payload.values.toSeq.map(d => col(s"__p_$d"))): _*)
+      .unionByName(rAligned.select((lCols.map(col) ++
+        Seq(col("__ts"), col("__side")) ++
+        payload.values.toSeq.map(d => col(s"__p_$d"))): _*))
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.values.foldLeft(unioned) { case (df, dst) =>
+      df.withColumn(dst, last(col(s"__p_$dst"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((lCols.map(col) ++ payload.values.toSeq.map(col)): _*)
+  }
+}

@@ -75,4 +75,41 @@ object Extras {
         expr("aggregate(q8, 0, (acc, x) -> acc + x)").as("q8_sum"),
         greatest(lit(0), expr("array_max(q8)")).as("q8_max"))
       .orderBy(col("vec_id"))
+
+  /** As-of join: every event gets the latest signup of the same user at
+    * or before its timestamp — the point-in-time lookup every
+    * feature-store/training pipeline needs (one shuffle, no range
+    * nested-loop; see [[graft.operators.AsOf]]). */
+  def eventsAsOfSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+    graft.operators.AsOf.joinAsOf(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      signups, key = "user_id", leftTs = "ts", rightTs = "ts",
+      payload = Map("signup_event_id" -> "last_signup_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pivot: event counts per user bucket × event type (explicit value
+    * list keeps the output schema deterministic). */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+
+  /** Exact interpolated percentiles of order value per priority. */
+  def orderValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        Fns.money(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        Fns.money(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        Fns.money(min(col("o_totalprice"))).as("min_price"),
+        Fns.money(max(col("o_totalprice"))).as("max_price"))
+      .orderBy(col("priority"))
 }
