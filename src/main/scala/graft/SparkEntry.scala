@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.engine.{DimDate, XmlShred}
 import graft.multimodal.Multimodal
-import graft.queries.{Events, Extras, Marts, Scd2Queries}
+import graft.queries.{EventSequences, Events, Extras, Marts, Scd2Queries}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -58,6 +58,11 @@ object SparkEntry {
     "events_asof_signup"   -> ((s, d) => Extras.eventsAsOfSignup(s, d)),
     "events_pivot"         -> ((s, d) => Extras.eventsPivot(s, d)),
     "order_value_percentiles" -> ((s, d) => Extras.orderValuePercentiles(s, d)),
+    "sessionize"           -> ((s, d) => EventSequences.sessionize(s, d)),
+    "running_daily_revenue"-> ((s, d) => EventSequences.runningDailyRevenue(s, d)),
+    "vocab_top_terms"      -> ((s, d) => TextAnalysis.vocabTopTerms(s, d)),
+    "tfidf_checksum"       -> ((s, d) => TextAnalysis.tfidfChecksum(s, d)),
+    "train_test_split"     -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -541,6 +546,70 @@ object SparkEntry {
              floor(min(o_totalprice) * 10000 + 0.5) / 10000 AS min_price,
              floor(max(o_totalprice) * 10000 + 0.5) / 10000 AS max_price
       FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "sessionize" -> """
+      WITH g AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+               lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN prev_ts IS NULL OR
+               CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      s AS (
+        SELECT *, sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM f)
+      SELECT user_id, session_idx,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events,
+             floor(CAST(sum(CAST((floor(value * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS session_value
+      FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
+    """,
+    "running_daily_revenue" -> """
+      WITH daily AS (
+        SELECT o_orderpriority AS priority, o_orderdate::DATE AS order_date,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS day_revenue
+        FROM orders GROUP BY 1, 2)
+      SELECT priority, order_date, day_revenue,
+             floor(sum(day_revenue) OVER (
+               PARTITION BY priority ORDER BY order_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000
+               AS running_revenue
+      FROM daily ORDER BY priority, order_date
+    """,
+    "vocab_top_terms" -> """
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+      ORDER BY df DESC, tf DESC, term
+      LIMIT 50
+    """,
+    "tfidf_checksum" -> """
+      WITH tfm AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2),
+      dfm AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfm GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      w AS (
+        SELECT doc_id,
+               floor((tf * ln((SELECT n FROM n) / df)) * 10000 + 0.5) / 10000 AS w
+        FROM tfm JOIN dfm USING (term))
+      SELECT doc_id,
+             floor(CAST(sum(CAST(w AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS tfidf_sum,
+             count(*) AS n_terms,
+             floor(max(w) * 10000 + 0.5) / 10000 AS max_w
+      FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+    "train_test_split" -> """
+      SELECT CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 10 = 0
+                  THEN 'test' ELSE 'train' END AS split,
+             lang, count(*) AS n_docs,
+             floor(CAST(sum(CAST(n_chars AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_chars
+      FROM documents GROUP BY 1, 2 ORDER BY split, lang
     """,
   )
 }

@@ -83,6 +83,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary by document frequency: top-K terms with df and
+    * total tf — the vocab-build step of a tokenizer pipeline. */
+  def vocabTopTerms(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("term"))
+      .limit(k)
+
+  /** TF-IDF per document, reduced to a portable checksum: sum over terms
+    * of tf(t,d) * ln(N / df(t)), money-rounded. The tf×idf join is keyed
+    * on the term — the standard two-pass distributed formulation. */
+  def tfidfChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val termFreq = docs
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    termFreq.join(docFreq, "term")
+      .withColumn("w", Fns.money(col("tf") * log(lit(n.toDouble) / col("df"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        Fns.money(Fns.sumMoney(col("w"))).as("tfidf_sum"),
+        count(lit(1)).as("n_terms"),
+        Fns.money(max(col("w"))).as("max_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash-based train/test split (90/10 by md5 of content
+    * — reproducible across engines, runs, and cluster sizes; never
+    * random). */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(Fns.h64(col("text")) % 10 === 0, lit("test")).otherwise(lit("train")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), Fns.money(Fns.sumMoney(col("n_chars"))).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+
   /** Winnowing fingerprints (local minima of rolling shingle hashes —
     * the standard document-fingerprint scheme): word 3-gram shingles →
     * 60-bit hashes → min per 4-window → distinct mins. Emits a per-doc
