@@ -63,6 +63,8 @@ object SparkEntry {
     "vocab_top_terms"      -> ((s, d) => TextAnalysis.vocabTopTerms(s, d)),
     "tfidf_checksum"       -> ((s, d) => TextAnalysis.tfidfChecksum(s, d)),
     "train_test_split"     -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
+    "sales_grouping_sets"  -> ((s, d) => Extras.salesGroupingSets(s, d)),
+    "top_orders_per_priority" -> ((s, d) => Extras.topOrdersPerPriority(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -610,6 +612,28 @@ object SparkEntry {
              lang, count(*) AS n_docs,
              floor(CAST(sum(CAST(n_chars AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_chars
       FROM documents GROUP BY 1, 2 ORDER BY split, lang
+    """,
+    "sales_grouping_sets" -> """
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(c_mktsegment, 'ALL') AS mktsegment,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_price,
+             count(*) AS n_orders
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+      ORDER BY region_name, mktsegment
+    """,
+    "top_orders_per_priority" -> """
+      SELECT o_orderpriority AS priority,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank,
+             o_orderkey AS order_key,
+             floor(o_totalprice * 10000 + 0.5) / 10000 AS total_price
+      FROM orders
+      QUALIFY rank <= 3
+      ORDER BY priority, rank
     """,
   )
 }

@@ -44,6 +44,17 @@ object Layers {
   /** S7: catalog scan. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Small-file compaction: rewrite a parquet directory into `nFiles`
+    * evenly-sized files (the maintenance job every streaming/incremental
+    * ingest needs — thousands of micro-batch files kill scan planning at
+    * 100 TB). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      nFiles: Int): Long = {
+    val df = spark.read.parquet(inPath)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   /** Bucketed table write: co-locates join keys so repeated fact⋈fact
     * joins on `bucketCol` skip the shuffle entirely (scan-time bucketing
     * replaces the exchange). The 100 TB answer to "this join runs every

@@ -102,6 +102,48 @@ object Extras {
       .na.fill(0L)
       .orderBy(col("user_bucket"))
 
+  /** GROUPING SETS mart: independent subtotal dimensions in one pass
+    * (region-only, segment-only, grand total). */
+  def salesGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(c_mktsegment, 'ALL') AS mktsegment,
+             floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_price,
+             count(*) AS n_orders
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+      ORDER BY region_name, mktsegment
+    """)
+  }
+
+  /** Exact top-3 orders per priority via the typed [[graft.functions.TopKAgg]]
+    * Aggregator — O(K) state per group instead of a per-group sort. */
+  def topOrdersPerPriority(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn)
+      .toDF("priority", "topk")
+      .select(col("priority"), posexplode(col("topk")).as(Seq("idx", "entry")))
+      .select(
+        col("priority"),
+        (col("idx") + 1).as("rank"),
+        col("entry._2").as("order_key"),
+        Fns.money(col("entry._1")).as("total_price"))
+      .orderBy(col("priority"), col("rank"))
+  }
+
   /** Exact interpolated percentiles of order value per priority. */
   def orderValuePercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -63,4 +63,44 @@ object EventStream {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming SCD Type 2 maintenance: every micro-batch of dimension
+    * updates is merged into the stored dimension with
+    * [[graft.engine.Scd2.applyChanges]] inside `foreachBatch` — the
+    * streaming replacement for the reference's re-run-the-DAG batch SCD2
+    * (`dags/product.py`). Each batch writes a new immutable version dir
+    * (`v<batchId>`), so reads never race the write and failed batches
+    * retry idempotently (exactly-once via the checkpointed batch id).
+    */
+  def scd2Sink(updates: DataFrame, cfg: graft.engine.Scd2.Config,
+      dimBase: String, asOfDates: Long => String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = updates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestDimVersion(spark, dimBase, batchId)
+        val next = prev match {
+          case Some(dim) =>
+            graft.engine.Scd2.applyChanges(dim, batch, cfg, asOfDates(batchId))
+          case None =>
+            graft.engine.Scd2.initialLoad(batch, cfg, asOfDates(batchId))
+        }
+        next.write.mode("overwrite").parquet(s"$dimBase/v$batchId")
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Latest dimension version strictly before `beforeBatch` (None if no
+    * version exists yet). */
+  def latestDimVersion(spark: SparkSession, dimBase: String,
+      beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val base = new java.io.File(dimBase)
+    val versions = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+      .filter(_ < beforeBatch)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$dimBase/v${versions.max}"))
+  }
 }
