@@ -51,6 +51,15 @@ object EventStream {
       .toDF()
   }
 
+  /** Streaming exactly-once dedup: `dropDuplicates` on the event id with
+    * an event-time watermark bounding the dedup state — the streaming
+    * fix for the reference's append-duplication on re-run
+    * (`dags/sales.py:102`, SURVEY §2.9 exactly-once row). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+
   /** File-source streaming read of the events table (parquet directory →
     * micro-batches), for tests and as the deployment template. */
   def readEventsStream(spark: SparkSession, path: String,

@@ -71,3 +71,25 @@ class ApproxSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 }
+
+class RuntimeFilterSpec extends SparkSpec {
+
+  test("runtime bloom filter injects into a selective shuffle join") {
+    val s = spark
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(s, sf)
+      val p = Tables.part(s, sf).filter(col("p_size") === 1)
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+      // the optimizer wraps the fact-side scan in might_contain(bloom_agg(...))
+      assert(j.queryExecution.optimizedPlan.toString.contains("bloom"))
+      assert(j.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+}

@@ -59,6 +59,29 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Timestamp]("last_ts") == ts("2024-01-01 00:05:00"))
   }
 
+  test("streaming dedup drops re-delivered events across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.dedupedEvents(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    val e1 = Ev(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0)
+    val e2 = Ev(2, ts("2024-01-01 00:01:00"), 2, "view", 2.0)
+    input.addData(e1, e2, e1) // dup within batch
+    q.processAllAvailable()
+    input.addData(e1, e2)     // dup across batches (within watermark)
+    input.addData(Ev(3, ts("2024-01-01 00:02:00"), 3, "view", 3.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark so all rows flush
+    input.addData(Ev(99, ts("2024-01-01 09:00:00"), 9, "view", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L, 99L)))
+  }
+
   test("file-source stream over the events fixture produces the batch result") {
     val batchDf = Tables.events(spark, sf)
     // file stream sources need a directory; stage the single fixture file
