@@ -109,3 +109,19 @@ class LayersSpec extends SparkSpec {
     s2.sql("DROP TABLE bronze.orders_t")
   }
 }
+
+class SchemaEvolutionSpec extends SparkSpec {
+  test("append with new column: union schema visible via mergeSchema read") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("evo").toString
+    val v1 = Tables.region(spark, sf)
+    v1.write.mode("append").parquet(tmp)
+    val v2 = Tables.region(spark, sf).withColumn("r_comment", lit("added-later"))
+    v2.write.mode("append").parquet(tmp)
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.toSet == Set("r_regionkey", "r_name", "r_comment"))
+    assert(merged.count() == v1.count() * 2)
+    // old rows surface the evolved column as null
+    assert(merged.filter(col("r_comment").isNull).count() == v1.count())
+  }
+}
