@@ -65,6 +65,11 @@ object SparkEntry {
     "train_test_split"     -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "sales_grouping_sets"  -> ((s, d) => Extras.salesGroupingSets(s, d)),
     "top_orders_per_priority" -> ((s, d) => Extras.topOrdersPerPriority(s, d)),
+    "dq_orders" -> ((s, d) => graft.engine.DataQuality.check(
+      graft.Tables.orders(s, d), Seq(
+        graft.engine.DataQuality.NotNull("o_custkey"),
+        graft.engine.DataQuality.InRange("o_totalprice", 0, 1000000000),
+        graft.engine.DataQuality.Unique("o_orderkey")))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -634,6 +639,17 @@ object SparkEntry {
       FROM orders
       QUALIFY rank <= 3
       ORDER BY priority, rank
+    """,
+    "dq_orders" -> """
+      WITH t AS (SELECT count(*) AS total,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS uq
+      FROM orders)
+      SELECT 'not_null_o_custkey' AS rule, total AS n_rows, nn AS n_violations, nn = 0 AS passed FROM t
+      UNION ALL SELECT 'range_o_totalprice', total, rng, rng = 0 FROM t
+      UNION ALL SELECT 'unique_o_orderkey', total, uq, uq = 0 FROM t
+      ORDER BY rule
     """,
   )
 }

@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a table, evaluated in ONE
+  * pass (a single aggregation — no per-rule scans): not-null, uniqueness,
+  * range, and referential-integrity checks, reported as one row per rule
+  * with violation counts. The gate every bronze→silver promotion needs.
+  */
+object DataQuality {
+
+  sealed trait Rule { def name: String }
+  case class NotNull(colName: String) extends Rule { def name = s"not_null_$colName" }
+  case class InRange(colName: String, lo: Double, hi: Double) extends Rule {
+    def name = s"range_$colName"
+  }
+  /** Violations = rows beyond one representative per distinct NON-NULL
+    * value (`count(*) - count(distinct c)`): duplicates AND nulls count —
+    * a null is not a usable unique identifier. */
+  case class Unique(colName: String) extends Rule { def name = s"unique_$colName" }
+
+  /** Evaluate rules against `df`. NotNull/InRange fold into one
+    * aggregation pass; each Unique adds one distinct-count aggregate in
+    * the same pass. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs: Seq[Column] = rules.map {
+      case NotNull(c) => sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"not_null_$c")
+      case InRange(c, lo, hi) =>
+        sum(when(col(c) < lo || col(c) > hi, 1).otherwise(0)).cast("long").as(s"range_$c")
+      case Unique(c) => (count(lit(1)) - countDistinct(col(c))).cast("long").as(s"unique_$c")
+    } :+ count(lit(1)).cast("long").as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__total")
+    rules.map { r =>
+      val v = row.getAs[Long](r.name)
+      (r.name, total, v, v == 0L)
+    }.toDF("rule", "n_rows", "n_violations", "passed")
+      .orderBy(col("rule"))
+  }
+
+  /** Referential integrity: rows of `child` whose `fk` has no match in
+    * `parent.pk` (left-anti join — one shuffle, broadcastable parent). */
+  def orphans(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+    child.join(parent, child(fk) === parent(pk), "left_anti")
+}
