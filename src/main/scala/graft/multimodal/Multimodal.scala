@@ -69,4 +69,63 @@ object Multimodal {
   /** Driver-verifiable query: typed metadata per media file. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     extractMeta(spark, dir).toDF().orderBy(col("doc_id"))
+
+  // ---- feature extraction / resize / frame sampling ------------------
+  // Same contract as decodeStub: the CODEC body is a deterministic fake
+  // (no image/audio libs in this container); schema, batch shape and
+  // partition-level plumbing are the real thing.
+
+  case class MediaFeatures(doc_id: Long, embedding_dim: Int,
+      features: Seq[Float], feature_norm: Double)
+  case class Frame(doc_id: Long, frame_idx: Int, offset_bytes: Long,
+      frame_checksum: Long)
+
+  /** STUB feature extractor: 8-dim "embedding" from payload byte
+    * statistics (stands in for a vision/audio encoder forward pass —
+    * batch-shaped so a real model would amortize per-partition init). */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          val feats = (0 until 8).map { j =>
+            val slice = p.iterator.zipWithIndex.filter(_._2 % 8 == j).map(_._1 & 0xff)
+            if (p.isEmpty) 0f else slice.sum.toFloat / p.length
+          }
+          val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
+          MediaFeatures(id, 8, feats, norm)
+        }
+      }
+  }
+
+  /** STUB resize: recompute metadata for a target box preserving aspect
+    * ratio (integer arithmetic only — engine-portable). */
+  def resizeMeta(meta: Dataset[MediaMeta], maxSide: Int): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.map { m =>
+      val scaleNum = maxSide
+      val scaleDen = math.max(m.width, m.height)
+      val w = if (scaleDen <= maxSide) m.width else m.width * scaleNum / scaleDen
+      val h = if (scaleDen <= maxSide) m.height else m.height * scaleNum / scaleDen
+      (m.doc_id, m.width, m.height, w, h)
+    }.toDF("doc_id", "width", "height", "resized_w", "resized_h")
+  }
+
+  /** STUB frame sampler: every `stride`-th 256-byte block is a "frame";
+    * checksum via the portable md5 hash of the block. */
+  def sampleFrames(spark: SparkSession, dir: String, stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, dir).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val blocks = p.grouped(256).zipWithIndex.toSeq
+        blocks.collect { case (block, i) if i % stride == 0 =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(block).map("%02x".format(_)).mkString
+          Frame(id, i, i.toLong * 256, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+        }
+      }
+  }
 }

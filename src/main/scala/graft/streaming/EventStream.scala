@@ -51,6 +51,43 @@ object EventStream {
       .toDF()
   }
 
+  /** Closed-session emission via flatMapGroupsWithState: buffer per-user
+    * events in state; when the EVENT-TIME watermark passes the last
+    * activity + `gapMs`, emit the finished session and clear state.
+    * Append-mode output — each session is emitted exactly once, on close
+    * (watermark-driven, so behavior is deterministic and replayable). */
+  case class SessionOut(user_id: Long, n_events: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+  case class SessionBuf(n: Long, first: Long, last: Long)
+
+  def closedSessions(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    val fn = (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[SessionBuf]) => {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(uid, s.n,
+          new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last)))
+      } else {
+        val ts = rows.map(_._2.getTime).toSeq
+        val prev = state.getOption.getOrElse(SessionBuf(0, Long.MaxValue, 0))
+        val next = SessionBuf(prev.n + ts.size,
+          math.min(prev.first, ts.min), math.max(prev.last, ts.max))
+        state.update(next)
+        state.setTimeoutTimestamp(next.last + gapMs)
+        Iterator.empty
+      }
+    }
+    events
+      .withWatermark("ts", "1 second")
+      .selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Streaming exactly-once dedup: `dropDuplicates` on the event id with
     * an event-time watermark bounding the dedup state — the streaming
     * fix for the reference's append-duplication on re-run

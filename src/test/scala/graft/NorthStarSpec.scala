@@ -120,3 +120,36 @@ class MultimodalSpec extends SparkSpec {
     assert(types == Set("image", "audio", "video"))
   }
 }
+
+class MultimodalPipelineSpec extends SparkSpec {
+
+  test("feature extraction: fixed dim, deterministic, norm consistent") {
+    val a = graft.multimodal.Multimodal.extractFeatures(spark, sf).collect()
+    val b = graft.multimodal.Multimodal.extractFeatures(spark, sf).collect()
+    assert(a.map(_.doc_id).sorted.sameElements(b.map(_.doc_id).sorted))
+    assert(a.forall(_.features.length == 8))
+    a.take(20).foreach { m =>
+      val n = math.sqrt(m.features.map(f => f.toDouble * f).sum)
+      assert(math.abs(n - m.feature_norm) < 1e-9)
+    }
+  }
+
+  test("resize preserves aspect ratio and bounds the long side") {
+    val meta = graft.multimodal.Multimodal.extractMeta(spark, sf)
+    val resized = graft.multimodal.Multimodal.resizeMeta(meta, 128).collect()
+    resized.foreach { r =>
+      val (w, h, rw, rh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(math.max(rw, rh) <= math.max(128, math.max(w, h).min(128)))
+      if (math.max(w, h) > 128) assert(math.max(rw, rh) <= 128)
+      else assert(rw == w && rh == h)
+    }
+  }
+
+  test("frame sampling strides blocks and is exhaustive at stride 1") {
+    val m = graft.multimodal.Multimodal
+    val strided = m.sampleFrames(spark, sf, stride = 4)
+    val all = m.sampleFrames(spark, sf, stride = 1)
+    assert(all.count() > strided.count())
+    assert(strided.filter(org.apache.spark.sql.functions.col("frame_idx") % 4 =!= 0).count() == 0)
+  }
+}

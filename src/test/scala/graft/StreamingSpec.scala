@@ -105,3 +105,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchDf.count())
   }
 }
+
+class FlatMapGroupsSpec extends SparkSpec {
+  test("flatMapGroupsWithState emits a closed session once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = graft.streaming.EventStream
+      .closedSessions(spark, input.toDF(), gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+    input.addData(
+      Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 42, "view", 1.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 00:01:00"), 42, "click", 1.0))
+    q.processAllAvailable()
+    // event far in the future advances the watermark past 00:31 → user 42's
+    // session times out on the following batch
+    input.addData(Ev(3, Timestamp.valueOf("2024-01-01 05:00:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(4, Timestamp.valueOf("2024-01-01 05:01:00"), 7, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("closed_sessions")
+      .filter(col("user_id") === 42).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Timestamp]("last_ts") == Timestamp.valueOf("2024-01-01 00:01:00"))
+  }
+}
