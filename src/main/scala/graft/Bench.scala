@@ -7,11 +7,17 @@ object Bench {
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state measurement: warm OS file cache, parquet footers and
-    // JIT/codegen paths before the timed pass
+    // steady-state measurement: one untimed pass warms OS file cache,
+    // parquet footers, JIT and whole-stage-codegen compilation; data
+    // caches created by queries are dropped so the timed pass still does
+    // the real work
     Tables.names.foreach { n =>
       try Tables.read(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

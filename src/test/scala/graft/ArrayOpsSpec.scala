@@ -46,3 +46,36 @@ class ArrayOpsSpec extends SparkSpec {
     assert(n == 1)
   }
 }
+
+class IntersectRewriteSpec extends SparkSpec {
+  test("optimizer rule rewrites size(array_intersect) on provably sorted-distinct longs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.IntersectRewrite)
+    try {
+      // fixture-sourced columns so constant folding can't collapse the plan
+      def shaped = Tables.nation(spark, sf).select(
+        expr("array_sort(array_distinct(array(CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT), 3L)))").as("sa"),
+        expr("array_sort(array_distinct(array(CAST(n_regionkey AS BIGINT), 3L, 7L)))").as("sb"))
+      val df = shaped.select(expr("size(array_intersect(sa, sb))").as("n"))
+      assert(df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("sortedintersectsize"),
+        df.queryExecution.optimizedPlan.toString)
+      val rewritten = df.agg(sum(col("n"))).head().getLong(0)
+      spark.experimental.extraOptimizations = Nil
+      val reference = shaped.select(expr("size(array_intersect(sa, sb))").as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(rewritten == reference)
+      // guard: inputs not provably sorted-distinct are NOT rewritten
+      val plain = Tables.nation(spark, sf)
+        .select(expr("array(CAST(n_nationkey AS BIGINT))").as("a"),
+          expr("array(CAST(n_regionkey AS BIGINT))").as("b"))
+        .select(expr("size(array_intersect(a, b))").as("n"))
+      assert(!plain.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("sortedintersectsize"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+}
