@@ -65,6 +65,7 @@ object SparkEntry {
     "train_test_split"     -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
     "sales_grouping_sets"  -> ((s, d) => Extras.salesGroupingSets(s, d)),
     "top_orders_per_priority" -> ((s, d) => Extras.topOrdersPerPriority(s, d)),
+    "customer_order_presence" -> ((s, d) => Extras.customerOrderPresence(s, d)),
     "dq_orders" -> ((s, d) => graft.engine.DataQuality.check(
       graft.Tables.orders(s, d), Seq(
         graft.engine.DataQuality.NotNull("o_custkey"),
@@ -639,6 +640,20 @@ object SparkEntry {
       FROM orders
       QUALIFY rank <= 3
       ORDER BY priority, rank
+    """,
+    "customer_order_presence" -> """
+      SELECT 'active' AS cohort, c_mktsegment AS mktsegment, count(*) AS n
+      FROM customer WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND year(o_orderdate) >= 2000)
+      GROUP BY 2
+      UNION ALL
+      SELECT 'inactive', c_mktsegment, count(*)
+      FROM customer WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND year(o_orderdate) >= 2000)
+      GROUP BY 2
+      ORDER BY cohort, mktsegment
     """,
     "dq_orders" -> """
       WITH t AS (SELECT count(*) AS total,

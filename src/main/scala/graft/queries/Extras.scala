@@ -102,6 +102,26 @@ object Extras {
       .na.fill(0L)
       .orderBy(col("user_bucket"))
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): per-segment counts of
+    * customers with and without recent orders. The fact side is only
+    * probed — no payload shuffle, and Catalyst broadcasts the distinct
+    * key set. */
+  def customerOrderPresence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val recent = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) >= 2000)
+      .select(col("o_custkey"))
+    val withOrders = c.join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n")).withColumn("cohort", lit("active"))
+    val withoutOrders = c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n")).withColumn("cohort", lit("inactive"))
+    withOrders.unionByName(withoutOrders)
+      .select(col("cohort"), col("mktsegment"), col("n"))
+      .orderBy(col("cohort"), col("mktsegment"))
+  }
+
   /** GROUPING SETS mart: independent subtotal dimensions in one pass
     * (region-only, segment-only, grand total). */
   def salesGroupingSets(spark: SparkSession, dir: String): DataFrame = {
