@@ -71,6 +71,10 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
         col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
 
+    // join + DISTINCT on narrow (doc_a, doc_b) rows. Measured alternative
+    // (bucket collect_list + in-array pair combinations + first-band
+    // dedup filter): 8× slower — combination structs haul the full
+    // signature arrays through the shuffle. Narrow pair rows win.
     val cand = bands.as("a")
       .join(bands.as("b"),
         Seq("band", "k1", "k2", "k3", "k4"))
