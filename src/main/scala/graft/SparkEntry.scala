@@ -566,9 +566,9 @@ object SparkEntry {
                THEN 1 ELSE 0 END AS new_session
         FROM g),
       s AS (
-        SELECT *, sum(new_session) OVER (
+        SELECT *, CAST(sum(new_session) OVER (
           PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         FROM f)
       SELECT user_id, session_idx,
              min(ts) AS session_start, max(ts) AS session_end,

@@ -26,19 +26,23 @@ object DataQuality {
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val aggs: Seq[Column] = rules.map {
-      case NotNull(c) => sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"not_null_$c")
-      case InRange(c, lo, hi) =>
-        sum(when(col(c) < lo || col(c) > hi, 1).otherwise(0)).cast("long").as(s"range_$c")
-      case Unique(c) => (count(lit(1)) - countDistinct(col(c))).cast("long").as(s"unique_$c")
+    // aggregate aliases are indexed — two rules of the same type on the
+    // same column (e.g. two InRange bounds) must not collide
+    val aggs: Seq[Column] = rules.zipWithIndex.map {
+      case (NotNull(c), i) =>
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__r$i")
+      case (InRange(c, lo, hi), i) =>
+        sum(when(col(c) < lo || col(c) > hi, 1).otherwise(0)).cast("long").as(s"__r$i")
+      case (Unique(c), i) =>
+        (count(lit(1)) - countDistinct(col(c))).cast("long").as(s"__r$i")
     } :+ count(lit(1)).cast("long").as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("__total")
-    rules.map { r =>
-      val v = row.getAs[Long](r.name)
+    rules.zipWithIndex.map { case (r, i) =>
+      val v = row.getAs[Long](s"__r$i")
       (r.name, total, v, v == 0L)
     }.toDF("rule", "n_rows", "n_violations", "passed")
-      .orderBy(col("rule"))
+      .orderBy(col("rule"), col("n_violations"))
   }
 
   /** Referential integrity: rows of `child` whose `fk` has no match in

@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.LongType
   */
 object Scd2 {
 
+  /** @param recencyCol when a source batch can carry several rows per
+    *   business key (routine through streaming micro-batches), the column
+    *   that orders them — latest wins. None = ties broken by attr-hash
+    *   (deterministic, but arbitrary; set recencyCol whenever one exists). */
   case class Config(
       businessKey: String,
       trackedCols: Seq[String],
@@ -29,7 +33,8 @@ object Scd2 {
       hashCol: String = "attr_hash",
       effectiveCol: String = "effective_date",
       expiryCol: String = "expiry_date",
-      currentCol: String = "is_current")
+      currentCol: String = "is_current",
+      recencyCol: Option[String] = None)
 
   /** md5 change-hash over tracked columns (reference `dags/product.py:160-167`):
     * `md5(concat_ws("|", coalesce(cast(c as string), "")...))`. Callers must
@@ -52,11 +57,27 @@ object Scd2 {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Hash attributes and keep ONE row per business key — latest by
+    * `cfg.recencyCol` (ties, or no recency column, broken by attr-hash so
+    * the pick is deterministic). The reference dedups latest-per-key the
+    * same way before its merge (`dags/product.py:174-180`); without it a
+    * batch carrying two rows for one key would open two is_current=true
+    * versions and break the ≤1-current-per-key invariant. */
+  private def hashAndDedup(src: DataFrame, cfg: Config): DataFrame = {
+    val dedupOrder: Seq[Column] =
+      cfg.recencyCol.map(c => col(c).desc_nulls_last).toSeq :+ col(cfg.hashCol).desc
+    src.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(cfg.businessKey)).orderBy(dedupOrder: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Initial dimension load: hash attributes, assign surrogate keys in
     * business-key order, open all versions as of `asOfDate`
     * (reference initial-load branch `dags/product.py:238-258`). */
   def initialLoad(src: DataFrame, cfg: Config, asOfDate: String): DataFrame = {
-    val hashed = src.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
+    val hashed = hashAndDedup(src, cfg)
     assignIds(hashed, cfg.businessKey, cfg.surrogateKey)
       .withColumn(cfg.effectiveCol, to_date(lit(asOfDate)))
       .withColumn(cfg.expiryCol, lit(null).cast("date"))
@@ -74,7 +95,7 @@ object Scd2 {
     val spark = dim.sparkSession
     val k = cfg.businessKey
 
-    val srcHashed = src.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
+    val srcHashed = hashAndDedup(src, cfg)
     val current = dim.filter(col(cfg.currentCol))
 
     // J5: aliased left join, new/changed detection (dags/product.py:276-291)

@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   *
   * Semantics match `size(array_intersect(a, b))` exactly when both inputs
   * are sorted and duplicate-free (which the callers guarantee via
-  * `array_sort(array_distinct(...))`), so DuckDB-oracle parity is
-  * unaffected.
+  * `array_sort(array_distinct(...))`). Null elements are supported: the
+  * default ascending comparator sorts nulls to the TAIL and array_distinct
+  * keeps at most one, so the merge treats null as +infinity with
+  * null==null counting as a match — exactly array_intersect's null
+  * semantics. DuckDB-oracle parity is unaffected.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,10 +43,16 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var n = 0
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
-      val xi = x.getLong(i); val yj = y.getLong(j)
-      if (xi == yj) { n += 1; i += 1; j += 1 }
-      else if (xi < yj) i += 1
-      else j += 1
+      val xNull = x.isNullAt(i); val yNull = y.isNullAt(j)
+      if (xNull && yNull) { n += 1; i += 1; j += 1 }
+      else if (xNull) j += 1 // null sorts after every value
+      else if (yNull) i += 1
+      else {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi == yj) { n += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
     }
     n
   }
@@ -53,14 +62,22 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
       s"""
          |int $i = 0, $j = 0, $n = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  long $xi = $a.getLong($i);
-         |  long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $n++; $i++; $j++; }
-         |  else if ($xi < $yj) { $i++; }
-         |  else { $j++; }
+         |  boolean $xNull = $a.isNullAt($i);
+         |  boolean $yNull = $b.isNullAt($j);
+         |  if ($xNull && $yNull) { $n++; $i++; $j++; }
+         |  else if ($xNull) { $j++; }
+         |  else if ($yNull) { $i++; }
+         |  else {
+         |    long $xi = $a.getLong($i);
+         |    long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $n++; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; }
+         |    else { $j++; }
+         |  }
          |}
          |${ev.value} = $n;
        """.stripMargin

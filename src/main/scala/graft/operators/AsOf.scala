@@ -24,16 +24,32 @@ object AsOf {
     * @param leftTs     event-time column name on `left`
     * @param rightTs    event-time column name on `right`
     * @param payload    right columns to attach (renamed as given)
+    * @param rightTieBreak column on `right` that deterministically orders
+    *   rows sharing the same (key, ts) — the LARGEST wins, matching
+    *   "latest version" semantics. None derives a stable tie-break by
+    *   hashing the payload columns (deterministic, but arbitrary; pass a
+    *   real id column when one exists).
+    *
+    * Precondition: payload values carried forward are looked up with
+    * `last(..., ignoreNulls = true)`, so a right row whose payload value
+    * is genuinely NULL is skipped PER COLUMN and an older row's value
+    * carries instead (DuckDB ASOF would attach the null). Supply non-null
+    * payload columns, or coalesce a sentinel before joining, if null
+    * payloads must win.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      payload: Map[String, String]): DataFrame = {
+      payload: Map[String, String],
+      rightTieBreak: Option[String] = None): DataFrame = {
     val lCols = left.columns
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("string"))
+    val tie = rightTieBreak.map(c => col(c).cast("string"))
+      .getOrElse(md5(concat_ws("", payload.keys.toSeq.map(c => col(c).cast("string")): _*)))
     val r0 = payload.foldLeft(
-        right.select((Seq(col(key), col(rightTs).as("__ts")) ++
+        right.select((Seq(col(key), col(rightTs).as("__ts"), tie.as("__tie")) ++
           payload.keys.toSeq.map(col)): _*)) { case (df, (src, dst)) =>
         df.withColumnRenamed(src, s"__p_$dst")
       }
@@ -46,14 +62,18 @@ object AsOf {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = lAligned.select((lCols.map(col) ++
-      Seq(col("__ts"), col("__side")) ++
+      Seq(col("__ts"), col("__side"), col("__tie")) ++
       payload.values.toSeq.map(d => col(s"__p_$d"))): _*)
       .unionByName(rAligned.select((lCols.map(col) ++
-        Seq(col("__ts"), col("__side")) ++
+        Seq(col("__ts"), col("__side"), col("__tie")) ++
         payload.values.toSeq.map(d => col(s"__p_$d"))): _*))
 
+    // __tie breaks right-row ties at equal (key, ts) deterministically —
+    // the last right row in window order (= max tie value) is the one
+    // whose payload carries forward; left rows (__side=1, null tie) still
+    // sort after all right rows at the same ts
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.values.foldLeft(unioned) { case (df, dst) =>
       df.withColumn(dst, last(col(s"__p_$dst"), ignoreNulls = true).over(w))

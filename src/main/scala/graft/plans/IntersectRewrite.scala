@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, ArraySort, Expression, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, ArraySort, Expression, LambdaFunction, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -17,9 +17,26 @@ import graft.functions.SortedIntersectSize
   */
 object IntersectRewrite extends Rule[LogicalPlan] {
 
+  /** Only the DEFAULT ascending comparator guarantees the ordering the
+    * merge scan assumes (values ascending, nulls at the tail) — a custom
+    * comparator (e.g. descending) must NOT match or the rewrite would
+    * silently produce wrong counts. The analyzer rebinds the default
+    * comparator's lambda variables with fresh ExprIds, so equality against
+    * `ArraySort.defaultComparator` never holds post-resolution; instead
+    * rebuild the canonical comparator over THIS lambda's bound variables
+    * and compare semantically. Null ELEMENTS are fine: the merge scan
+    * handles them (null = +infinity, null==null matches). */
+  private def isDefaultComparator(f: Expression): Boolean = f match {
+    case LambdaFunction(body, Seq(a, b), _) => body.semanticEquals(ArraySort.comparator(a, b))
+    case _ => f == ArraySort.defaultComparator
+  }
+
   private def sortedDistinctLongs(e: Expression): Boolean = e match {
-    case ArraySort(ArrayDistinct(c), _, _) => c.dataType == ArrayType(LongType, false) ||
-      c.dataType == ArrayType(LongType, true)
+    case ArraySort(ArrayDistinct(c), f, _) =>
+      isDefaultComparator(f) && (c.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
     case _ => false
   }
 

@@ -38,8 +38,11 @@ object EventStream {
         state: GroupState[UserState]) => {
       val prev = state.getOption.getOrElse(UserState(uid, 0L, new java.sql.Timestamp(0L)))
       val batch = rows.toSeq
+      // last_ts must be monotonic: a late/out-of-order micro-batch whose
+      // max ts precedes the stored state must not regress it
       val next = UserState(uid, prev.n_events + batch.size,
-        batch.map(_._2).maxBy(_.getTime))
+        new java.sql.Timestamp(
+          math.max(prev.last_ts.getTime, batch.map(_._2.getTime).max)))
       state.update(next)
       next
     }

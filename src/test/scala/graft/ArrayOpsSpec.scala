@@ -20,6 +20,19 @@ class ArrayOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(0) == r.getInt(1)))
   }
 
+  test("null ELEMENTS match array_intersect semantics (null==null counts, sorted to tail)") {
+    ArrayOps.register(spark)
+    val rows = spark.sql(
+      """SELECT
+         |  sorted_intersect_size(array(1L, 3L, NULL), array(3L, 5L, NULL)) AS both_null,
+         |  sorted_intersect_size(array(1L, 3L, NULL), array(3L, 5L)) AS one_null,
+         |  size(array_intersect(array(1L, 3L, NULL), array(3L, 5L, NULL))) AS ref_both,
+         |  size(array_intersect(array(1L, 3L, NULL), array(3L, 5L))) AS ref_one
+         |""".stripMargin).collect()(0)
+    assert(rows.getInt(0) == 2 && rows.getInt(0) == rows.getInt(2))
+    assert(rows.getInt(1) == 1 && rows.getInt(1) == rows.getInt(3))
+  }
+
   test("null inputs propagate null") {
     ArrayOps.register(spark)
     val r = spark.sql(
@@ -74,6 +87,15 @@ class IntersectRewriteSpec extends SparkSpec {
         .select(expr("size(array_intersect(a, b))").as("n"))
       assert(!plain.queryExecution.optimizedPlan.toString
         .toLowerCase.contains("sortedintersectsize"))
+      // guard: a CUSTOM comparator breaks the ascending-order assumption →
+      // must NOT be rewritten (descending sort would give wrong counts)
+      val custom = Tables.nation(spark, sf).select(
+        expr("array_sort(array_distinct(array(CAST(n_nationkey AS BIGINT), 3L)), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END)").as("sa"),
+        expr("array_sort(array_distinct(array(CAST(n_regionkey AS BIGINT), 3L)), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END)").as("sb"))
+        .select(expr("size(array_intersect(sa, sb))").as("n"))
+      assert(!custom.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("sortedintersectsize"),
+        custom.queryExecution.optimizedPlan.toString)
     } finally {
       spark.experimental.extraOptimizations = Nil
     }
