@@ -365,42 +365,82 @@ object SparkEntry {
       QUALIFY rank <= 5
       ORDER BY query_id, rank
     """,
+    // IVF with a LEARNED coarse quantizer: Lloyd's k-means (k=10, 3
+    // iterations) unrolled as CTEs — deterministic seed = smallest
+    // h64(vec_id), money-rounded DECIMAL-accumulated centroid means, so
+    // DuckDB replays the exact fit graft.sim.Similarity.kmeansFit runs.
     "knn_ivf" -> """
       WITH p AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        SELECT vec_id, embedding::DOUBLE[] AS v,
                list_reduce(list_transform(range(1, len(embedding) + 1), i ->
                  (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
         FROM embeddings),
-      comp AS (
-        SELECT label, i.i AS pos,
-               floor((CAST(sum(CAST(floor((embedding::DOUBLE[])[i.i + 1] * 10000 + 0.5) / 10000
-                 AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS c
-        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+      cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1 AS INT) AS cid,
+               v AS centroid
+        FROM p
+        QUALIFY cid < 10),
+      b1 AS (
+        SELECT p.vec_id, p.v, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * list_reduce(list_transform(range(1, len(c.centroid) + 1), j -> c.centroid[j] * c.centroid[j]), (x, y) -> x + y))) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN cent0 c),
+      a1 AS (SELECT vec_id, v, cid FROM b1 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      m1 AS (
+        SELECT cid, i.i AS pos,
+               floor((CAST(sum(CAST(floor(v[i.i + 1] * 10000 + 0.5) / 10000 AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS c
+        FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
         GROUP BY 1, 2),
-      cent AS (
-        SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+      cent1 AS (SELECT cid, list(c ORDER BY pos) AS centroid FROM m1 GROUP BY cid),
+      b2 AS (
+        SELECT p.vec_id, p.v, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * list_reduce(list_transform(range(1, len(c.centroid) + 1), j -> c.centroid[j] * c.centroid[j]), (x, y) -> x + y))) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN cent1 c),
+      a2 AS (SELECT vec_id, v, cid FROM b2 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      m2 AS (
+        SELECT cid, i.i AS pos,
+               floor((CAST(sum(CAST(floor(v[i.i + 1] * 10000 + 0.5) / 10000 AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS c
+        FROM a2 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        GROUP BY 1, 2),
+      cent2 AS (SELECT cid, list(c ORDER BY pos) AS centroid FROM m2 GROUP BY cid),
+      b3 AS (
+        SELECT p.vec_id, p.v, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * list_reduce(list_transform(range(1, len(c.centroid) + 1), j -> c.centroid[j] * c.centroid[j]), (x, y) -> x + y))) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN cent2 c),
+      a3 AS (SELECT vec_id, v, cid FROM b3 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      m3 AS (
+        SELECT cid, i.i AS pos,
+               floor((CAST(sum(CAST(floor(v[i.i + 1] * 10000 + 0.5) / 10000 AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS c
+        FROM a3 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        GROUP BY 1, 2),
+      cent3 AS (SELECT cid, list(c ORDER BY pos) AS centroid FROM m3 GROUP BY cid),
       centn AS (
-        SELECT label, centroid,
-               list_reduce(list_transform(range(1, len(centroid) + 1), i ->
-                 centroid[i] * centroid[i]), (x, y) -> x + y) AS cnorm2
-        FROM cent),
+        SELECT cid, centroid,
+               list_reduce(list_transform(range(1, len(centroid) + 1), j -> centroid[j] * centroid[j]), (x, y) -> x + y) AS cnorm2
+        FROM cent3),
       q AS (SELECT vec_id AS query_id, v AS va, norm2 AS na2 FROM p WHERE vec_id % 100 = 0),
       probes AS (
-        SELECT query_id, va, na2, label
+        SELECT query_id, va, na2, cid
         FROM (
-          SELECT q.query_id, q.va, q.na2, c.label,
+          SELECT q.query_id, q.va, q.na2, c.cid,
                  row_number() OVER (PARTITION BY q.query_id ORDER BY
-                   floor((list_reduce(list_transform(range(1, len(q.va) + 1), i ->
-                     q.va[i] * c.centroid[i]), (x, y) -> x + y) / sqrt(q.na2 * c.cnorm2))
-                     * 10000 + 0.5) / 10000 DESC, c.label) AS pr
+                   floor((list_reduce(list_transform(range(1, len(q.va) + 1), j -> q.va[j] * c.centroid[j]), (x, y) -> x + y)
+                     / sqrt(q.na2 * c.cnorm2)) * 10000 + 0.5) / 10000 DESC, c.cid) AS pr
           FROM q CROSS JOIN centn c)
         WHERE pr <= 2),
+      bf AS (
+        SELECT p.vec_id, p.v, p.norm2, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN centn c),
+      corp AS (SELECT vec_id, v, norm2, cid FROM bf QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
       s AS (
-        SELECT pr.query_id, p.vec_id AS neighbor_id,
-               floor((list_reduce(list_transform(range(1, len(pr.va) + 1), i ->
-                 pr.va[i] * p.v[i]), (x, y) -> x + y) / sqrt(pr.na2 * p.norm2))
-                 * 10000 + 0.5) / 10000 AS cosine
-        FROM probes pr JOIN p ON p.label = pr.label AND p.vec_id <> pr.query_id)
+        SELECT pr.query_id, corp.vec_id AS neighbor_id,
+               floor((list_reduce(list_transform(range(1, len(pr.va) + 1), j -> pr.va[j] * corp.v[j]), (x, y) -> x + y)
+                 / sqrt(pr.na2 * corp.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM probes pr JOIN corp ON corp.cid = pr.cid AND corp.vec_id <> pr.query_id)
       SELECT query_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
              neighbor_id, cosine

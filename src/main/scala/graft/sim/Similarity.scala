@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Fns, Tables}
 
@@ -11,11 +11,11 @@ import graft.{Fns, Tables}
   *    Query set broadcast against the corpus; per-partition candidate
   *    generation + a single per-query top-k (window), so the corpus is
   *    scanned once, never shuffled by pair.
-  *  - [[knnIvf]]: the scale path — IVF-style coarse quantization: cluster
-  *    centroids (here: per-`label` means, standing in for k-means), probe
-  *    the `nprobe` nearest centroids per query, search only those
+  *  - [[knnIvf]]: the scale path — IVF coarse quantization with a REAL
+  *    learned quantizer: deterministic Lloyd's k-means ([[kmeansCentroids]]),
+  *    probe the `nprobe` nearest centroids per query, search only those
   *    inverted lists. Corpus shuffles once on centroid id; at 100 TB the
-  *    candidate set shrinks by ~n_lists/nprobe.
+  *    candidate set shrinks by ~nClusters/nprobe.
   *
   * Dot products fold left-to-right in double precision so results are
   * bit-identical across engines (oracle parity).
@@ -52,45 +52,108 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Per-dimension mean centroid per label — stands in for k-means
-    * coarse quantizers (the fixture's `label` IS the cluster id).
-    * Components are money-rounded so centroid doubles are
-    * engine-portable despite order-dependent averaging. */
-  def centroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(Fns.money(Fns.sumMoney(Fns.money(col("x").cast("double"))) / count(lit(1))).as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+  /** Centroid state between Lloyd iterations: O(nClusters·dim) doubles on
+    * the driver — the same driver-resident footprint spark-ml's KMeans
+    * keeps, broadcast back into each iteration's single corpus scan. */
+  final case class Centroid(cid: Int, c: Seq[Double], cn2: Double)
 
-  /** IVF probe search: route each query to its `nprobe` closest centroids
-    * (by rounded cosine), then exact top-k within those lists only. */
-  def knnIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+  private def norm2Of(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cid of the nearest centroid by money-rounded cosine (ties → smallest
+    * cid), as a PURE per-row projection: centroids ride along as a struct-
+    * array literal, so assignment is narrow — no shuffle, no join. `vCol`
+    * and `n2Col` name the vector and its precomputed squared norm. */
+  private def assignCol(cents: Seq[Centroid], vCol: String, n2Col: String): Column = {
+    val arr = typedLit(cents.map(c => (c.cid, c.c, c.cn2)))
+    val best = array_max(transform(arr, s => struct(
+      Fns.money(dotCol(col(vCol), s.getField("_2")) / sqrt(col(n2Col) * s.getField("_3"))).as("cos"),
+      (-s.getField("_1")).as("ncid"))))
+    -best.getField("ncid")
+  }
+
+  /** Deterministic Lloyd's k-means over the embedding corpus — the coarse
+    * quantizer for [[knnIvf]]. No label column is read.
+    *
+    *  - Init ("seed"): the `k` vectors with the smallest md5-derived hash
+    *    of vec_id ([[Fns.h64]]) — pseudo-random but reproducible in any
+    *    engine, standing in for a seeded random init.
+    *  - Assign: nearest centroid by money-rounded cosine (narrow map —
+    *    centroids broadcast as literals, see [[assignCol]]).
+    *  - Update: per-(cluster, dimension) mean, money-rounded and
+    *    DECIMAL-accumulated ([[Fns.sumMoney]]) so the result is identical
+    *    regardless of partitioning/merge order — the property that makes
+    *    the whole fit reproducible on a 1000-executor cluster AND exactly
+    *    replayable by the DuckDB oracle (unrolled iterations in SQL).
+    *
+    * Each iteration is one corpus scan + one 512-group aggregate; clusters
+    * that lose all members drop out (same on both engines). */
+  def kmeansFit(spark: SparkSession, dir: String, k: Int = 10, iters: Int = 3): Seq[Centroid] = {
+    val e = prepared(spark, dir).select(col("vec_id"), col("v"), col("norm2"))
+    val seeds = e
+      .withColumn("h", Fns.h64(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var cents: Seq[Centroid] =
+      seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, norm2Of(c)) }.toSeq
+    for (_ <- 1 to iters) {
+      val rows = e.withColumn("cid", assignCol(cents, "v", "norm2"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+        .collect()
+      cents = rows.map { r =>
+        val c = r.getSeq[Double](1)
+        Centroid(r.getInt(0), c, norm2Of(c))
+      }.toSeq.sortBy(_.cid)
+    }
+    cents
+  }
+
+  /** Learned centroids as a DataFrame `(cid, centroid)` — the persisted
+    * form an index-maintenance job would write alongside the corpus. */
+  def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    kmeansFit(spark, dir, k, iters).map(c => (c.cid, c.c)).toDF("cid", "centroid")
+  }
+
+  /** IVF probe search over k-means lists: route each query to its `nprobe`
+    * closest centroids (by rounded cosine), then exact top-k within those
+    * inverted lists only. The corpus is assigned to lists by the same
+    * narrow projection used during the fit — one scan, then a broadcast
+    * join against the (tiny) probe set. */
+  def knnIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+      nClusters: Int = 10, iters: Int = 3): DataFrame = {
+    import spark.implicits._
     val e = prepared(spark, dir)
-    val cent = centroids(spark, dir)
-      .withColumn("cnorm2", expr("aggregate(centroid, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+    val cents = kmeansFit(spark, dir, nClusters, iters)
+    val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
 
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
 
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val probes = queries.crossJoin(broadcast(cent))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centDf))
       .withColumn("vb", col("centroid"))
       .withColumn("ccos", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("cnorm2"))))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("va"), col("na2"), col("label"))
+      .select(col("query_id"), col("va"), col("na2"), col("cid"))
 
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
-      col("norm2").as("nb2"), col("label"))
+    val corpus = e.withColumn("cid", assignCol(cents, "v", "norm2"))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("norm2").as("nb2"), col("cid"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), Seq("label"))
+    corpus.join(broadcast(probes), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
       .withColumn("rank", row_number().over(w))

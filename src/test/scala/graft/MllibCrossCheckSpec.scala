@@ -36,4 +36,35 @@ class MllibCrossCheckSpec extends SparkSpec {
       math.max(1, minePairs.size)
     assert(agreement > 0.8, s"agreement=$agreement mine=${minePairs.size} mllib=${mllibPairs.size}")
   }
+
+  test("deterministic Lloyd's centroids are competitive with spark-ml KMeans (WSSSE)") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import graft.sim.Similarity
+
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def wssse(cents: Seq[Array[Double]]): Double =
+      vecs.map { v =>
+        cents.map { c =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+          s
+        }.min
+      }.sum
+
+    val mine = Similarity.kmeansFit(spark, sf, k = 10, iters = 3).map(_.c.toArray)
+
+    val mlDf = spark.createDataFrame(
+      vecs.toIndexedSeq.map(v => Tuple1(Vectors.dense(v)))).toDF("features")
+    val ml = new KMeans().setK(10).setSeed(7L).setMaxIter(10).fit(mlDf)
+    val mlCents = ml.clusterCenters.map(_.toArray).toSeq
+
+    val myCost = wssse(mine); val mlCost = wssse(mlCents)
+    // cosine-assignment Lloyd's vs Euclidean spark-ml: same ballpark is
+    // the bar — a labels-in-disguise "quantizer" would not clear it
+    assert(myCost <= mlCost * 1.5, s"mine=$myCost mllib=$mlCost")
+  }
 }

@@ -66,14 +66,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("knn ivf: recall vs brute force is sane (probes its own cluster)") {
+  test("knn ivf: lossless at nprobe=nClusters, recall monotone in nprobe") {
     val bf = Similarity.knnBruteForce(spark, sf, k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ivf = Similarity.knnIvf(spark, sf, k = 5, nprobe = 2).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    // IVF is approximate: require non-empty overlap, not equality
-    assert(ivf.nonEmpty)
-    assert((bf intersect ivf).nonEmpty)
+    def recall(nprobe: Int): Double = {
+      val ivf = Similarity.knnIvf(spark, sf, k = 5, nprobe = nprobe).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (bf intersect ivf).size.toDouble / bf.size
+    }
+    // probing every inverted list must reproduce brute force EXACTLY —
+    // the IVF machinery is lossless; only list pruning is approximate
+    assert(recall(10) == 1.0)
+    // more probes can only help; the fixture's vectors are near-uniform
+    // (top cosines ~0.3), so recall tracks the probed fraction — on a
+    // corpus with real cluster structure small nprobe recovers ~all
+    val r2 = recall(2); val r5 = recall(5); val r8 = recall(8)
+    assert(r2 <= r5 + 1e-9 && r5 <= r8 + 1e-9, s"recall not monotone: $r2 $r5 $r8")
+    assert(r8 >= 0.8, s"recall@5 with 8/10 lists probed = $r8")
+  }
+
+  test("kmeans quantizer: 10 non-empty clusters, exhaustive cover, no label read") {
+    val cents = Similarity.kmeansFit(spark, sf, k = 10, iters = 3)
+    assert(cents.size == 10 && cents.map(_.cid).distinct.size == 10)
+    assert(cents.forall(c => c.c.length == 64 && c.cn2 > 0))
   }
 }
 
