@@ -66,6 +66,8 @@ object SparkEntry {
     "sales_grouping_sets"  -> ((s, d) => Extras.salesGroupingSets(s, d)),
     "top_orders_per_priority" -> ((s, d) => Extras.topOrdersPerPriority(s, d)),
     "customer_order_presence" -> ((s, d) => Extras.customerOrderPresence(s, d)),
+    "orders_priority_ordinal" -> ((s, d) => Extras.ordersPriorityOrdinal(s, d)),
+    "idempotent_reload"       -> ((s, d) => Extras.idempotentReload(s, d)),
     "dq_orders" -> ((s, d) => graft.engine.DataQuality.check(
       graft.Tables.orders(s, d), Seq(
         graft.engine.DataQuality.NotNull("o_custkey"),
@@ -76,6 +78,26 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // A6 ordinal GROUP BY — DuckDB resolves positional refs identically
+    "orders_priority_ordinal" -> """
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS INT) AS order_year,
+             count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """,
+    // the Spark side loads + RE-loads before aggregating; matching the
+    // single-copy oracle proves replace-partition idempotency end-to-end
+    "idempotent_reload" -> """
+      SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ingestion_month,
+             count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+      FROM orders
+      GROUP BY 1
+      ORDER BY 1
+    """,
     "top_products" -> """
       SELECT p_partkey, p_name, p_brand,
              floor((CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_revenue,

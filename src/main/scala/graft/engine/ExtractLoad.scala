@@ -65,20 +65,33 @@ object ExtractLoad {
       case None    => source
     }
 
-  /** Full pipeline run: returns number of rows appended. `ingestionDate`
+  /** Full pipeline run: returns number of rows loaded. `ingestionDate`
     * is injectable for reproducibility (SURVEY.md §7.5.5 — the reference
-    * uses wall-clock `current_timestamp` at `:169`). */
+    * uses wall-clock `current_timestamp` at `:169`).
+    *
+    * Idempotent, unlike the reference's blind append (`dags/sales.py:
+    * 102-106`, a known defect): each work unit — identified by the
+    * checkpoint watermark it STARTED from (`batch_id` = last_id, -1 for
+    * the initial full load) — owns the partition
+    * `(ingestion_date, batch_id)` and the write is a dynamic partition
+    * OVERWRITE of exactly that partition. A retry after a partial failure
+    * (data written, checkpoint not yet advanced) re-extracts the same
+    * delta and replaces its own partition with identical content; a
+    * successful re-trigger extracts an empty delta and touches nothing;
+    * distinct work units can never collide, even several on one
+    * ingestion_date. Readers prune on `ingestion_date` exactly as before
+    * — `batch_id` is a sub-directory they never need to mention. */
   def run(spark: SparkSession, source: DataFrame, tableName: String,
       idCol: String, eventCol: String, ckptDir: String, outDir: String,
       ingestionDate: String): Long = {
     val ckpt = readCheckpoint(spark, ckptDir)
+    val batchId = ckpt.map(_.last_id).getOrElse(-1L)
     val delta = incremental(source, idCol, eventCol, ckpt)
       .withColumn("ingestion_date", to_date(lit(ingestionDate)))
+      .withColumn("batch_id", lit(batchId))
     val n = delta.count() // count gate (reference :78,166)
     if (n > 0) {
-      delta.write.mode(SaveMode.Append)
-        .partitionBy("ingestion_date")
-        .parquet(outDir)
+      Layers.replacePartitionsPath(delta, outDir, Seq("ingestion_date", "batch_id"))
       val wm = delta.agg(
         max(col(idCol)).cast("long"),
         date_format(max(col(eventCol)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()

@@ -37,6 +37,59 @@ object Layers {
   def ctas(spark: SparkSession, table: String, select: String): Unit =
     spark.sql(s"CREATE TABLE $table USING parquet AS $select")
 
+  /** S12: external-location DDL — `CREATE TABLE … LOCATION` over an
+    * existing data directory (reference `trino_scripts/dim_product.sql:35-36`
+    * `USING DELTA LOCATION`; parquet here). The table is unmanaged: DROP
+    * removes only catalog metadata, never the files. */
+  def createExternal(spark: SparkSession, table: String, location: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet LOCATION '$location'")
+
+  /** MERGE-shaped idempotent load: atomically replace exactly the
+    * partitions present in `df`, leaving all others untouched — Delta
+    * `replaceWhere` / `INSERT OVERWRITE … PARTITION` semantics on parquet.
+    * This is the fix for the reference's append-duplication defect
+    * (`dags/sales.py:102-106`: re-running the fact load doubles rows):
+    * re-running the same load replaces its own partitions with identical
+    * content instead of appending. Catalog-table variant;
+    * [[replacePartitionsPath]] is the path variant. */
+  def replacePartitions(df: DataFrame, table: String,
+      partitionCol: String = "ingestion_date"): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      // first-load retry: a managed location with no catalog entry is
+      // debris from a failed earlier create — clear it or saveAsTable
+      // refuses with LOCATION_ALREADY_EXISTS
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new java.io.File(spark.sessionState.catalog.defaultTablePath(ident))
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .format("parquet").saveAsTable(table)
+    } else {
+      // insertInto is position-based: align to the catalog column order
+      // (saveAsTable moves partition columns to the tail). It also
+      // ignores writer options, so dynamic overwrite must be set on the
+      // session conf for the duration of the write.
+      val cols = spark.table(table).columns
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try
+        df.select(cols.map(df.col).toIndexedSeq: _*)
+          .write.mode(SaveMode.Overwrite)
+          .insertInto(table)
+      finally spark.conf.set(key, prev)
+    }
+  }
+
+  /** Path variant of [[replacePartitions]]: dynamic partition overwrite on
+    * a parquet directory — only partitions present in `df` are rewritten. */
+  def replacePartitionsPath(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S13: INSERT INTO an existing table (reference `create_dim_date.sql:24`). */
   def insertInto(df: DataFrame, table: String): Unit =
     df.write.insertInto(table)

@@ -174,4 +174,40 @@ object Extras {
         Fns.money(min(col("o_totalprice"))).as("min_price"),
         Fns.money(max(col("o_totalprice"))).as("max_price"))
       .orderBy(col("priority"))
+
+  /** A6: ordinal GROUP BY, SQL form — the reference's
+    * `business_sales_summary.sql:32` groups by `1, 2, …, 18`; this mart
+    * exercises the same positional-reference resolution
+    * (`spark.sql.groupByOrdinal`, on by default). */
+  def ordersPriorityOrdinal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_ord_v")
+    spark.sql("""
+      SELECT o_orderpriority AS priority,
+             CAST(year(o_orderdate) AS INT) AS order_year,
+             count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+      FROM orders_ord_v
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")
+  }
+
+  /** MERGE-semantics proof wired into the oracle gate: load orders
+    * partitioned by month, then RE-run the identical load. With
+    * [[graft.engine.Layers.replacePartitionsPath]] the second run
+    * replaces its own partitions, so the re-loaded table aggregates to
+    * exactly the oracle's single-copy numbers — the reference's append
+    * defect (`dags/sales.py:102-106`) would double every count here. */
+  def idempotentReload(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_idem_${math.abs(dir.hashCode)}"
+    val src = Tables.orders(spark, dir)
+      .withColumn("ingestion_month",
+        date_format(col("o_orderdate"), "yyyyMM").cast("int"))
+    graft.engine.Layers.replacePartitionsPath(src, out, Seq("ingestion_month"))
+    graft.engine.Layers.replacePartitionsPath(src, out, Seq("ingestion_month")) // the retry
+    spark.read.parquet(out)
+      .groupBy(col("ingestion_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"))
+      .orderBy(col("ingestion_month"))
+  }
 }
