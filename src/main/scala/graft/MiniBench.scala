@@ -2,14 +2,18 @@ package graft
 
 /** Ad-hoc perf probe for the heavy operators. Scale findings (sf0.1 base,
   * corpus replicated ×2/×4 in /tmp):
-  *  - minhashPairs: runtime tracks OUTPUT size (~11-14 µs/pair constant);
-  *    the synthetic corpus is pathologically homogeneous (~50% of all
-  *    pairs are true ≥0.9 near-dups), so output — and hence time — is
+  *  - minhashPairs: runtime tracks OUTPUT size — measured per-pair cost
+  *    is flat across replication under the MEMORY_AND_DISK persist:
+  *    base 14.5s/958k pairs = 15.1 µs, ×2 34.3s/3.84M = 8.9 µs,
+  *    ×4 168.9s/15.35M = 11.0 µs (no eviction/recompute storms). The
+  *    synthetic corpus is pathologically homogeneous (~50% of all pairs
+  *    are true ≥0.9 near-dups), so output — and hence time — is
   *    inherently quadratic there. On a realistic corpus (near-dup rate
   *    ≪ 1%) the same pipeline is ~linear: candidates are band-bucket
-  *    collisions only.
-  *  - knnBruteForce: sublinear vs total work growth (broadcast queries,
-  *    one corpus scan).
+  *    collisions only. `maxBucketSize` bounds the adversarial case
+  *    (replication puts every clone family in one bucket).
+  *  - ngramJaccardPairs: same profile (×4: 25.0s/34k pairs).
+  *  - knnBruteForce: flat ~1-2s — query count fixed, one corpus scan.
   * Usage: runMain graft.MiniBench [dir ...]
   */
 object MiniBench {

@@ -1,7 +1,9 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.{Fns, Tables}
 
 /** Deduplication operators for a training-data pipeline over `documents`
@@ -11,9 +13,23 @@ import graft.{Fns, Tables}
   * Scale design: every operator avoids the O(n²) all-pairs comparison —
   * candidates come from hash-bucket joins (LSH bands, shared shingles,
   * hyperplane sign buckets), so the shuffles are keyed on bucket ids and
-  * the quadratic blow-up is confined to same-bucket groups. Signature
-  * computation is per-row higher-order-function work (codegen, no
-  * shuffle). All hashing goes through the engine-portable md5-based
+  * the quadratic blow-up is confined to same-bucket groups. Two further
+  * 100 TB guards:
+  *
+  *  - Reused relations persist MEMORY_AND_DISK, never memory-only: under
+  *    executor memory pressure blocks SPILL instead of being evicted, so
+  *    there is no recompute storm mid-shuffle when the signature relation
+  *    no longer fits.
+  *  - Pathological hot buckets (a million identical docs landing in one
+  *    band bucket / a boilerplate shingle shared by every doc) are
+  *    boundable via the `maxBucketSize` / `maxShingleFreq` knobs — the
+  *    standard frequency-cut trick. The cut applies ONLY to candidate
+  *    generation; verification always runs on full token/shingle sets, so
+  *    surviving pairs carry exact similarity values. Defaults are
+  *    un-cut (exact candidate enumeration, what the oracle replays).
+  *
+  * Signature computation is per-row higher-order-function work (codegen,
+  * no shuffle). All hashing goes through the engine-portable md5-based
   * [[graft.Fns.h64]] so the DuckDB oracle reproduces results bit-for-bit.
   */
 object Dedup {
@@ -47,20 +63,29 @@ object Dedup {
     *
     * Verification intersects 60-bit token hashes, not strings — ~3×
     * cheaper in the hot join, same result (the oracle hashes identically;
-    * a collision would affect both engines equally). */
-  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    * a collision would affect both engines equally).
+    *
+    * @param maxBucketSize drop band buckets holding more than this many
+    *   docs before the self-join (a bucket of m docs costs m² candidate
+    *   rows; a corpus with a million byte-identical docs puts them ALL in
+    *   one bucket). Bounded recall loss by design: members of an
+    *   over-full bucket usually co-occur in other, smaller buckets, and
+    *   truly identical docs are [[exact]]-dedup's job anyway. None (the
+    *   default, oracle-replayed) enumerates exactly. */
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     graft.functions.ArrayOps.register(spark)
-    // cache: the per-doc signature/hash-set relation feeds three plan
-    // branches (band explode + both sides of the verify join); without
-    // caching Spark recomputes the md5+permutation work each time
+    // persisted, not memory-only cached: feeds three plan branches (band
+    // explode + both sides of the verify join); spills under pressure
+    // instead of evicting into a recompute storm
     val docs = withSignature(Tables.documents(spark, dir))
       .withColumn("th", expr("array_sort(array_distinct(th))"))
       .select(col("doc_id"), col("th"), col("sig"))
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // band rows keyed by the R raw signature longs — no string building,
     // the shuffle key is (band, k1..k4)
-    val bands = docs.select(
+    val bands0 = docs.select(
       col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${B - 1}), b -> named_struct(
@@ -70,6 +95,16 @@ object Dedup {
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
         col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
+
+    // hot-bucket cut: the count window shuffles on the same key as the
+    // self-join below, so AQE reuses the exchange
+    val bands = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band"), col("k1"), col("k2"), col("k3"), col("k4"))
+        bands0.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= cap).drop("__bsz")
+      case None => bands0
+    }
 
     // join + DISTINCT on narrow (doc_a, doc_b) rows. Measured alternative
     // (bucket collect_list + in-array pair combinations + first-band
@@ -130,42 +165,84 @@ object Dedup {
   /** N-gram Jaccard near-duplicates via inverted shingle index: docs
     * sharing a shingle become candidates (shuffle keyed on the 60-bit
     * shingle hash — ~3× less shuffle volume than shingle strings),
-    * then exact shingle-set Jaccard ≥ `threshold`. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    * then exact shingle-set Jaccard ≥ `threshold`.
+    *
+    * @param maxShingleFreq stop-shingle cut: shingles indexing more than
+    *   this many docs (boilerplate headers, license blocks) are dropped
+    *   from the inverted index BEFORE the self-join — the standard
+    *   frequency-cut trick that bounds the worst posting list. Candidate
+    *   generation only: surviving pairs are re-verified on their FULL
+    *   shingle sets (merge-scan intersect), so reported jaccard values
+    *   are exact; only pairs connected SOLELY through cut shingles are
+    *   lost. None (default, oracle-replayed) enumerates exactly. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
     val docs = withShingles(Tables.documents(spark, dir))
       .withColumn("shh", expr(
-        """array_distinct(transform(shingles, s ->
-           CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)))"""))
+        """array_sort(array_distinct(transform(shingles, s ->
+           CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))))"""))
       .select(col("doc_id"), col("shh"), expr("size(shh)").as("n_sh"))
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("shh")).as("sh"))
-    val shared = inv.as("a")
-      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
 
-    shared
-      .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    maxShingleFreq match {
+      case None =>
+        // exact path: the shared-shingle count IS the intersection size
+        val shared = inv.as("a")
+          .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+          .agg(count(lit(1)).as("inter"))
+        shared
+          .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard_raw") >= threshold)
+          .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+
+      case Some(f) =>
+        // cut path: hot shingles only stop GENERATING candidates; the
+        // intersection must come from the full sets, not the cut index
+        val w = Window.partitionBy(col("sh"))
+        val invCut = inv.withColumn("__f", count(lit(1)).over(w))
+          .filter(col("__f") <= f).drop("__f")
+        val cand = invCut.as("a")
+          .join(invCut.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sa = docs.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"), col("n_sh").as("na"))
+        val sb = docs.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"), col("n_sh").as("nb"))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+          .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
+          .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard_raw") >= threshold)
+          .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+    }
   }
 
   /** Embedding-cosine similar/near-dup pairs with random-hyperplane LSH
-    * pre-bucketing: 8 sign bits (coordinate hyperplanes) → candidate
-    * pairs only within a bucket → exact cosine ≥ `threshold`.
+    * pre-bucketing: `nPlanes` sign bits (coordinate hyperplanes) →
+    * candidate pairs only within a bucket → exact cosine ≥ `threshold`.
     * Left-to-right fold for the dot product keeps the double bit-exact
-    * across engines. */
-  def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    * across engines.
+    *
+    * @param nPlanes number of sign bits = log2(bucket count). 8 (the
+    *   oracle default) gives 256 buckets — fine at test scale; at 100 TB
+    *   raise it (16-20 planes → 65k-1M buckets) so per-bucket pair
+    *   counts stay bounded, and/or multi-probe neighboring buckets to
+    *   recover recall. Must be ≤ the embedding dimension. */
+  def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      nPlanes: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("bucket", expr(
-        """aggregate(sequence(0, 7), 0,
+        s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT),
              (acc, j) -> acc + IF(element_at(v, j + 1) > CAST(0 AS DOUBLE),
-                                  shiftleft(1, j), 0))"""))
+                                  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""))
       .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
       .select(col("vec_id"), col("v"), col("bucket"), col("norm2"))
 

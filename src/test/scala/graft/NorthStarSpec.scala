@@ -51,6 +51,41 @@ class DedupSpec extends SparkSpec {
       val c = r.getAs[Double]("cosine"); c >= 0.2 - 1e-9 && c <= 1.0
     })
   }
+
+  test("hot-bucket cut: generous cap is a no-op, tight cap yields exact subset") {
+    def pairs(cap: Option[Int]) =
+      Dedup.minhashPairs(spark, sf, threshold = 0.9, maxBucketSize = cap)
+        .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+          r.getAs[Double]("jaccard"))).toMap
+    val full = pairs(None)
+    assert(pairs(Some(1000000)) == full)
+    val cut = pairs(Some(3))
+    assert(cut.size < full.size)
+    // cut only drops candidates; survivors keep EXACT jaccard values
+    assert(cut.forall { case (k, j) => full.get(k).contains(j) })
+  }
+
+  test("stop-shingle cut: generous cap is a no-op, survivors keep exact jaccard") {
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(spark, sf, threshold = 0.5, maxShingleFreq = cap)
+        .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+          r.getAs[Double]("jaccard"))).toMap
+    val full = pairs(None)
+    assert(full.nonEmpty)
+    assert(pairs(Some(1000000)) == full)
+    val cut = pairs(Some(2))
+    assert(cut.forall { case (k, j) => full.get(k).contains(j) })
+    assert(cut.size <= full.size)
+  }
+
+  test("embedding LSH planes parameterized: more planes -> subset of pairs") {
+    def pairSet(n: Int) = Dedup.embeddingPairs(spark, sf, threshold = 0.2, nPlanes = n)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val p8 = pairSet(8); val p12 = pairSet(12)
+    // finer bucketing can only LOSE candidate pairs (each 12-plane bucket
+    // is a refinement of an 8-plane bucket) — recall/cost knob, monotone
+    assert(p12.subsetOf(p8))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
