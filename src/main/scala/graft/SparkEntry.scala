@@ -36,6 +36,7 @@ object SparkEntry {
     "scd2_initial"       -> ((s, d) => Scd2Queries.initial(s, d)),
     "scd2_upsert"        -> ((s, d) => Scd2Queries.upsert(s, d)),
     "xml_shred"          -> ((s, d) => XmlShred.shred(s, d)),
+    "xml_shred_full"     -> ((s, d) => XmlShred.shredFull(s, d)),
     "incremental_extract"-> ((s, d) => Events.incrementalExtract(s, d)),
     "json_props"         -> ((s, d) => Events.jsonProps(s, d)),
     "events_by_type"     -> ((s, d) => Events.byType(s, d)),
@@ -242,6 +243,33 @@ object SparkEntry {
       SELECT c_custkey AS customer_key, c_mktsegment AS segment,
              c_nationkey AS nation_key,
              CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+      ORDER BY customer_key
+    """,
+    // the Spark side renders XML then from_xml-parses it back with the
+    // 13-field typed schema; the oracle computes the same values straight
+    // from the source columns — equality proves the typed round-trip
+    // (double, dates, ints, missing-element null) is lossless
+    "xml_shred_full" -> """
+      SELECT c_custkey AS customer_key,
+             c_acctbal AS total_purchase_ytd,
+             DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT) AS date_first_purchase,
+             DATE '1960-01-01' + CAST((c_custkey * 7) % 15000 AS INT) AS birth_date,
+             CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'S' END AS marital_status,
+             CASE WHEN c_custkey % 3 = 0 THEN '0-25000'
+                  WHEN c_custkey % 3 = 1 THEN '25001-50000'
+                  ELSE 'greater than 50000' END AS yearly_income,
+             CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+             CAST(c_custkey % 6 AS INT) AS total_children,
+             CAST(c_custkey % 4 AS INT) AS children_at_home,
+             c_mktsegment AS education,
+             substr(c_name, 1, 8) AS occupation,
+             CAST(c_custkey % 2 AS INT) AS home_owner_flag,
+             CAST(c_custkey % 5 AS INT) AS cars_owned,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  WHEN c_nationkey % 3 = 0 THEN '0-1 Miles'
+                  WHEN c_nationkey % 3 = 1 THEN '5-10 Miles'
+                  ELSE '10+ Miles' END AS commute_distance
       FROM customer
       ORDER BY customer_key
     """,

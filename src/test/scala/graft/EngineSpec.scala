@@ -93,6 +93,26 @@ class XmlShredSpec extends SparkSpec {
     assert(joined.filter(col("segment") =!= col("c_mktsegment")).count() == 0)
     assert(joined.filter(col("nation_key") =!= col("c_nationkey")).count() == 0)
   }
+
+  test("13-field shred: typed round-trip lossless, missing element parses to null") {
+    val out = XmlShred.shredFull(spark, sf)
+    val src = Tables.customer(spark, sf)
+    assert(out.count() == src.count())
+    // typed fields survive the XML round-trip
+    import org.apache.spark.sql.types._
+    val t = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(t("total_purchase_ytd") == DoubleType)
+    assert(t("date_first_purchase") == DateType && t("birth_date") == DateType)
+    assert(t("total_children") == IntegerType && t("home_owner_flag") == IntegerType)
+    // the double is bit-identical to the source column
+    val j = out.join(src, out("customer_key") === src("c_custkey"))
+    assert(j.filter(col("total_purchase_ytd") =!= col("c_acctbal")).count() == 0)
+    // every 7th customer omits CommuteDistance → null; all others non-null
+    assert(out.filter(col("customer_key") % 7 === 0)
+      .filter(col("commute_distance").isNotNull).count() == 0)
+    assert(out.filter(col("customer_key") % 7 =!= 0)
+      .filter(col("commute_distance").isNull).count() == 0)
+  }
 }
 
 class LayersSpec extends SparkSpec {
