@@ -69,6 +69,11 @@ object SparkEntry {
     "customer_order_presence" -> ((s, d) => Extras.customerOrderPresence(s, d)),
     "orders_priority_ordinal" -> ((s, d) => Extras.ordersPriorityOrdinal(s, d)),
     "idempotent_reload"       -> ((s, d) => Extras.idempotentReload(s, d)),
+    "events_range_join"       -> ((s, d) => Events.rangeJoinWindows(s, d)),
+    "moving_revenue_7d"       -> ((s, d) => Extras.movingRevenue7d(s, d)),
+    "order_analytics"         -> ((s, d) => Extras.orderAnalytics(s, d)),
+    "sales_cube"              -> ((s, d) => Extras.salesCube(s, d)),
+    "priority_unpivot"        -> ((s, d) => Extras.priorityMeasuresUnpivot(s, d)),
     "dq_orders" -> ((s, d) => graft.engine.DataQuality.check(
       graft.Tables.orders(s, d), Seq(
         graft.engine.DataQuality.NotNull("o_custkey"),
@@ -79,6 +84,71 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // Spark side runs the BUCKETED range join (equi-join on bucket id +
+    // exact BETWEEN refilter); the oracle's plain non-equi join proves
+    // the bucketization is lossless and duplicate-free
+    "events_range_join" -> """
+      WITH w AS (
+        SELECT i AS window_id,
+               date_diff('day', DATE '1970-01-01', DATE '2024-01-01') + i * 3 AS start_day,
+               date_diff('day', DATE '1970-01-01', DATE '2024-01-01') + i * 3 + 9 AS end_day
+        FROM (SELECT unnest(range(0, 40)) AS i)),
+      e AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts::TIMESTAMP AS DATE)) AS d,
+               floor(value * 10000 + 0.5) / 10000 AS value4
+        FROM events)
+      SELECT window_id, count(*) AS n_events,
+             floor((CAST(sum(CAST(value4 AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+      FROM w JOIN e ON e.d BETWEEN w.start_day AND w.end_day
+      GROUP BY 1 ORDER BY 1
+    """,
+    "moving_revenue_7d" -> """
+      WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day_num,
+               floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS day_revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT DATE '1970-01-01' + CAST(day_num AS INT) AS order_date,
+             day_revenue, n_orders,
+             floor((CAST(sum(CAST(day_revenue AS DECIMAL(38,8))) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rev7d,
+             CAST(sum(n_orders) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders7d
+      FROM daily ORDER BY order_date
+    """,
+    "order_analytics" -> """
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate AS order_date,
+             floor(o_totalprice * 10000 + 0.5) / 10000 AS price,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS seq,
+             floor(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 10000 + 0.5) / 10000 AS prev_price,
+             floor(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 10000 + 0.5) / 10000 AS next_price,
+             floor(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 10000 + 0.5) / 10000 AS first_price,
+             floor(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * 10000 + 0.5) / 10000 AS last_price,
+             CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+             floor(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 10000 + 0.5) / 10000 AS pct_rank,
+             floor(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 10000 + 0.5) / 10000 AS cume
+      FROM orders ORDER BY custkey, seq
+    """,
+    "sales_cube" -> """
+      SELECT coalesce(priority, 'ALL') AS priority,
+             coalesce(order_year, -1) AS order_year,
+             count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+      FROM (SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS INT) AS order_year, o_totalprice FROM orders)
+      GROUP BY CUBE (priority, order_year)
+      ORDER BY priority, order_year
+    """,
+    "priority_unpivot" -> """
+      WITH m AS (
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value,
+               floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_value
+        FROM orders GROUP BY 1)
+      SELECT priority, measure, measure_value FROM (
+        SELECT priority, 'avg_value' AS measure, avg_value AS measure_value FROM m
+        UNION ALL SELECT priority, 'n_orders', n_orders FROM m
+        UNION ALL SELECT priority, 'total_value', total_value FROM m)
+      ORDER BY priority, measure
+    """,
     // A6 ordinal GROUP BY — DuckDB resolves positional refs identically
     "orders_priority_ordinal" -> """
       SELECT o_orderpriority AS priority,

@@ -66,6 +66,32 @@ object Events {
         Fns.money(Fns.sumMoney(get_json_object(col("props"), "$.k").cast("int"))).as("total_k"))
       .orderBy(col("event_type"))
 
+  /** Overlapping promo-window attribution via the bucketed range join
+    * ([[graft.operators.RangeJoin]]): 40 ten-day windows sliding by 3
+    * days (so each event day belongs to up to 4 windows), events matched
+    * ON day BETWEEN window bounds. The bucket width (7) keeps interval
+    * replication ≤ 2-3 rows while the join stays a hash equi-join — the
+    * plan Spark's native range handling (nested loop) cannot produce. */
+  def rangeJoinWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        Fns.money(col("value")).as("value4"))
+    val base = datediff(lit("2024-01-01").cast("date"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val windows = spark.range(0, 40).select(
+      col("id").as("window_id"),
+      (base + col("id") * 3).as("start_day"),
+      (base + col("id") * 3 + 9).as("end_day"))
+    graft.operators.RangeJoin.bucketed(ev, "d", windows, "start_day", "end_day", 7L)
+      .groupBy(col("window_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Fns.money(Fns.sumMoney(col("value4"))).as("total_value"))
+      .orderBy(col("window_id"))
+  }
+
   /** Tumbling 1-hour window aggregation — batch twin of the streaming
     * windowed count. Emits the window start as a plain timestamp column
     * for the oracle. */

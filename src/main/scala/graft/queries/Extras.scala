@@ -175,6 +175,84 @@ object Extras {
         Fns.money(max(col("o_totalprice"))).as("max_price"))
       .orderBy(col("priority"))
 
+  /** True RANGE-frame sliding window: 7-day moving revenue over daily
+    * totals, framed on the DAY NUMBER (`RANGE BETWEEN 6 PRECEDING`), so
+    * calendar gaps are respected — a ROWS frame would silently span
+    * missing days. One shuffle for the daily rollup; the window runs on
+    * the (tiny) per-day relation. */
+  def movingRevenue7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day_num"))
+      .agg(Fns.money(Fns.sumMoney(col("o_totalprice"))).as("day_revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7d", Fns.money(
+        sum(col("day_revenue").cast("decimal(38,8)")).over(w).cast("double")))
+      .withColumn("orders7d", sum(col("n_orders")).over(w))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day_num").cast("int")).as("order_date"),
+        col("day_revenue"), col("n_orders"), col("rev7d"), col("orders7d"))
+      .orderBy(col("order_date"))
+  }
+
+  /** The analytic-function family over each customer's order sequence:
+    * lag/lead, first/last value with explicit frames, ntile quartiles,
+    * percent_rank and cume_dist — exact rationals on both engines, so
+    * hash-comparable without rounding tricks. */
+  def orderAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byCustFull = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_orderdate").as("order_date"),
+        Fns.money(col("o_totalprice")).as("price"),
+        row_number().over(byCust).as("seq"),
+        Fns.money(lag(col("o_totalprice"), 1).over(byCust)).as("prev_price"),
+        Fns.money(lead(col("o_totalprice"), 1).over(byCust)).as("next_price"),
+        Fns.money(first(col("o_totalprice")).over(byCust)).as("first_price"),
+        Fns.money(last(col("o_totalprice")).over(byCustFull)).as("last_price"),
+        ntile(4).over(byCust).as("quartile"),
+        Fns.money(percent_rank().over(byCust)).as("pct_rank"),
+        Fns.money(cume_dist().over(byCust)).as("cume"))
+      .orderBy(col("custkey"), col("seq"))
+  }
+
+  /** CUBE over (priority, order year): all four grouping combinations —
+    * the lattice ROLLUP cannot produce. NULL indicators → sentinels for
+    * total, portable ordering (same convention as [[salesRollup]]). */
+  def salesCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("order_year"), lit(-1)).as("order_year"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("priority"), col("order_year"))
+
+  /** Wide→long UNPIVOT of per-priority measures via `stack` (the Spark
+    * idiom for UNPIVOT; measures share a double type). */
+  def priorityMeasuresUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"),
+        Fns.money(Fns.sumMoney(col("o_totalprice")) / count(lit(1))).as("avg_value"))
+      .select(col("priority"), expr(
+        """stack(3, 'n_orders', n_orders,
+                    'total_value', total_value,
+                    'avg_value', avg_value) AS (measure, measure_value)"""))
+      .orderBy(col("priority"), col("measure"))
+
   /** A6: ordinal GROUP BY, SQL form — the reference's
     * `business_sales_summary.sql:32` groups by `1, 2, …, 18`; this mart
     * exercises the same positional-reference resolution
