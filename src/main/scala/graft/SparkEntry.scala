@@ -70,6 +70,7 @@ object SparkEntry {
     "orders_priority_ordinal" -> ((s, d) => Extras.ordersPriorityOrdinal(s, d)),
     "idempotent_reload"       -> ((s, d) => Extras.idempotentReload(s, d)),
     "events_range_join"       -> ((s, d) => Events.rangeJoinWindows(s, d)),
+    "variant_props"           -> ((s, d) => Events.variantProps(s, d)),
     "moving_revenue_7d"       -> ((s, d) => Extras.movingRevenue7d(s, d)),
     "order_analytics"         -> ((s, d) => Extras.orderAnalytics(s, d)),
     "sales_cube"              -> ((s, d) => Extras.salesCube(s, d)),
@@ -84,6 +85,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // Spark side goes through the VARIANT type (parse_json → variant_get)
+    "variant_props" -> """
+      SELECT CAST(k_int % 10 AS INT) AS k_bucket,
+             count(*) AS n_events,
+             CAST(sum(k_int) AS BIGINT) AS total_k
+      FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_int FROM events)
+      GROUP BY 1 ORDER BY 1
+    """,
     // Spark side runs the BUCKETED range join (equi-join on bucket id +
     // exact BETWEEN refilter); the oracle's plain non-equi join proves
     // the bucketization is lossless and duplicate-free

@@ -45,6 +45,22 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Semi-structured props through Spark 4's VARIANT type: `parse_json`
+    * once into a variant column, then typed `variant_get` extraction —
+    * the shredded-on-read path that replaces per-access JSON string
+    * parsing (the variant binary encoding parses once, extracts many
+    * times; at 100 TB that is the difference between one decode and one
+    * decode per field access). */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k_int"))
+      .groupBy((col("k_int") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k_int")).cast("long").as("total_k"))
+      .orderBy(col("k_bucket"))
+
   /** JSON property extraction per event (`get_json_object`). */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -100,6 +100,52 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
 
+  /** Watermark-scoped dedup on the id ALONE: unlike [[dedupedEvents]],
+    * redelivered copies with a jittered timestamp (the realistic at-least-
+    * once failure mode — a retried producer stamps a new ts) still
+    * collapse, and state is evicted once the watermark passes. */
+  def dedupedEventsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap sessionization via the BUILT-IN `session_window` — one
+    * definition for batch and streaming (append mode needs a watermark on
+    * `ts` upstream). Emits first/last event times per session; note the
+    * window itself spans `[first, last + gap)` by definition, and a new
+    * session opens at gap ≥ `gap` where the composable lag/cumsum form
+    * ([[graft.queries.EventSequences.sessionize]]) splits at gap > `gap`
+    * — cross-validated equal on real data in `SessionWindowSpec`. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("first_ts"), col("last_ts"), col("n_events"))
+
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's click within the following hour. Both sides carry event-time
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's buffered state is evictable — the conditions Structured
+    * Streaming requires to run an inner stream-stream join with bounded
+    * memory. Runs identically on batch inputs. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** File-source streaming read of the events table (parquet directory →
     * micro-batches), for tests and as the deployment template. */
   def readEventsStream(spark: SparkSession, path: String,
