@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_embedding_multiprobe" -> ((s, d) => Dedup.embeddingPairsMultiProbe(s, d)),
     "knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "knn_ivf"            -> ((s, d) => Similarity.knnIvf(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -471,6 +472,25 @@ object SparkEntry {
                list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                            (x, y) -> x + y) / sqrt(a.norm2 * b.norm2) AS cos_raw
         FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, floor(cos_raw * 10000 + 0.5) / 10000 AS cosine
+      FROM c WHERE cos_raw >= 0.2
+      ORDER BY id_a, id_b
+    """,
+    // Spark probes Hamming-1 neighbor buckets; the oracle states the
+    // SEMANTICS directly (pairs whose sign-vectors differ in ≤1 plane)
+    "dedup_embedding_multiprobe" -> """
+      WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST(list_sum(list_transform(range(0, 8), j ->
+                 CASE WHEN (embedding::DOUBLE[])[j+1] > 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      c AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                           (x, y) -> x + y) / sqrt(a.norm2 * b.norm2) AS cos_raw
+        FROM p a JOIN p b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id)
       SELECT id_a, id_b, floor(cos_raw * 10000 + 0.5) / 10000 AS cosine
       FROM c WHERE cos_raw >= 0.2
       ORDER BY id_a, id_b

@@ -258,4 +258,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Fns.money(col("cos_raw")).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Multi-probe variant of [[embeddingPairs]]: each vector probes its
+    * own bucket plus the `nPlanes` buckets at Hamming distance 1 (one
+    * sign flipped), recovering pairs whose vectors straddle exactly one
+    * hyperplane — the recall repair that makes FINER bucketing (higher
+    * `nPlanes`, hence smaller buckets) viable at 100 TB: probe cost grows
+    * linearly in planes while bucket population shrinks exponentially.
+    *
+    * Exactly-once emission without a dedup pass: only the probing (left)
+    * side explodes, so pair (a, b) with `id_a < id_b` is produced solely
+    * through a's probe list containing b's bucket — Hamming distance is
+    * symmetric, the join is not. */
+  def embeddingPairsMultiProbe(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, nPlanes: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT),
+             (acc, j) -> acc + IF(element_at(v, j + 1) > CAST(0 AS DOUBLE),
+                                  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""))
+      .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+
+    val a = e
+      .withColumn("pbucket", explode(expr(
+        s"""array_union(array(bucket), transform(sequence(0, ${nPlanes - 1}),
+            j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))""")))
+      .select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("pbucket"), col("norm2").as("na2"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("bucket").as("pbucket"), col("norm2").as("nb2"))
+    a.join(b, Seq("pbucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("cos_raw", col("dot") / sqrt(col("na2") * col("nb2")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), Fns.money(col("cos_raw")).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -91,27 +91,33 @@ object Similarity {
     * Each iteration is one corpus scan + one 512-group aggregate; clusters
     * that lose all members drop out (same on both engines). */
   def kmeansFit(spark: SparkSession, dir: String, k: Int = 10, iters: Int = 3): Seq[Centroid] = {
+    // one action per iteration plus seeding — persist the prepared
+    // corpus so the parquet scan + v/norm2 derivation run once, not
+    // iters+1 times (spill-safe, released before returning)
     val e = prepared(spark, dir).select(col("vec_id"), col("v"), col("norm2"))
-    val seeds = e
-      .withColumn("h", Fns.h64(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
-    var cents: Seq[Centroid] =
-      seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, norm2Of(c)) }.toSeq
-    for (_ <- 1 to iters) {
-      val rows = e.withColumn("cid", assignCol(cents, "v", "norm2"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
-        .collect()
-      cents = rows.map { r =>
-        val c = r.getSeq[Double](1)
-        Centroid(r.getInt(0), c, norm2Of(c))
-      }.toSeq.sortBy(_.cid)
-    }
-    cents
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = e
+        .withColumn("h", Fns.h64(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      var cents: Seq[Centroid] =
+        seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, norm2Of(c)) }.toSeq
+      for (_ <- 1 to iters) {
+        val rows = e.withColumn("cid", assignCol(cents, "v", "norm2"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+          .collect()
+        cents = rows.map { r =>
+          val c = r.getSeq[Double](1)
+          Centroid(r.getInt(0), c, norm2Of(c))
+        }.toSeq.sortBy(_.cid)
+      }
+      cents
+    } finally e.unpersist()
   }
 
   /** Learned centroids as a DataFrame `(cid, centroid)` — the persisted

@@ -78,6 +78,32 @@ class DedupSpec extends SparkSpec {
     assert(cut.size <= full.size)
   }
 
+  test("multi-probe: superset of single-probe, higher recall vs ground truth") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val single = pairSet(Dedup.embeddingPairs(spark, sf, threshold = 0.2))
+    val multi = pairSet(Dedup.embeddingPairsMultiProbe(spark, sf, threshold = 0.2))
+    assert(single.subsetOf(multi))
+    // ground truth: all-pairs cosine ≥ 0.2 (fine at fixture scale)
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v",
+        "aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) AS n2")
+    val truth = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b",
+        """aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE),
+           (acc, x) -> acc + x) / sqrt(a.n2 * b.n2) AS cos""")
+      .filter(col("cos") >= 0.2)
+    val truthSet = truth.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val rSingle = (single intersect truthSet).size.toDouble / truthSet.size
+    val rMulti = (multi intersect truthSet).size.toDouble / truthSet.size
+    // at threshold 0.2 most qualifying pairs straddle MANY hyperplanes, so
+    // absolute recall is inherently low for sign-LSH — the claim under
+    // test is the multi-probe LIFT (measured ~7x here: 0.013 → 0.087)
+    assert(rMulti >= rSingle * 2, s"multi-probe recall $rMulti vs single $rSingle")
+  }
+
   test("embedding LSH planes parameterized: more planes -> subset of pairs") {
     def pairSet(n: Int) = Dedup.embeddingPairs(spark, sf, threshold = 0.2, nPlanes = n)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
