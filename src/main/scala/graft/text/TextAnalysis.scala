@@ -95,17 +95,20 @@ object TextAnalysis {
 
   /** TF-IDF per document, reduced to a portable checksum: sum over terms
     * of tf(t,d) * ln(N / df(t)), money-rounded. The tf×idf join is keyed
-    * on the term — the standard two-pass distributed formulation. */
+    * on the term — the standard two-pass distributed formulation. The
+    * corpus size N rides along as a broadcast scalar relation, so query
+    * construction stays lazy (no driver-side count). */
   def tfidfChecksum(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
     val termFreq = docs
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val docFreq = termFreq.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     termFreq.join(docFreq, "term")
-      .withColumn("w", Fns.money(col("tf") * log(lit(n.toDouble) / col("df"))))
+      .crossJoin(broadcast(nDf))
+      .withColumn("w", Fns.money(col("tf") * log(col("__n") / col("df"))))
       .groupBy(col("doc_id"))
       .agg(
         Fns.money(Fns.sumMoney(col("w"))).as("tfidf_sum"),
