@@ -75,6 +75,7 @@ object SparkEntry {
     "moving_revenue_7d"       -> ((s, d) => Extras.movingRevenue7d(s, d)),
     "order_analytics"         -> ((s, d) => Extras.orderAnalytics(s, d)),
     "sales_cube"              -> ((s, d) => Extras.salesCube(s, d)),
+    "top_orders_per_customer" -> ((s, d) => Extras.topOrdersPerCustomer(s, d)),
     "priority_unpivot"        -> ((s, d) => Extras.priorityMeasuresUnpivot(s, d)),
     "dq_orders" -> ((s, d) => graft.engine.DataQuality.check(
       graft.Tables.orders(s, d), Seq(
@@ -136,6 +137,20 @@ object SparkEntry {
              floor(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 10000 + 0.5) / 10000 AS pct_rank,
              floor(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 10000 + 0.5) / 10000 AS cume
       FROM orders ORDER BY custkey, seq
+    """,
+    // Spark runs the bounded-heap topk_by aggregate; the oracle's window
+    // form states the identical (ord DESC, payload ASC) semantics
+    "top_orders_per_customer" -> """
+      SELECT o_custkey AS custkey, CAST(rn AS INT) AS rank,
+             o_orderkey AS orderkey,
+             floor(o_totalprice * 10000 + 0.5) / 10000 AS totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 2
+      ORDER BY custkey, rank
     """,
     "sales_cube" -> """
       SELECT coalesce(priority, 'ALL') AS priority,

@@ -253,6 +253,25 @@ object Extras {
                     'avg_value', avg_value) AS (measure, measure_value)"""))
       .orderBy(col("priority"), col("measure"))
 
+  /** Per-CUSTOMER top-2 orders via the Catalyst bounded-heap aggregate
+    * (`topk_by`, [[graft.functions.TopKByAgg]]) — the high-cardinality
+    * per-key top-k where the window form hurts most: the window shuffles
+    * and sorts every order; the aggregate's map-side partials shuffle at
+    * most k rows per (customer, map task). */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    graft.functions.TopKByAgg.register(spark)
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(expr(s"topk_by(o_totalprice, o_orderkey, $k)").as("topk"))
+      .select(col("custkey"), posexplode(col("topk")).as(Seq("idx", "entry")))
+      .select(
+        col("custkey"),
+        (col("idx") + 1).cast("int").as("rank"),
+        col("entry.payload").as("orderkey"),
+        Fns.money(col("entry.ord")).as("totalprice"))
+      .orderBy(col("custkey"), col("rank"))
+  }
+
   /** A6: ordinal GROUP BY, SQL form — the reference's
     * `business_sales_summary.sql:32` groups by `1, 2, …, 18`; this mart
     * exercises the same positional-reference resolution
