@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality assertions: the properties that make these queries
+  * survive a 100× scale-up, pinned as tests so a refactor that silently
+  * loses a pushdown, widens a scan, or drops a broadcast FAILS here
+  * instead of in production.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("top_products: column pruning reaches both scans") {
+    val plan = formatted(graft.queries.Marts.topProducts(spark, sf))
+    // the lineitem scan must read exactly the 5 needed columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_quantity:double,l_extendedprice:double,l_discount:double>"), plan)
+    // and part only its 3
+    assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string>"), plan)
+  }
+
+  test("sales_summary: fact joins all dims by broadcast — no fact shuffle") {
+    val plan = formatted(graft.queries.Marts.salesSummary(spark, sf))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5, plan)
+  }
+
+  test("incremental_extract: watermark predicate reaches the parquet scan") {
+    val plan = formatted(graft.queries.Events.incrementalExtract(spark, sf))
+    // the raw-ns-column translation makes the filter row-group-prunable
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), plan)
+  }
+
+  test("whole-stage codegen covers the mart aggregation pipeline") {
+    // AQE reveals codegen spans only in the finalized (executed) plan
+    val df = graft.queries.Marts.topProducts(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the simple string form
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("orc: round-trip with pushdown and pruning intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("orc").toString
+    graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
+    val back = graft.sources.Formats.readOrc(spark, tmp)
+    assert(back.count() == Tables.orders(spark, sf).count())
+    val q = back.filter(col("o_orderkey") === 42L).select(col("o_totalprice"))
+    val plan = q.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
+  }
+}
