@@ -65,6 +65,7 @@ object SparkEntry {
     "vocab_top_terms"      -> ((s, d) => TextAnalysis.vocabTopTerms(s, d)),
     "tfidf_checksum"       -> ((s, d) => TextAnalysis.tfidfChecksum(s, d)),
     "train_test_split"     -> ((s, d) => TextAnalysis.trainTestSplit(s, d)),
+    "training_corpus"      -> ((s, d) => TextAnalysis.trainingCorpus(s, d)),
     "sales_grouping_sets"  -> ((s, d) => Extras.salesGroupingSets(s, d)),
     "top_orders_per_priority" -> ((s, d) => Extras.topOrdersPerPriority(s, d)),
     "customer_order_presence" -> ((s, d) => Extras.customerOrderPresence(s, d)),
@@ -646,6 +647,32 @@ object SparkEntry {
           CAST(length(text) AS INT) AS len_text
         FROM documents)
       ORDER BY doc_id
+    """,
+    // composite pipeline: exact-dedup → quality gate → hash split →
+    // corpus summary, replayed stage-for-stage in SQL
+    "training_corpus" -> """
+      WITH kept AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      d AS (
+        SELECT doc.* FROM documents doc JOIN kept USING (doc_id)),
+      q AS (
+        SELECT doc_id, lang, n_chars, text,
+               floor((least(1.0, n_tokens / 50.0) * (1.0 - n_digits / len_text) *
+                      (0.5 + 0.5 * least(1.0, s_en / n_tokens * 5))) * 10000 + 0.5) / 10000 AS quality_score
+        FROM (
+          SELECT doc_id, lang, n_chars, text,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','in'))) AS INT) AS s_en,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+            CAST(length(text) AS INT) AS len_text
+          FROM d)),
+      f AS (SELECT * FROM q WHERE quality_score >= 0.5),
+      s AS (SELECT *, CASE WHEN (('0x' || substr(md5(text), 1, 15))::BIGINT) % 10 = 0
+                           THEN 'test' ELSE 'train' END AS split FROM f)
+      SELECT split, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             floor((CAST(sum(CAST(quality_score AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_quality
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "token_counts" -> """
       SELECT doc_id,

@@ -70,6 +70,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The composite a training-data pipeline actually ships: exact dedup
+    * (smallest doc_id per identical text survives) → quality gate
+    * (composite score ≥ `minQuality`) → deterministic hash split →
+    * per-(split, lang) corpus summary. Each stage is one of the already-
+    * verified operators; this pins their COMPOSITION end-to-end against
+    * an oracle that replays the identical pipeline in SQL. */
+  def trainingCorpus(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = docs.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = docs.join(kept, "doc_id")
+    val scored = deduped
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("s_en", expr(scoreExpr(stopwords.toMap.apply("en"))))
+      .withColumn("n_digits",
+        length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("quality_score", Fns.money(
+        least(lit(1.0), col("n_tokens") / lit(50.0)) *
+          (lit(1.0) - col("n_digits") / length(col("text"))) *
+          (lit(0.5) + lit(0.5) * least(lit(1.0), col("s_en") / col("n_tokens") * 5))))
+    scored
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("split",
+        when(Fns.h64(col("text")) % 10 === 0, lit("test")).otherwise(lit("train")))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        Fns.money(Fns.sumMoney(col("quality_score")) / count(lit(1))).as("avg_quality"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens
     * (letter runs / digit runs / single other chars), and the chars/4
     * estimate used for LLM budgeting. */
