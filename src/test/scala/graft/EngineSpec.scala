@@ -37,6 +37,25 @@ class Scd2Spec extends SparkSpec {
     assert(d2.count() == d1.count()) // no-op load adds nothing
   }
 
+  test("multi-row-per-key batch: recencyCol picks the latest, invariant holds") {
+    import spark.implicits._
+    val cfg = Scd2.Config("k", Seq("attr"), "sk", recencyCol = Some("updated_at"))
+    val initial = Scd2.initialLoad(
+      Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"))
+        .toDF("k", "attr", "updated_at"), cfg, "2024-01-01")
+    // one micro-batch carrying THREE updates to key 1 — latest must win,
+    // and only one current version may remain
+    val batch = Seq(
+      (1L, "v1", "2024-02-01"), (1L, "v3", "2024-02-03"), (1L, "v2", "2024-02-02"))
+      .toDF("k", "attr", "updated_at")
+    val next = Scd2.applyChanges(initial, batch, cfg, "2024-02-04")
+    val cur = next.filter(col("is_current") && col("k") === 1L).collect()
+    assert(cur.length == 1)
+    assert(cur(0).getAs[String]("attr") == "v3")
+    // total versions for key 1: the expired initial + one new (not three)
+    assert(next.filter(col("k") === 1L).count() == 2)
+  }
+
   test("assignIds matches global row_number ordering") {
     val df = Tables.part(spark, sf).select(col("p_partkey"))
     val ids = Scd2.assignIds(df, "p_partkey", "id")
