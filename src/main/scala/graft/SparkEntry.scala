@@ -31,6 +31,7 @@ object SparkEntry {
     "dim_customer"       -> ((s, d) => Marts.dimCustomer(s, d)),
     "product_enriched"   -> ((s, d) => Marts.productEnriched(s, d)),
     "latest_ship"        -> ((s, d) => Marts.latestShipmentPerPart(s, d)),
+    "latest_ship_agg"    -> ((s, d) => Marts.latestShipmentPerPartAgg(s, d)),
     "latest_month_orders"-> ((s, d) => Marts.latestMonthOrderSummary(s, d)),
     "dim_date"           -> ((s, _) => DimDate.generate(s)),
     "scd2_initial"       -> ((s, d) => Scd2Queries.initial(s, d)),
@@ -260,6 +261,19 @@ object SparkEntry {
       ORDER BY part_key, supplier_nation
     """,
     "latest_ship" -> """
+      SELECT l_partkey AS part_key, l_orderkey AS order_key,
+             l_linenumber AS line_number,
+             CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS ship_date_key,
+             l_quantity AS quantity
+      FROM lineitem
+      QUALIFY row_number() OVER (
+        PARTITION BY l_partkey
+        ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
+      ORDER BY part_key
+    """,
+    // Spark runs the max_by aggregate form; the oracle's window form
+    // states the same latest-per-key semantics
+    "latest_ship_agg" -> """
       SELECT l_partkey AS part_key, l_orderkey AS order_key,
              l_linenumber AS line_number,
              CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS ship_date_key,

@@ -161,6 +161,28 @@ object Marts {
       .orderBy(col("part_key"))
   }
 
+  /** AGGREGATE twin of [[latestShipmentPerPart]] — same result through
+    * `max_by` over a unique ordering struct instead of a window rank.
+    * The window form shuffles and SORTS every lineitem row per part; the
+    * aggregate form gets map-side partial aggregation (one surviving row
+    * per part per map task reaches the shuffle) and never sorts — the
+    * shape to prefer when only the top-1 row is wanted and the group
+    * count is huge. Both are kept: W1 coverage needs the window form. */
+  def latestShipmentPerPartAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_partkey").as("part_key"))
+      .agg(max_by(
+        struct(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity")),
+        struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))).as("top"))
+      .select(
+        col("part_key"),
+        col("top.l_orderkey").as("order_key"),
+        col("top.l_linenumber").as("line_number"),
+        date_format(col("top.l_shipdate"), "yyyyMMdd").cast("int").as("ship_date_key"),
+        col("top.l_quantity").as("quantity"))
+      .orderBy(col("part_key"))
+  }
+
   /** Latest-partition filter via scalar subquery (reference
     * `business_sales_summary.sql:31` — `WHERE ingestion_date =
     * (SELECT MAX(...))`). Catalyst rewrites the scalar subquery to a

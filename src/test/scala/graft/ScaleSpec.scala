@@ -70,6 +70,26 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile tracks exact percentile within accuracy bound") {
+    // exact percentile keeps every distinct value in memory per group —
+    // the sketch is the 100 TB path; pin its error against the exact form
+    val both = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("approx_p90"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val e50 = r.getAs[Double]("exact_p50"); val a50 = r.getAs[Double]("approx_p50")
+      val e90 = r.getAs[Double]("exact_p90"); val a90 = r.getAs[Double]("approx_p90")
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.05, s"p90 $a90 vs $e90")
+    }
+  }
 }
 
 class RuntimeFilterSpec extends SparkSpec {
