@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_embedding_multiprobe" -> ((s, d) => Dedup.embeddingPairsMultiProbe(s, d)),
     "knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -465,6 +466,28 @@ object SparkEntry {
                       CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
       FROM th ORDER BY doc_id
+    """,
+    // Spark generates candidates by pigeonhole banding (lossless for
+    // Hamming ≤ 3); the oracle states the semantics as a plain
+    // Hamming-distance join over the same fingerprints
+    "dedup_simhash_pairs" -> """
+      WITH th AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                 CASE WHEN list_sum(list_transform(h, x ->
+                        CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        FROM th)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b
     """,
     "dedup_ngram" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -151,6 +151,35 @@ object Dedup {
                CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-duplicate PAIRS via pigeonhole banding: the 32-bit
+    * fingerprint splits into 4 bands of 8 bits; any pair within Hamming
+    * distance ≤ 3 must agree on at least one whole band (4 bands, ≤3
+    * differing bits), so the band-bucket equi-join is a LOSSLESS
+    * candidate generator — no all-pairs comparison — and the exact
+    * `bit_count(xor)` check keeps only true matches. The classic
+    * fingerprint-blocking scheme; generalizes to d+1 bands for any
+    * Hamming budget d. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 8 bits are lossless only up to Hamming 3")
+    val sh = simhash(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+           named_struct('band', b, 'key', shiftright(simhash, b * 8) & 255))""")).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Distinct word 3-gram shingles per doc. */
   private def withShingles(docs: DataFrame): DataFrame =
     docs
