@@ -31,7 +31,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // a failing query must be LOUD — silently recording its ~0s
+        // "time" would flatter the total while correctness burns
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       spark.catalog.clearCache() // queries that cache internally must not subsidize the next one

@@ -36,6 +36,7 @@ object SparkEntry {
     "dim_date"           -> ((s, _) => DimDate.generate(s)),
     "scd2_initial"       -> ((s, d) => Scd2Queries.initial(s, d)),
     "scd2_upsert"        -> ((s, d) => Scd2Queries.upsert(s, d)),
+    "scd2_snapshot"      -> ((s, d) => Scd2Queries.snapshot(s, d)),
     "xml_shred"          -> ((s, d) => XmlShred.shred(s, d)),
     "xml_shred_full"     -> ((s, d) => XmlShred.shredFull(s, d)),
     "incremental_extract"-> ((s, d) => Events.incrementalExtract(s, d)),
@@ -349,6 +350,53 @@ object SparkEntry {
                TRUE AS is_current
         FROM changed)
       SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows ORDER BY surrogate_key
+    """,
+    // same merge pipeline as scd2_upsert, then the point-in-time filter:
+    // the version current ON 2024-07-01 (effective ≤ date < expiry)
+    "scd2_snapshot" -> """
+      WITH base AS (
+        SELECT p_partkey AS part_key, p_name, p_brand, p_type, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM part),
+      dim0 AS (
+        SELECT row_number() OVER (ORDER BY part_key) AS surrogate_key, base.*,
+               md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM base),
+      src AS (
+        SELECT part_key, p_name, p_brand, p_type, p_size,
+               CASE WHEN part_key % 7 = 0 THEN price_cents + 100 ELSE price_cents END AS price_cents
+        FROM base
+        UNION ALL
+        SELECT part_key + 1000000, p_name || '_v2', p_brand, p_type, p_size, price_cents
+        FROM base WHERE part_key % 50 = 0),
+      srch AS (
+        SELECT src.*, md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM src),
+      changed AS (
+        SELECT s.* FROM srch s LEFT JOIN dim0 d USING (part_key)
+        WHERE d.part_key IS NULL OR d.attr_hash <> s.attr_hash),
+      old_rows AS (
+        SELECT d.part_key, d.p_name, d.p_brand, d.p_type, d.p_size,
+               d.price_cents, d.attr_hash, d.surrogate_key,
+               DATE '2024-01-01' AS effective_date,
+               CASE WHEN c.part_key IS NOT NULL THEN DATE '2024-06-01'
+                    ELSE CAST(NULL AS DATE) END AS expiry_date,
+               c.part_key IS NULL AS is_current
+        FROM dim0 d LEFT JOIN (SELECT DISTINCT part_key FROM changed) c USING (part_key)),
+      new_rows AS (
+        SELECT part_key, p_name, p_brand, p_type, p_size, price_cents, attr_hash,
+               (SELECT count(*) FROM dim0) + row_number() OVER (ORDER BY part_key) AS surrogate_key,
+               DATE '2024-06-01' AS effective_date,
+               CAST(NULL AS DATE) AS expiry_date,
+               TRUE AS is_current
+        FROM changed),
+      merged AS (SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows)
+      SELECT * FROM merged
+      WHERE effective_date <= DATE '2024-07-01'
+        AND (expiry_date IS NULL OR expiry_date > DATE '2024-07-01')
+      ORDER BY surrogate_key
     """,
     "xml_shred" -> """
       SELECT c_custkey AS customer_key, c_mktsegment AS segment,

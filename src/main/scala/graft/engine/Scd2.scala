@@ -91,6 +91,18 @@ object Scd2 {
     *
     * `dim` must be a prior [[initialLoad]]/[[applyChanges]] output; `src`
     * carries the business key + tracked columns. */
+  /** Point-in-time snapshot of an SCD2 dimension: the version of each
+    * business key that was current ON `asOfDate` — effective ≤ date <
+    * expiry (open versions have null expiry). The "time travel" read
+    * every SCD2 consumer eventually needs (join facts to the dimension
+    * AS OF the fact date); a pure filter, so partition/row-group pruning
+    * on the effective/expiry columns applies at scale. */
+  def snapshotAsOf(dim: DataFrame, cfg: Config, asOfDate: String): DataFrame = {
+    val d = to_date(lit(asOfDate))
+    dim.filter(col(cfg.effectiveCol) <= d &&
+      (col(cfg.expiryCol).isNull || col(cfg.expiryCol) > d))
+  }
+
   def applyChanges(dim: DataFrame, src: DataFrame, cfg: Config, asOfDate: String): DataFrame = {
     val spark = dim.sparkSession
     val k = cfg.businessKey

@@ -47,4 +47,10 @@ object Scd2Queries {
   def upsert(spark: SparkSession, dir: String): DataFrame =
     Scd2.applyChanges(initial(spark, dir), secondSource(spark, dir), cfg, "2024-06-01")
       .orderBy(col("surrogate_key"))
+
+  /** Point-in-time read of the upserted dimension AFTER the second load
+    * date — the time-travel lookup a fact join uses ([[Scd2.snapshotAsOf]]). */
+  def snapshot(spark: SparkSession, dir: String): DataFrame =
+    Scd2.snapshotAsOf(upsert(spark, dir), cfg, "2024-07-01")
+      .orderBy(col("surrogate_key"))
 }

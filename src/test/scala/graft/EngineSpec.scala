@@ -56,6 +56,21 @@ class Scd2Spec extends SparkSpec {
     assert(next.filter(col("k") === 1L).count() == 2)
   }
 
+  test("snapshotAsOf time-travels: old date sees v1, new date sees v2, one row per key") {
+    val dim = Scd2Queries.upsert(spark, sf) // initial 2024-01-01, upsert 2024-06-01
+    val cfg = Scd2Queries.cfg
+    // BEFORE the upsert date: every key resolves to its original version
+    val before = Scd2.snapshotAsOf(dim, cfg, "2024-03-01")
+    assert(before.count() == Scd2Queries.initial(spark, sf).count())
+    assert(before.filter(col("effective_date") > to_date(lit("2024-03-01"))).count() == 0)
+    // AFTER: changed keys resolve to the new version, exactly one row/key
+    val after = Scd2.snapshotAsOf(dim, cfg, "2024-07-01")
+    val dupes = after.groupBy(col(cfg.businessKey)).count().filter(col("count") > 1)
+    assert(dupes.count() == 0)
+    val changedKey = after.filter(col("part_key") % 7 === 0 && col("part_key") < 1000000)
+    assert(changedKey.filter(col("effective_date") =!= to_date(lit("2024-06-01"))).count() == 0)
+  }
+
   test("assignIds matches global row_number ordering") {
     val df = Tables.part(spark, sf).select(col("p_partkey"))
     val ids = Scd2.assignIds(df, "p_partkey", "id")
