@@ -82,10 +82,17 @@ object Layers {
   }
 
   /** Path variant of [[replacePartitions]]: dynamic partition overwrite on
-    * a parquet directory — only partitions present in `df` are rewritten. */
+    * a parquet directory — only partitions present in `df` are rewritten.
+    *
+    * The data is hash-clustered on the partition columns before writing:
+    * without it every task writes a sliver of every partition value it
+    * happens to hold — tasks × partitions small files, the layout that
+    * kills scan planning at scale. Clustered, each partition value lands
+    * in one task → one well-sized file (AQE rebalances skewed values). */
   def replacePartitionsPath(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(partitionCols.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
