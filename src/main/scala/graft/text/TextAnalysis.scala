@@ -141,6 +141,9 @@ object TextAnalysis {
     val docFreq = termFreq.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     termFreq.join(docFreq, "term")
+      // INTENTIONAL 1-row broadcast nested loop: attaching a scalar via
+      // crossJoin is exactly how Spark plans scalar subqueries — the
+      // build side is a single row, so the "nested loop" is one probe
       .crossJoin(broadcast(nDf))
       .withColumn("w", Fns.money(col("tf") * log(col("__n") / col("df"))))
       .groupBy(col("doc_id"))
