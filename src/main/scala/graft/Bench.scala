@@ -37,15 +37,21 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop caches BETWEEN passes too: queries that persist() internally
+        // must re-do their real work every timed pass, or the "median"
+        // measures pass 1 cold and passes 2..N warm-cache
+        spark.catalog.clearCache()
+        dt
       }.sorted
-      spark.catalog.clearCache() // queries that cache internally must not subsidize the next one
       name -> times
     }
+    // lower-middle element for even pass counts — never the max
+    def median(ts: Seq[Double]): Double = ts((ts.size - 1) / 2)
     results.foreach { case (name, ts) =>
-      System.err.println(f"[bench] $name%-28s median=${ts(ts.size / 2)}%8.3fs min=${ts.head}%8.3fs max=${ts.last}%8.3fs")
+      System.err.println(f"[bench] $name%-28s median=${median(ts)}%8.3fs min=${ts.head}%8.3fs max=${ts.last}%8.3fs")
     }
-    val medians = results.map { case (k, ts) => k -> ts(ts.size / 2) }
+    val medians = results.map { case (k, ts) => k -> median(ts) }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0

@@ -132,10 +132,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit SimHash per document: per-bit votes over distinct-token
-    * hashes (bit set in hash → +1, else −1), bit set in the output when
-    * the vote is positive. */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+  /** Unsorted per-doc fingerprints — shared by [[simhash]] (which adds
+    * the output ordering) and [[simhashPairs]] (which must not pay for a
+    * sort it immediately discards into a join). */
+  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", expr("array_distinct(split(text, ' '))"))
       .withColumn("th", expr(
@@ -149,7 +149,12 @@ object Dedup {
                       (acc, h) -> acc + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
                     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
                CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("simhash"))
-      .orderBy(col("doc_id"))
+
+  /** 32-bit SimHash per document: per-bit votes over distinct-token
+    * hashes (bit set in hash → +1, else −1), bit set in the output when
+    * the vote is positive. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(spark, dir).orderBy(col("doc_id"))
 
   /** SimHash near-duplicate PAIRS via pigeonhole banding: the 32-bit
     * fingerprint splits into 4 bands of 8 bits; any pair within Hamming
@@ -161,7 +166,11 @@ object Dedup {
     * Hamming budget d. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 8 bits are lossless only up to Hamming 3")
-    val sh = simhash(spark, dir)
+    // persisted like the other pair generators: the fingerprint relation
+    // feeds BOTH sides of the band self-join — without it the full
+    // tokenize+md5+bit-vote pipeline runs twice
+    val sh = simhashFingerprints(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3), b ->

@@ -91,6 +91,18 @@ object ExtractLoad {
       .withColumn("batch_id", lit(batchId))
     val n = delta.count() // count gate (reference :78,166)
     if (n > 0) {
+      // a retry can cross midnight: same work unit (batch_id) but a NEW
+      // ingestionDate — dynamic overwrite would leave the partial write
+      // under the old date in place and duplicate the delta. The work
+      // unit owns its batch_id everywhere: drop any leftover
+      // batch_id=<this> partition under a DIFFERENT ingestion_date first.
+      val base = new java.io.File(outDir)
+      Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("ingestion_date=") &&
+          d.getName != s"ingestion_date=$ingestionDate")
+        .map(d => new java.io.File(d, s"batch_id=$batchId"))
+        .filter(_.exists())
+        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
       Layers.replacePartitionsPath(delta, outDir, Seq("ingestion_date", "batch_id"))
       val wm = delta.agg(
         max(col(idCol)).cast("long"),

@@ -58,14 +58,19 @@ object Scd2 {
   }
 
   /** Hash attributes and keep ONE row per business key — latest by
-    * `cfg.recencyCol` (ties, or no recency column, broken by attr-hash so
-    * the pick is deterministic). The reference dedups latest-per-key the
-    * same way before its merge (`dags/product.py:174-180`); without it a
-    * batch carrying two rows for one key would open two is_current=true
+    * `cfg.recencyCol`; ties (or no recency column) break by attr-hash,
+    * then by a hash over EVERY column, so the pick is deterministic even
+    * when duplicate rows agree on all tracked columns but differ in an
+    * untracked one. The reference dedups latest-per-key the same way
+    * before its merge (`dags/product.py:174-180`); without it a batch
+    * carrying two rows for one key would open two is_current=true
     * versions and break the ≤1-current-per-key invariant. */
   private def hashAndDedup(src: DataFrame, cfg: Config): DataFrame = {
+    val allColsHash = md5(concat_ws("",
+      src.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
     val dedupOrder: Seq[Column] =
-      cfg.recencyCol.map(c => col(c).desc_nulls_last).toSeq :+ col(cfg.hashCol).desc
+      cfg.recencyCol.map(c => col(c).desc_nulls_last).toSeq ++
+        Seq(col(cfg.hashCol).desc, allColsHash.desc)
     src.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -84,13 +89,6 @@ object Scd2 {
       .withColumn(cfg.currentCol, lit(true))
   }
 
-  /** Incremental SCD2 merge: detect new/changed source rows by hash-diff
-    * against current versions (reference `dags/product.py:276-302`), expire
-    * superseded versions (`:325-346`), and append new versions with
-    * surrogate keys continuing after max(sk) (`:349-361`).
-    *
-    * `dim` must be a prior [[initialLoad]]/[[applyChanges]] output; `src`
-    * carries the business key + tracked columns. */
   /** Point-in-time snapshot of an SCD2 dimension: the version of each
     * business key that was current ON `asOfDate` — effective ≤ date <
     * expiry (open versions have null expiry). The "time travel" read
@@ -103,6 +101,13 @@ object Scd2 {
       (col(cfg.expiryCol).isNull || col(cfg.expiryCol) > d))
   }
 
+  /** Incremental SCD2 merge: detect new/changed source rows by hash-diff
+    * against current versions (reference `dags/product.py:276-302`), expire
+    * superseded versions (`:325-346`), and append new versions with
+    * surrogate keys continuing after max(sk) (`:349-361`).
+    *
+    * `dim` must be a prior [[initialLoad]]/[[applyChanges]] output; `src`
+    * carries the business key + tracked columns. */
   def applyChanges(dim: DataFrame, src: DataFrame, cfg: Config, asOfDate: String): DataFrame = {
     val spark = dim.sparkSession
     val k = cfg.businessKey

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Aggregator
@@ -67,10 +67,10 @@ case class TopKByAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKByAgg.Heap] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) => v
-    case _ => throw new IllegalArgumentException("topk_by: k must be an int literal")
-  }
+  // any foldable int expression works (constant folding may not have
+  // collapsed it to a Literal yet); validity is enforced at analysis in
+  // checkInputDataTypes, so evaluation here cannot throw at runtime
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
 
   override def children: Seq[Expression] = Seq(ord, payload, kExpr)
   override def nullable: Boolean = false
@@ -78,12 +78,17 @@ case class TopKByAgg(
     StructField("ord", DoubleType), StructField("payload", LongType))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (ord.dataType == DoubleType && payload.dataType == LongType &&
-        kExpr.foldable && kExpr.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"topk_by expects (double, bigint, int literal), got " +
-        s"(${ord.dataType.simpleString}, ${payload.dataType.simpleString}, ${kExpr.dataType.simpleString})")
+    if (!(ord.dataType == DoubleType && payload.dataType == LongType &&
+        kExpr.foldable && kExpr.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by expects (double, bigint, int literal), got " +
+          s"(${ord.dataType.simpleString}, ${payload.dataType.simpleString}, ${kExpr.dataType.simpleString})")
+    else kExpr.eval() match {
+      // reject k < 1 at ANALYSIS — a zero-capacity heap would NPE on its
+      // first offer at execution time
+      case v: Int if v >= 1 => TypeCheckResult.TypeCheckSuccess
+      case v => TypeCheckResult.TypeCheckFailure(s"topk_by: k must be >= 1, got $v")
+    }
 
   override def createAggregationBuffer(): TopKByAgg.Heap = new TopKByAgg.Heap(k)
 

@@ -42,11 +42,16 @@ object AsOf {
       payload: Map[String, String],
       rightTieBreak: Option[String] = None): DataFrame = {
     val lCols = left.columns
+    // the tie-break keeps its NATURAL type — casting to string would
+    // order numeric versions lexicographically ("9" > "10") and carry the
+    // older row's payload forward
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(null).cast("string"))
-    val tie = rightTieBreak.map(c => col(c).cast("string"))
+      .withColumn("__tie", lit(null).cast(tieType))
+    val tie = rightTieBreak.map(c => col(c))
       .getOrElse(md5(concat_ws("", payload.keys.toSeq.map(c => col(c).cast("string")): _*)))
     val r0 = payload.foldLeft(
         right.select((Seq(col(key), col(rightTs).as("__ts"), tie.as("__tie")) ++

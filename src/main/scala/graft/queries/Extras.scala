@@ -296,6 +296,11 @@ object Extras {
     * defect (`dags/sales.py:102-106`) would double every count here. */
   def idempotentReload(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_idem_${math.abs(dir.hashCode)}"
+    // clean slate: dynamic overwrite only replaces partitions present in
+    // the current load, so stale partitions from an older fixture at the
+    // same path would otherwise survive and pollute the aggregate
+    val outDir = new java.io.File(out)
+    if (outDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outDir)
     val src = Tables.orders(spark, dir)
       .withColumn("ingestion_month",
         date_format(col("o_orderdate"), "yyyyMM").cast("int"))

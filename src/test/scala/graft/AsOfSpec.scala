@@ -31,6 +31,19 @@ class AsOfSpec extends SparkSpec {
     assert(got.sameElements(Array(-1L, 100L, 100L, 200L, -1L)))
   }
 
+  test("numeric tie-break at equal (key, ts): version 10 beats version 9") {
+    // "9" > "10" lexicographically — a string-cast tie-break would carry
+    // the OLD version's payload; the natural numeric order must win
+    val left = Seq((1L, 10L, ts("2024-01-01 02:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (9L, 10L, ts("2024-01-01 01:00:00"), "old"),
+      (10L, 10L, ts("2024-01-01 01:00:00"), "new")
+    ).toDF("version", "k", "rt", "payload")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt",
+      Map("payload" -> "p"), rightTieBreak = Some("version")).collect()
+    assert(out.length == 1 && out(0).getAs[String]("p") == "new")
+  }
+
   test("as-of join preserves left row count (left-outer semantics)") {
     val ev = Tables.events(spark, sf)
     val out = graft.queries.Extras.eventsAsOfSignup(spark, sf)

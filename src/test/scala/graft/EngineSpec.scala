@@ -198,6 +198,21 @@ class LayersSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == ev.count())
   }
 
+  test("retry across midnight: same work unit under a new ingestion date does not duplicate") {
+    val tmp = java.nio.file.Files.createTempDirectory("idem2").toString
+    val ckpt = s"$tmp/ckpt"; val out = s"$tmp/bronze"
+    val ev = Tables.events(spark, sf)
+    val n1 = ExtractLoad.run(spark, ev, "events", "event_id", "ts", ckpt, out, "2024-02-01")
+    assert(n1 == ev.count())
+    // checkpoint save lost; the scheduler retries AFTER midnight — same
+    // work unit (batch_id), different ingestion_date. The old partial
+    // partition must be dropped, not left to duplicate every row.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val n2 = ExtractLoad.run(spark, ev, "events", "event_id", "ts", ckpt, out, "2024-02-02")
+    assert(n2 == n1)
+    assert(spark.read.parquet(out).count() == ev.count())
+  }
+
   test("createExternal: LOCATION table over existing files; DROP keeps the data") {
     Layers.createAll(spark)
     val tmp = java.nio.file.Files.createTempDirectory("ext").toString

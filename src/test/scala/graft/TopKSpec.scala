@@ -49,11 +49,15 @@ class TopKByAggSpec extends SparkSpec {
     assert(out(2L) == Seq(2L))       // group smaller than k → all rows
   }
 
-  test("k=0 and null ord rows are handled") {
+  test("null ord rows are skipped; k < 1 is rejected at analysis") {
     TopKByAgg.register(spark)
     val df = Seq((1L, Some(5.0), 1L), (1L, None, 2L)).toDF("k", "v", "id")
     val out = df.groupBy(col("k")).agg(expr("topk_by(v, id, 5)").as("t"))
       .select(expr("size(t)")).collect()(0).getInt(0)
     assert(out == 1) // null ord skipped
+    val e = intercept[Exception] {
+      df.groupBy(col("k")).agg(expr("topk_by(v, id, 0)").as("t")).collect()
+    }
+    assert(e.getMessage.contains("k must be >= 1"), e.getMessage)
   }
 }
