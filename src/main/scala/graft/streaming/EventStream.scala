@@ -186,6 +186,27 @@ object EventStream {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Exactly-once streaming FACT load: every micro-batch lands in its
+    * own `batch_id=<epoch>` partition through the idempotent dynamic
+    * overwrite ([[graft.engine.Layers.replacePartitionsPath]]). After a
+    * crash between the data write and the checkpoint commit, the engine
+    * replays the same epoch — which REPLACES its own partition instead
+    * of appending, so the at-least-once replay becomes exactly-once
+    * output. The streaming twin of the batch loader's
+    * (ingestion_date, batch_id) contract, and the streaming fix for the
+    * reference's fact append-duplication (`dags/sales.py:102-106`). */
+  def factSink(events: DataFrame, outDir: String, checkpoint: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val writer = events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.Layers.replacePartitionsPath(
+          batch.withColumn("batch_id", lit(batchId)), outDir, Seq("batch_id"))
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Latest dimension version strictly before `beforeBatch` (None if no
     * version exists yet). */
   def latestDimVersion(spark: SparkSession, dimBase: String,

@@ -108,6 +108,34 @@ class StreamingDepthSpec extends SparkSpec {
     assert(batch == Set((1L, 2L), (4L, 6L)))
   }
 
+  test("streaming fact sink: restart adds nothing, epoch replay replaces not appends") {
+    val tmp = java.nio.file.Files.createTempDirectory("factsink").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(in)
+    val n = ev.count()
+
+    val q1 = EventStream.factSink(
+      EventStream.readEventsStream(spark, in, spark.read.parquet(in).schema), out, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == n)
+
+    // restart against the SAME checkpoint with no new input: all epochs
+    // already committed → nothing is re-emitted
+    val q2 = EventStream.factSink(
+      EventStream.readEventsStream(spark, in, spark.read.parquet(in).schema), out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == n)
+
+    // simulated crash-replay of a committed epoch: re-running its write
+    // REPLACES the batch partition, so output is unchanged (an append
+    // sink would double it)
+    val batch0 = spark.read.parquet(out).filter(col("batch_id") === 0)
+    assert(batch0.count() > 0)
+    graft.engine.Layers.replacePartitionsPath(batch0, out, Seq("batch_id"))
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("stream-stream join on the fixture produces attributable purchases") {
     val out = EventStream.clickPurchaseJoin(Tables.events(spark, sf))
     assert(out.count() > 0)
