@@ -96,13 +96,11 @@ object ExtractLoad {
       // under the old date in place and duplicate the delta. The work
       // unit owns its batch_id everywhere: drop any leftover
       // batch_id=<this> partition under a DIFFERENT ingestion_date first.
-      val base = new java.io.File(outDir)
-      Option(base.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("ingestion_date=") &&
+      Fs.listDirs(spark, outDir)
+        .filter(d => d.getName.startsWith("ingestion_date=") &&
           d.getName != s"ingestion_date=$ingestionDate")
-        .map(d => new java.io.File(d, s"batch_id=$batchId"))
-        .filter(_.exists())
-        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+        .map(d => s"$d/batch_id=$batchId")
+        .foreach(Fs.deleteDir(spark, _))
       Layers.replacePartitionsPath(delta, outDir, Seq("ingestion_date", "batch_id"))
       val wm = delta.agg(
         max(col(idCol)).cast("long"),

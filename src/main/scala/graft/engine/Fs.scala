@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Storage-portable filesystem primitives, resolved through the Hadoop
+  * FileSystem API so every production path works identically on
+  * `file://`, `hdfs://` and `s3a://` — the reference stores everything on
+  * S3A (`spark/conf/spark-defaults.conf:3-10`), where `java.io.File`
+  * would silently no-op (a listFiles() returning null looks exactly like
+  * "nothing to clean up").
+  *
+  * Each call resolves the owning FileSystem from the path URI plus the
+  * session's `hadoopConfiguration`, so mixed-scheme deployments (local
+  * checkpoints, object-store data) behave correctly per path.
+  */
+object Fs {
+
+  def resolve(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Immediate subdirectories of `path`; empty if the path is missing.
+    * (FileSystem.listStatus throws on a missing dir — unlike
+    * java.io.File's null — so the existence guard is explicit.) */
+  def listDirs(spark: SparkSession, path: String): Seq[Path] = {
+    val (fs, p) = resolve(spark, path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.filter(_.isDirectory).map(_.getPath)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = resolve(spark, path)
+    fs.exists(p)
+  }
+
+  /** Recursive delete; true iff something was removed. */
+  def deleteDir(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = resolve(spark, path)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** Atomic directory move (HDFS/local rename; S3A's best-effort
+    * equivalent). Creates the destination's parent first — Hadoop rename
+    * fails, rather than creates, missing parents. */
+  def rename(spark: SparkSession, from: String, to: String): Boolean = {
+    val (fs, src) = resolve(spark, from)
+    val dst = new Path(to)
+    fs.mkdirs(dst.getParent)
+    fs.rename(src, dst)
+  }
+}

@@ -60,8 +60,8 @@ object Layers {
       // debris from a failed earlier create — clear it or saveAsTable
       // refuses with LOCATION_ALREADY_EXISTS
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-      val loc = new java.io.File(spark.sessionState.catalog.defaultTablePath(ident))
-      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      Fs.deleteDir(spark,
+        spark.sessionState.catalog.defaultTablePath(ident).toString)
       df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
         .format("parquet").saveAsTable(table)
     } else {
@@ -81,21 +81,77 @@ object Layers {
     }
   }
 
-  /** Path variant of [[replacePartitions]]: dynamic partition overwrite on
-    * a parquet directory — only partitions present in `df` are rewritten.
-    *
-    * The data is hash-clustered on the partition columns before writing:
-    * without it every task writes a sliver of every partition value it
-    * happens to hold — tasks × partitions small files, the layout that
-    * kills scan planning at scale. Clustered, each partition value lands
-    * in one task → one well-sized file (AQE rebalances skewed values). */
+  /** Path variant of [[replacePartitions]]: only partitions present in
+    * `df` are rewritten — and each is published ATOMICALLY (see
+    * [[replacePartitionsAtomic]], which this delegates to). */
   def replacePartitionsPath(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(df.col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    replacePartitionsAtomic(df, path, partitionCols)
+
+  /** Atomic dynamic partition overwrite — the minimal stand-in for the
+    * transactional commit the reference gets from Delta's log
+    * (`trino_scripts/dim_product.sql:35-36` `USING DELTA`; no Delta jars
+    * locally, SURVEY.md §7.5.3). Spark's own dynamic overwrite deletes
+    * matching partitions before moving new files in, so a mid-write crash
+    * leaves a torn partition visible to concurrent readers. Here:
+    *
+    *  1. the batch is written complete to `_staging-<uuid>/` under the
+    *     table root — a `_`-prefixed dir, invisible to Spark readers;
+    *  2. each staged leaf partition is published by directory RENAME
+    *     (old moved to `_trash-<uuid>/`, new renamed into place) — atomic
+    *     on HDFS/local, so a reader sees each partition fully-old or
+    *     fully-new, never half-written files;
+    *  3. staging + trash are removed.
+    *
+    * A crash before publish leaves the target untouched; a crash mid-
+    * publish leaves every partition individually consistent (some old,
+    * some new) and the retry of the same batch — all loaders here key
+    * batches to their partitions — converges to all-new. Orphaned
+    * `_staging-*`/`_trash-*` dirs from a crash are inert to readers.
+    *
+    * The data is REBALANCE-hinted on the partition columns before the
+    * staging write: plain `repartition(cols)` funnels a constant-valued
+    * partition column (e.g. the streaming fact sink's single `batch_id`)
+    * through ONE task, and hash-clustering alone leaves skewed values as
+    * one giant file; the rebalance hint lets AQE split oversized values
+    * across tasks while still clustering — no tasks×partitions small
+    * files, no single-task writes.
+    *
+    * `beforePublish`/`onPublish` are failure-injection seams for the
+    * crash-consistency spec (default no-ops). */
+  def replacePartitionsAtomic(df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      beforePublish: () => Unit = () => (),
+      onPublish: String => Unit = _ => ()): Unit = {
+    val spark = df.sparkSession
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$path/_staging-$uuid"
+    val trash = s"$path/_trash-$uuid"
+    try {
+      // the hint resolver accepts only UNresolved attributes as params
+      df.hint("rebalance", partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(staging)
+      beforePublish()
+      // relative leaf partition dirs, depth = number of partition columns
+      def leaves(dir: String, depth: Int): Seq[String] =
+        if (depth == 0) Seq(dir)
+        else Fs.listDirs(spark, s"$staging/$dir").map(_.getName)
+          .filterNot(_.startsWith("_"))
+          .flatMap(n => leaves(if (dir.isEmpty) n else s"$dir/$n", depth - 1))
+      for (rel <- leaves("", partitionCols.size).sorted) { // deterministic publish order
+        onPublish(rel)
+        val leaf = s"$staging/$rel"
+        val target = s"$path/$rel"
+        if (Fs.exists(spark, target)) Fs.rename(spark, target, s"$trash/$rel")
+        Fs.rename(spark, leaf, target)
+      }
+    } finally {
+      Fs.deleteDir(spark, staging)
+      Fs.deleteDir(spark, trash)
+    }
+  }
 
   /** S13: INSERT INTO an existing table (reference `create_dim_date.sql:24`). */
   def insertInto(df: DataFrame, table: String): Unit =

@@ -299,8 +299,7 @@ object Extras {
     // clean slate: dynamic overwrite only replaces partitions present in
     // the current load, so stale partitions from an older fixture at the
     // same path would otherwise survive and pollute the aggregate
-    val outDir = new java.io.File(out)
-    if (outDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outDir)
+    graft.engine.Fs.deleteDir(spark, out)
     val src = Tables.orders(spark, dir)
       .withColumn("ingestion_month",
         date_format(col("o_orderdate"), "yyyyMM").cast("int"))

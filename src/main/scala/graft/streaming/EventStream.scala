@@ -211,9 +211,8 @@ object EventStream {
     * version exists yet). */
   def latestDimVersion(spark: SparkSession, dimBase: String,
       beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
-    val base = new java.io.File(dimBase)
-    val versions = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    val versions = graft.engine.Fs.listDirs(spark, dimBase)
+      .filter(_.getName.startsWith("v"))
       .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
       .filter(_ < beforeBatch)
     if (versions.isEmpty) None

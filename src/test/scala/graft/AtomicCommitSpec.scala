@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine.{ExtractLoad, Fs, Layers}
+
+/** A fake URI scheme backed by the local filesystem — proves the engine's
+  * filesystem ops resolve through the Hadoop FileSystem API by scheme
+  * (the way `s3a://` would) instead of assuming `java.io.File`. */
+class FakeScheme extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("fake:///")
+}
+
+/** Crash-consistency of the atomic partition-replace commit — the minimal
+  * stand-in for Delta's transactional log (VERDICT r2 task #2): a killed
+  * write must never expose a torn partition to readers. */
+class AtomicCommitSpec extends SparkSpec {
+
+  private def mk(tag: Int) = {
+    import spark.implicits._
+    Seq.tabulate(60)(i => (i % 3 + 1, i.toLong, tag))
+      .toDF("p", "id", "version")
+  }
+
+  test("crash BEFORE publish: target completely untouched, no debris visible to readers") {
+    val out = Files.createTempDirectory("atomic1").toString
+    Layers.replacePartitionsAtomic(mk(0), out, Seq("p"))
+    val boom = intercept[RuntimeException] {
+      Layers.replacePartitionsAtomic(mk(1), out, Seq("p"),
+        beforePublish = () => throw new RuntimeException("crash before publish"))
+    }
+    assert(boom.getMessage.contains("crash before publish"))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 60)
+    assert(rows.filter(col("version") =!= 0).count() == 0) // all old
+    // staging/trash cleaned up — nothing but partition dirs at the root
+    assert(Fs.listDirs(spark, out).forall(_.getName.startsWith("p=")))
+  }
+
+  test("crash MID-publish: every partition fully old or fully new, never a mix; retry converges") {
+    val out = Files.createTempDirectory("atomic2").toString
+    Layers.replacePartitionsAtomic(mk(0), out, Seq("p"))
+    intercept[RuntimeException] {
+      Layers.replacePartitionsAtomic(mk(1), out, Seq("p"),
+        onPublish = rel => if (rel == "p=2") throw new RuntimeException("killed mid-publish"))
+    }
+    // p=1 published (sorted order), p=2 and p=3 still old — each complete
+    val byP = spark.read.parquet(out)
+      .groupBy("p").agg(count(lit(1)).as("n"), count_distinct(col("version")).as("nv"),
+        max("version").as("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(byP.values.forall { case (n, nv, _) => n == 20 && nv == 1 }) // complete + unmixed
+    assert(byP(1)._3 == 1 && byP(2)._3 == 0 && byP(3)._3 == 0)
+    // the batch retry (same keys) converges to all-new
+    Layers.replacePartitionsAtomic(mk(1), out, Seq("p"))
+    val after = spark.read.parquet(out)
+    assert(after.count() == 60 && after.filter(col("version") =!= 1).count() == 0)
+  }
+
+  test("nested partition columns publish leaf-atomically") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("atomic3").toString
+    val df = Seq.tabulate(40)(i => (i % 2, i % 5, i.toLong)).toDF("a", "b", "id")
+    Layers.replacePartitionsAtomic(df, out, Seq("a", "b"))
+    assert(spark.read.parquet(out).count() == 40)
+    // only the redelivered leaf (a=0,b=1) changes
+    val redo = Seq((0, 1, 999L)).toDF("a", "b", "id")
+    Layers.replacePartitionsAtomic(redo, out, Seq("a", "b"))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 37) // 40 - 4 + 1
+    assert(got.filter(col("a") === 0 && col("b") === 1).count() == 1)
+  }
+
+  test("cross-midnight extract-load retry stays idempotent on explicit file:// URIs") {
+    val tmp = Files.createTempDirectory("fsuri").toString
+    val ckpt = s"file://$tmp/ckpt"; val out = s"file://$tmp/bronze"
+    val ev = Tables.events(spark, sf)
+    val n1 = ExtractLoad.run(spark, ev, "events", "event_id", "ts", ckpt, out, "2024-02-01")
+    assert(n1 == ev.count())
+    // checkpoint save lost; retry lands after midnight — the stale
+    // batch partition under the old date must be dropped via the Hadoop
+    // FS API (java.io.File would silently no-op on a real scheme)
+    Fs.deleteDir(spark, ckpt)
+    val n2 = ExtractLoad.run(spark, ev, "events", "event_id", "ts", ckpt, out, "2024-02-02")
+    assert(n2 == n1)
+    assert(spark.read.parquet(out).count() == ev.count())
+  }
+
+  test("filesystem ops resolve by URI scheme (fake:// scheme honored)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.fake.impl", classOf[FakeScheme].getName)
+    val tmp = Files.createTempDirectory("fake").toString
+    Files.createDirectory(java.nio.file.Paths.get(tmp, "v1"))
+    Files.createDirectory(java.nio.file.Paths.get(tmp, "v2"))
+    val dirs = Fs.listDirs(spark, s"fake://$tmp")
+    assert(dirs.map(_.getName).toSet == Set("v1", "v2"))
+    assert(Fs.deleteDir(spark, s"fake://$tmp/v2"))
+    assert(!Fs.exists(spark, s"fake://$tmp/v2"))
+    assert(new java.io.File(s"$tmp/v1").exists()) // really the local dir underneath
+  }
+}
