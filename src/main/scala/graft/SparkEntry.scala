@@ -502,34 +502,45 @@ object SparkEntry {
       WHERE inter / (na + nb - inter) >= 0.9
       ORDER BY doc_a, doc_b
     """,
+    // 64-bit fingerprint: bits 0-31 vote on md5[1..8], bits 32-63 on
+    // md5[9..16]; bit 63 is spelled as the Long.MIN literal because
+    // DuckDB's `1 << 63` overflows where Spark's shiftleft wraps
     "dedup_simhash" -> """
       WITH th AS (
         SELECT doc_id,
                list_transform(list_distinct(string_split(text, ' ')),
-                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+                              t -> struct_pack(lo := ('0x' || substr(md5(t), 1, 8))::BIGINT,
+                                               hi := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS h
         FROM documents)
       SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, 32), j ->
+             CAST(list_sum(list_transform(range(0, 64), j ->
                CASE WHEN list_sum(list_transform(h, x ->
-                      CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+                      CASE WHEN ((CASE WHEN j < 32 THEN x.lo ELSE x.hi END) >> (j % 32)) & 1 = 1
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                          ELSE (1::BIGINT << j) END)
+                    ELSE 0::BIGINT END)) AS BIGINT) AS simhash
       FROM th ORDER BY doc_id
     """,
-    // Spark generates candidates by pigeonhole banding (lossless for
-    // Hamming ≤ 3); the oracle states the semantics as a plain
-    // Hamming-distance join over the same fingerprints
+    // Spark generates candidates by pigeonhole banding (8×8-bit bands,
+    // lossless for Hamming ≤ 7); the oracle states the semantics as a
+    // plain Hamming-distance join over the same fingerprints
     "dedup_simhash_pairs" -> """
       WITH th AS (
         SELECT doc_id,
                list_transform(list_distinct(string_split(text, ' ')),
-                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+                              t -> struct_pack(lo := ('0x' || substr(md5(t), 1, 8))::BIGINT,
+                                               hi := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS h
         FROM documents),
       sh AS (
         SELECT doc_id,
-               CAST(list_sum(list_transform(range(0, 32), j ->
+               CAST(list_sum(list_transform(range(0, 64), j ->
                  CASE WHEN list_sum(list_transform(h, x ->
-                        CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+                        CASE WHEN ((CASE WHEN j < 32 THEN x.lo ELSE x.hi END) >> (j % 32)) & 1 = 1
+                             THEN 1 ELSE -1 END)) > 0
+                      THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                            ELSE (1::BIGINT << j) END)
+                      ELSE 0::BIGINT END)) AS BIGINT) AS simhash
         FROM th)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

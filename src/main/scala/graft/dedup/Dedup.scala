@@ -134,38 +134,48 @@ object Dedup {
 
   /** Unsorted per-doc fingerprints — shared by [[simhash]] (which adds
     * the output ordering) and [[simhashPairs]] (which must not pay for a
-    * sort it immediately discards into a join). */
+    * sort it immediately discards into a join).
+    *
+    * 64-bit (VERDICT r2 #5 — at ≫2³² docs a 32-bit simhash fabricates
+    * near-dup pairs by birthday collision; production simhash is 64-bit).
+    * Each token contributes 64 independent bits taken from two 32-bit
+    * md5 halves (a single `conv` of 16 hex chars overflows BIGINT on
+    * both engines, so bits 0-31 come from md5[1..8], bits 32-63 from
+    * md5[9..16]). Bit 63 makes the fingerprint negative by design —
+    * the banding mask (`& 255`) and `bit_count(xor)` are sign-safe. */
   private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", expr("array_distinct(split(text, ' '))"))
       .withColumn("th", expr(
-        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+        """transform(toks, t -> named_struct(
+           'lo', CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT),
+           'hi', CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT)))"""))
       .select(
         col("doc_id"),
         expr(
           """aggregate(
-               transform(sequence(0, 31), j ->
+               transform(sequence(0, 63), j ->
                  IF(aggregate(th, 0,
-                      (acc, h) -> acc + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+                      (acc, h) -> acc + IF((shiftright(IF(j < 32, h.lo, h.hi), j % 32) & 1) = 1, 1, -1)) > 0,
                     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
                CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("simhash"))
 
-  /** 32-bit SimHash per document: per-bit votes over distinct-token
+  /** 64-bit SimHash per document: per-bit votes over distinct-token
     * hashes (bit set in hash → +1, else −1), bit set in the output when
     * the vote is positive. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashFingerprints(spark, dir).orderBy(col("doc_id"))
 
-  /** SimHash near-duplicate PAIRS via pigeonhole banding: the 32-bit
-    * fingerprint splits into 4 bands of 8 bits; any pair within Hamming
-    * distance ≤ 3 must agree on at least one whole band (4 bands, ≤3
+  /** SimHash near-duplicate PAIRS via pigeonhole banding: the 64-bit
+    * fingerprint splits into 8 bands of 8 bits; any pair within Hamming
+    * distance ≤ 7 must agree on at least one whole band (8 bands, ≤7
     * differing bits), so the band-bucket equi-join is a LOSSLESS
     * candidate generator — no all-pairs comparison — and the exact
     * `bit_count(xor)` check keeps only true matches. The classic
     * fingerprint-blocking scheme; generalizes to d+1 bands for any
     * Hamming budget d. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 bands of 8 bits are lossless only up to Hamming 3")
+    require(maxHamming <= 7, "8 bands of 8 bits are lossless only up to Hamming 7")
     // persisted like the other pair generators: the fingerprint relation
     // feeds BOTH sides of the band self-join — without it the full
     // tokenize+md5+bit-vote pipeline runs twice
@@ -178,7 +188,7 @@ object Dedup {
     // carried inline than re-joined onto millions of candidate rows
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
-        """transform(sequence(0, 3), b ->
+        """transform(sequence(0, 7), b ->
            named_struct('band', b, 'key', shiftright(simhash, b * 8) & 255))""")).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.key").as("key"))
@@ -280,6 +290,9 @@ object Dedup {
     *   recover recall. Must be ≤ the embedding dimension. */
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.2,
       nPlanes: Int = 8): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (embedding dim; got $nPlanes) — " +
+        "element_at past the vector end throws under ANSI mode")
     val e = Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("bucket", expr(
@@ -315,6 +328,9 @@ object Dedup {
     * symmetric, the join is not. */
   def embeddingPairsMultiProbe(spark: SparkSession, dir: String,
       threshold: Double = 0.2, nPlanes: Int = 8): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (embedding dim; got $nPlanes) — " +
+        "element_at past the vector end throws under ANSI mode")
     val e = Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("bucket", expr(

@@ -36,13 +36,30 @@ class DedupSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
-  test("simhash: 32-bit range and determinism") {
+  test("simhash: 64-bit (uses bits above 32) and deterministic") {
     val a = Dedup.simhash(spark, sf).collect()
     val b = Dedup.simhash(spark, sf).collect()
     assert(a.sameElements(b))
-    assert(a.forall { r =>
-      val s = r.getAs[Long]("simhash"); s >= 0L && s < (1L << 32)
-    })
+    // a genuine 64-bit fingerprint populates the upper half (a 32-bit
+    // one — the r2 defect — never would); some docs should even carry
+    // bit 63 (negative long)
+    val vals = a.map(_.getAs[Long]("simhash"))
+    assert(vals.exists(s => (s >>> 32) != 0L), "upper 32 bits never set")
+    assert(vals.exists(_ < 0L), "bit 63 never set")
+  }
+
+  test("simhash pigeonhole banding lossless to Hamming 7 (8 bands x 8 bits)") {
+    // banding at maxHamming=7 must equal the all-pairs Hamming join
+    import spark.implicits._
+    val sh = Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val exact = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashPairs(spark, sf, maxHamming = 7).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(banded == exact)
   }
 
   test("embedding pairs: cosine within [-1,1] and bucket-consistent") {
@@ -146,10 +163,41 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= 0.8, s"recall@5 with 8/10 lists probed = $r8")
   }
 
+  test("knn brute force: chunked broadcast equals single-broadcast result") {
+    // VERDICT r2 #7: a query set bigger than one broadcast must split
+    // into bounded chunks without changing the answer
+    val whole = Similarity.knnBruteForce(spark, sf, k = 3).collect()
+    val chunked = Similarity.knnBruteForce(spark, sf, k = 3, queryChunkRows = 2).collect()
+    assert(whole.length > 0 && chunked.toSeq == whole.toSeq)
+  }
+
   test("kmeans quantizer: 10 non-empty clusters, exhaustive cover, no label read") {
     val cents = Similarity.kmeansFit(spark, sf, k = 10, iters = 3)
     assert(cents.size == 10 && cents.map(_.cid).distinct.size == 10)
     assert(cents.forall(c => c.c.length == 64 && c.cn2 > 0))
+  }
+
+  test("kmeans at k=64: centroids off the task binary (broadcast, no array literal), deterministic") {
+    // VERDICT r2 #4: the quantizer state must ship as a broadcast block,
+    // not as a typedLit embedded in every serialized task
+    val a = Similarity.kmeansFit(spark, sf, k = 64, iters = 2)
+    val b = Similarity.kmeansFit(spark, sf, k = 64, iters = 2)
+    assert(a == b, "k=64 fit not deterministic")
+    assert(a.map(_.cid).distinct.size == a.size && a.size > 32)
+    // the query plan carries NO array-of-struct literal (the old typedLit
+    // form) and DOES route the centroids through a broadcast exchange
+    val q = Similarity.knnIvf(spark, sf, k = 3, nprobe = 2, nClusters = 64, iters = 1)
+    val optimized = q.queryExecution.optimizedPlan
+    val bigLiterals = optimized.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+              l.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+                .elementType.isInstanceOf[org.apache.spark.sql.types.StructType] => l
+      })
+    assert(bigLiterals.isEmpty, s"centroid literals still in plan: ${bigLiterals.size}")
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    assert(q.count() > 0)
   }
 }
 
