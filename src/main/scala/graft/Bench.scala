@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * 86.6s driver vs 28.9s steady-state for identical code). The JSON line
   * keeps the driver contract shape; per-query min/max spread goes to
   * stderr so the stdout line stays a single parseable JSON object.
+  *
+  * Failure handling (VERDICT r2 #9 + advisor): a throwing query records a
+  * `-1` sentinel median (never a flattering ~0s), is listed under
+  * `"failed"`, and the process exits nonzero. The JSON line is printed
+  * AFTER the per-query stderr block and duplicated to `BENCH_TOTAL.json`
+  * so a truncated log tail still yields a parseable total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,13 +37,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        // a failing query must be LOUD — silently recording its ~0s
-        // "time" would flatter the total while correctness burns
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a failing query must be LOUD — a NaN pass poisons the median
+        // into the -1 sentinel instead of flattering the total
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         // drop caches BETWEEN passes too: queries that persist() internally
         // must re-do their real work every timed pass, or the "median"
         // measures pass 1 cold and passes 2..N warm-cache
@@ -46,16 +54,31 @@ object Bench {
       }.sorted
       name -> times
     }
-    // lower-middle element for even pass counts — never the max
-    def median(ts: Seq[Double]): Double = ts((ts.size - 1) / 2)
+    // lower-middle element for even pass counts — never the max; any
+    // failed pass makes the whole query a -1 sentinel
+    def median(ts: Seq[Double]): Double =
+      if (ts.exists(_.isNaN)) -1.0 else ts((ts.size - 1) / 2)
     results.foreach { case (name, ts) =>
       System.err.println(f"[bench] $name%-28s median=${median(ts)}%8.3fs min=${ts.head}%8.3fs max=${ts.last}%8.3fs")
     }
     val medians = results.map { case (k, ts) => k -> median(ts) }
+    val failed = medians.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stdout AFTER the stderr block, plus a file copy the driver can read
+    // even when the log tail truncates
+    println(line)
+    try {
+      val w = new java.io.PrintWriter("BENCH_TOTAL.json")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_TOTAL.json: ${e.getMessage}")
+    }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -37,6 +37,7 @@ object SparkEntry {
     "scd2_initial"       -> ((s, d) => Scd2Queries.initial(s, d)),
     "scd2_upsert"        -> ((s, d) => Scd2Queries.upsert(s, d)),
     "scd2_snapshot"      -> ((s, d) => Scd2Queries.snapshot(s, d)),
+    "fact_dim_asof"      -> ((s, d) => Scd2Queries.factDimAsOf(s, d)),
     "xml_shred"          -> ((s, d) => XmlShred.shred(s, d)),
     "xml_shred_full"     -> ((s, d) => XmlShred.shredFull(s, d)),
     "incremental_extract"-> ((s, d) => Events.incrementalExtract(s, d)),
@@ -397,6 +398,59 @@ object SparkEntry {
       WHERE effective_date <= DATE '2024-07-01'
         AND (expiry_date IS NULL OR expiry_date > DATE '2024-07-01')
       ORDER BY surrogate_key
+    """,
+    // same merge pipeline, then each fact line joins the dim version
+    // current on its (order-month-parity-derived) as-of date
+    "fact_dim_asof" -> """
+      WITH base AS (
+        SELECT p_partkey AS part_key, p_name, p_brand, p_type, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM part),
+      dim0 AS (
+        SELECT row_number() OVER (ORDER BY part_key) AS surrogate_key, base.*,
+               md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM base),
+      src AS (
+        SELECT part_key, p_name, p_brand, p_type, p_size,
+               CASE WHEN part_key % 7 = 0 THEN price_cents + 100 ELSE price_cents END AS price_cents
+        FROM base
+        UNION ALL
+        SELECT part_key + 1000000, p_name || '_v2', p_brand, p_type, p_size, price_cents
+        FROM base WHERE part_key % 50 = 0),
+      srch AS (
+        SELECT src.*, md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM src),
+      changed AS (
+        SELECT s.* FROM srch s LEFT JOIN dim0 d USING (part_key)
+        WHERE d.part_key IS NULL OR d.attr_hash <> s.attr_hash),
+      old_rows AS (
+        SELECT d.part_key, d.p_brand, d.price_cents,
+               DATE '2024-01-01' AS effective_date,
+               CASE WHEN c.part_key IS NOT NULL THEN DATE '2024-06-01'
+                    ELSE CAST(NULL AS DATE) END AS expiry_date
+        FROM dim0 d LEFT JOIN (SELECT DISTINCT part_key FROM changed) c USING (part_key)),
+      new_rows AS (
+        SELECT part_key, p_brand, price_cents,
+               DATE '2024-06-01' AS effective_date,
+               CAST(NULL AS DATE) AS expiry_date
+        FROM changed),
+      merged AS (SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows),
+      fact AS (
+        SELECT l.l_partkey AS part_key, CAST(l.l_quantity AS BIGINT) AS qty,
+               CASE WHEN month(o.o_orderdate) % 2 = 0 THEN DATE '2024-03-01'
+                    ELSE DATE '2024-07-01' END AS as_of
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT f.as_of, d.p_brand,
+             count(*) AS n_lines,
+             CAST(sum(d.price_cents * f.qty) AS BIGINT) AS dim_value_cents
+      FROM fact f JOIN merged d
+        ON f.part_key = d.part_key
+       AND d.effective_date <= f.as_of
+       AND (d.expiry_date IS NULL OR d.expiry_date > f.as_of)
+      GROUP BY 1, 2
+      ORDER BY 1, 2
     """,
     "xml_shred" -> """
       SELECT c_custkey AS customer_key, c_mktsegment AS segment,

@@ -51,8 +51,11 @@ object AsOf {
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast(tieType))
+    // nulls coalesce to "" (concat_ws SKIPS null args, so without it a
+    // null in one column is indistinguishable from the column missing)
     val tie = rightTieBreak.map(c => col(c))
-      .getOrElse(md5(concat_ws("", payload.keys.toSeq.map(c => col(c).cast("string")): _*)))
+      .getOrElse(md5(concat_ws("",
+        payload.keys.toSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))
     val r0 = payload.foldLeft(
         right.select((Seq(col(key), col(rightTs).as("__ts"), tie.as("__tie")) ++
           payload.keys.toSeq.map(col)): _*)) { case (df, (src, dst)) =>

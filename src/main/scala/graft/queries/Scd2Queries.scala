@@ -53,4 +53,40 @@ object Scd2Queries {
   def snapshot(spark: SparkSession, dir: String): DataFrame =
     Scd2.snapshotAsOf(upsert(spark, dir), cfg, "2024-07-01")
       .orderBy(col("surrogate_key"))
+
+  /** Fact ⋈ SCD2-dim AS-OF: every fact line joins the dimension version
+    * that was CURRENT on its as-of date — the consumer pattern SCD2
+    * exists for (the reference maintains its product dim,
+    * `dags/product.py:248-361`, precisely so facts can join the
+    * historically-correct version). Fixture order dates predate the dim
+    * timeline, so each line derives a deterministic as-of date from its
+    * order month parity: even months read the initial (2024-03-01)
+    * version, odd months the post-upsert (2024-07-01) one — every fact
+    * thus exercises version selection both before and after the merge
+    * (price-bumped parts resolve to DIFFERENT price_cents per branch).
+    *
+    * Plan shape at scale: equi-join on part_key with the validity range
+    * as a residual predicate; the dim is dwarfed by the fact side, so it
+    * broadcasts — the fact never shuffles (same contract as the star
+    * joins, pinned by PlanQualitySpec). */
+  def factDimAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val dim = upsert(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("as_of",
+        when(month(col("o_orderdate")) % 2 === 0, to_date(lit("2024-03-01")))
+          .otherwise(to_date(lit("2024-07-01"))))
+    fact.join(broadcast(dim),
+        col("l_partkey") === col("part_key") &&
+          col("effective_date") <= col("as_of") &&
+          (col("expiry_date").isNull || col("expiry_date") > col("as_of")))
+      .groupBy(col("as_of"), col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("price_cents") * col("qty")).as("dim_value_cents"))
+      .orderBy(col("as_of"), col("p_brand"))
+  }
 }
