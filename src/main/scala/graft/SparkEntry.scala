@@ -55,6 +55,8 @@ object SparkEntry {
     "knn_ivf"            -> ((s, d) => Similarity.knnIvf(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
+    "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
+    "decontaminate"      -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "token_counts"       -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "media_meta"         -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -797,6 +799,49 @@ object SparkEntry {
           CAST(length(text) AS INT) AS len_text
         FROM documents)
       ORDER BY doc_id
+    """,
+    // Gopher-style rules: ratios money-rounded for display, the boolean
+    // gate compares RAW int/int divisions (IEEE-identical cross-engine)
+    "gopher_quality" -> """
+      WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+      m AS (
+        SELECT doc_id, n_chars,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+               CAST(CASE WHEN len(toks) < 3 THEN 0 ELSE len(toks) - 2 END AS INT) AS n3,
+               CAST(len(list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(toks) - 1), i ->
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)) AS INT) AS d3
+        FROM t),
+      top AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2) GROUP BY 1)
+      SELECT m.doc_id, m.n_tokens,
+             floor(((n_chars - (n_tokens - 1)) / n_tokens) * 10000 + 0.5) / 10000 AS mean_token_len,
+             floor((n_distinct / n_tokens) * 10000 + 0.5) / 10000 AS distinct_ratio,
+             floor((CASE WHEN n3 > 0 THEN 1.0 - d3 / n3 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS dup3_ratio,
+             floor((top_c / n_tokens) * 10000 + 0.5) / 10000 AS top_token_ratio,
+             (n_tokens >= 20 AND (n_chars - (n_tokens - 1)) / n_tokens >= 3.0
+               AND (n_chars - (n_tokens - 1)) / n_tokens <= 10.0
+               AND n_distinct / n_tokens >= 0.45) AS passes
+      FROM m JOIN top USING (doc_id)
+      ORDER BY doc_id
+    """,
+    // inverted-index decontamination: shared 3-gram hashes vs the
+    // doc_id % 97 = 0 benchmark stand-in
+    "decontaminate" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                 ELSE list_transform(range(1, len(toks) - 1), i ->
+                   ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT) END)) AS g
+        FROM t),
+      bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id, count(DISTINCT s.g) AS n_shared
+      FROM sh s JOIN bench b USING (g)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY 1 ORDER BY 1
     """,
     // composite pipeline: exact-dedup → quality gate → hash split →
     // corpus summary, replayed stage-for-stage in SQL

@@ -142,23 +142,23 @@ object Dedup {
     * md5 halves (a single `conv` of 16 hex chars overflows BIGINT on
     * both engines, so bits 0-31 come from md5[1..8], bits 32-63 from
     * md5[9..16]). Bit 63 makes the fingerprint negative by design —
-    * the banding mask (`& 255`) and `bit_count(xor)` are sign-safe. */
-  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    * the banding mask (`& 255`) and `bit_count(xor)` are sign-safe.
+    *
+    * The bit-vote fold runs through the native codegen'd
+    * [[graft.functions.Simhash64]] expression: the equivalent
+    * `aggregate(transform(sequence(0,63), …))` HOF is interpreted
+    * per-lambda-call and measured 64-bit at ~2× the whole 32-bit
+    * pipeline's cost; the md5 halves stay in (codegen'd) `transform`s. */
+  private def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
     Tables.documents(spark, dir)
       .withColumn("toks", expr("array_distinct(split(text, ' '))"))
-      .withColumn("th", expr(
-        """transform(toks, t -> named_struct(
-           'lo', CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT),
-           'hi', CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT)))"""))
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(
-               transform(sequence(0, 63), j ->
-                 IF(aggregate(th, 0,
-                      (acc, h) -> acc + IF((shiftright(IF(j < 32, h.lo, h.hi), j % 32) & 1) = 1, 1, -1)) > 0,
-                    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-               CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("simhash"))
+      .withColumn("th_lo", expr(
+        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("th_hi", expr(
+        "transform(toks, t -> CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), expr("simhash64(th_lo, th_hi)").as("simhash"))
+  }
 
   /** 64-bit SimHash per document: per-bit votes over distinct-token
     * hashes (bit set in hash → +1, else −1), bit set in the output when

@@ -104,6 +104,76 @@ object TextAnalysis {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Gopher-style repetition/quality rules (Rae et al. 2021, §A1.1 —
+    * public paper, re-expressed): per-doc word count, mean token length,
+    * distinct-token ratio, duplicate-3-gram ratio, and top-token
+    * fraction, plus the boolean gate a pretraining pipeline filters on.
+    * Thresholds are fixture-calibrated so both outcomes occur.
+    *
+    * Scale shape: everything except the top-token fraction is a per-row
+    * HOF (no shuffle); the top-token count uses explode → two-level hash
+    * aggregate — the scalable form (per-row quadratic HOF scans are the
+    * trap for long documents). The gate compares RAW ratios (int/int
+    * IEEE division — bit-identical on any engine); reported columns are
+    * money-rounded for portability. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n_tokens", expr("size(toks)"))
+    val top = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    docs
+      .withColumn("n3", greatest(col("n_tokens") - 2, lit(0)))
+      .withColumn("d3", expr(
+        """size(array_distinct(CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2), i ->
+             concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                       element_at(toks, i + 2)))
+           END))"""))
+      .join(top, "doc_id")
+      .withColumn("mean_raw", (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
+      .withColumn("distinct_raw", expr("size(array_distinct(toks))") / col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        Fns.money(col("mean_raw")).as("mean_token_len"),
+        Fns.money(col("distinct_raw")).as("distinct_ratio"),
+        Fns.money(when(col("n3") > 0, lit(1.0) - col("d3") / col("n3"))
+          .otherwise(lit(0.0))).as("dup3_ratio"),
+        Fns.money(col("top_c") / col("n_tokens")).as("top_token_ratio"),
+        (col("n_tokens") >= 20 && col("mean_raw") >= 3.0 && col("mean_raw") <= 10.0 &&
+          col("distinct_raw") >= 0.45).as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 3-gram with the benchmark/eval set (here the deterministic
+    * `doc_id % 97 = 0` subset stands in for held-out eval data) — the
+    * n-gram-overlap decontamination step every serious pretraining corpus
+    * runs so evals aren't memorized.
+    *
+    * Scale shape: an inverted-index EQUI-join keyed on 60-bit shingle
+    * hashes (never doc×doc), with the benchmark side — small by
+    * definition — broadcast, so the corpus never shuffles. Output is one
+    * row per contaminated doc with its distinct shared-shingle count. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2), i ->
+             CAST(conv(substr(md5(concat_ws(' ',
+               element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
+               1, 15), 16, 10) AS BIGINT))
+           END)""")).as("g"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens
     * (letter runs / digit runs / single other chars), and the chars/4
     * estimate used for LLM budgeting. */

@@ -48,6 +48,29 @@ class ArrayOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 native expression equals the HOF bit-vote formulation") {
+    import org.apache.spark.sql.functions.expr
+    ArrayOps.register(spark)
+    // pseudo-random 32-bit halves, incl. empty and single-element docs
+    val rnd = new scala.util.Random(42)
+    val rows = (Seq.empty[Long] -> Seq.empty[Long]) +:
+      Seq.tabulate(50)(i => {
+        val n = 1 + rnd.nextInt(40)
+        (Seq.fill(n)(rnd.nextLong() & 0xFFFFFFFFL), Seq.fill(n)(rnd.nextLong() & 0xFFFFFFFFL))
+      })
+    import spark.implicits._
+    val df = rows.toDF("lo", "hi")
+    val out = df.select(
+      expr("simhash64(lo, hi)").as("fast"),
+      expr("""aggregate(
+                transform(sequence(0, 63), j ->
+                  IF(aggregate(zip_with(lo, hi, (l, h) -> named_struct('lo', l, 'hi', h)), 0,
+                       (acc, x) -> acc + IF((shiftright(IF(j < 32, x.lo, x.hi), j % 32) & 1) = 1, 1, -1)) > 0,
+                     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("ref")).collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("extensions class registers the function in a fresh session") {
     val ext = new GraftExtensions()
     // applying to the existing session's extension container isn't exposed;
