@@ -25,6 +25,10 @@ object MiniBench {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
     for (d <- dirs) {
+      // stage split (sf0.1 r3: signatures 0.2 s, candidate distinct is
+      // the rest — the operator is output-bound, per-pair cost flat)
+      time(s"minhash signatures $d")(graft.dedup.Dedup.signatureProbe(spark, d))
+      time(s"minhash candidates $d")(graft.dedup.Dedup.candidateProbe(spark, d))
       time(s"minhash $d")(graft.dedup.Dedup.minhashPairs(spark, d).count())
       time(s"ngram   $d")(graft.dedup.Dedup.ngramJaccardPairs(spark, d).count())
       time(s"knn_bf  $d")(graft.sim.Similarity.knnBruteForce(spark, d).count())

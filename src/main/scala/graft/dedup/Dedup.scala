@@ -132,6 +132,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Perf probes for MiniBench/SimBench (not part of the query surface):
+    * cost of the signature stage alone, and of candidate generation. */
+  private[graft] def signatureProbe(spark: SparkSession, dir: String): Long =
+    withSignature(Tables.documents(spark, dir))
+      .select(col("doc_id"), expr("element_at(sig, 1)").as("s1")).count()
+
+  private[graft] def candidateProbe(spark: SparkSession, dir: String): Long = {
+    val docs = withSignature(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("sig"))
+    val bands = docs.select(
+      col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${B - 1}), b -> named_struct(
+            'band', b,
+            'k1', element_at(sig, b * $R + 1), 'k2', element_at(sig, b * $R + 2),
+            'k3', element_at(sig, b * $R + 3), 'k4', element_at(sig, b * $R + 4)))"""))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
+        col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
+    bands.as("a").join(bands.as("b"), Seq("band", "k1", "k2", "k3", "k4"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().count()
+  }
+
   /** Unsorted per-doc fingerprints — shared by [[simhash]] (which adds
     * the output ordering) and [[simhashPairs]] (which must not pay for a
     * sort it immediately discards into a join).
