@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_clusters"     -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_embedding_multiprobe" -> ((s, d) => Dedup.embeddingPairsMultiProbe(s, d)),
     "knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -57,6 +58,8 @@ object SparkEntry {
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
     "decontaminate"      -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "stratified_sample"  -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "sequence_packing"   -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     "token_counts"       -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "media_meta"         -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -604,6 +607,42 @@ object SparkEntry {
         ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY doc_a, doc_b
     """,
+    // Spark resolves components by iterative hash-to-min propagation;
+    // the oracle states the semantics as recursive reachability over the
+    // same 64-bit-simhash Hamming-3 edge set
+    "dedup_clusters" -> """
+      WITH RECURSIVE th AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> struct_pack(lo := ('0x' || substr(md5(t), 1, 8))::BIGINT,
+                                               hi := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS h
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 64), j ->
+                 CASE WHEN list_sum(list_transform(h, x ->
+                        CASE WHEN ((CASE WHEN j < 32 THEN x.lo ELSE x.hi END) >> (j % 32)) & 1 = 1
+                             THEN 1 ELSE -1 END)) > 0
+                      THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                            ELSE (1::BIGINT << j) END)
+                      ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        FROM th),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT c.doc_id, c.cluster_id, s.cluster_size
+      FROM comp c JOIN sizes s USING (cluster_id)
+      ORDER BY c.doc_id
+    """,
     "dedup_ngram" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       sh AS (
@@ -842,6 +881,38 @@ object SparkEntry {
       FROM sh s JOIN bench b USING (g)
       WHERE s.doc_id % 97 <> 0
       GROUP BY 1 ORDER BY 1
+    """,
+    // language-balancing stratified sample: identical left-to-right
+    // float threshold arithmetic on both engines
+    "stratified_sample" -> """
+      WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      m AS (SELECT min(n_docs) AS mn FROM c),
+      k AS (
+        SELECT d.lang,
+               CASE WHEN (('0x' || substr(md5(d.text), 1, 15))::BIGINT) % 10000 <
+                         CAST(m.mn AS DOUBLE) / c.n_docs * 10000
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d JOIN c USING (lang) CROSS JOIN m)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_kept,
+             floor((CAST(sum(keep) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS kept_ratio
+      FROM k GROUP BY 1 ORDER BY 1
+    """,
+    // GPT-style packing: cut the doc_id-ordered token stream every 2048
+    // estimated tokens; the oracle's window states what the engine's
+    // two-pass distributed scan computes
+    "sequence_packing" -> """
+      WITH d AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens FROM documents),
+      s AS (
+        SELECT doc_id, est_tokens,
+               COALESCE(CAST(SUM(est_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        FROM d)
+      SELECT CAST(floor(off / 2048) AS BIGINT) AS bin_id,
+             count(*) AS n_docs,
+             CAST(sum(est_tokens) AS BIGINT) AS bin_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM s GROUP BY 1 ORDER BY 1
     """,
     // composite pipeline: exact-dedup → quality gate → hash split →
     // corpus summary, replayed stage-for-stage in SQL

@@ -229,6 +229,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-duplicate CLUSTER resolution: connected components over the
+    * [[simhashPairs]] edge set via hash-to-min label propagation —
+    * cluster id = smallest doc_id reachable through near-dup edges, so
+    * "keep one doc per cluster" becomes `filter(doc_id = cluster_id)`.
+    * The step a real dedup pipeline needs beyond PAIRS: transitive
+    * near-dups (A≈B≈C with A¬≈C) must still collapse to one survivor.
+    *
+    * Scale shape: the classic iterative-join CC (one shuffle join + one
+    * min-aggregate per iteration, O(graph diameter) iterations — near-dup
+    * graphs are clique-ish, so the diameter is small). The driver loop
+    * carries only the converged/changed count per iteration; labels stay
+    * distributed and the fixpoint is order-independent (min is
+    * commutative), hence deterministic on any cluster size. Singleton
+    * docs keep themselves as cluster id. */
+  def nearDupClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashPairs(spark, dir, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected propagation: each edge both ways
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "__n"), col("doc_b") === col("__n"))
+        .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(viaNeighbors, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "__old"), "doc_id")
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct word 3-gram shingles per doc. */
   private def withShingles(docs: DataFrame): DataFrame =
     docs

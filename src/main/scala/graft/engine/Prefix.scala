@@ -1,0 +1,44 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed EXCLUSIVE prefix sum over a long column in `orderCol`
+  * order — semantically `sum(value) OVER (ORDER BY ord ROWS BETWEEN
+  * UNBOUNDED PRECEDING AND 1 PRECEDING)`, but without the global-window
+  * trap: an unpartitioned WindowExec moves the entire dataset through ONE
+  * task (Spark itself warns), which is exactly what dies at 100 TB.
+  *
+  * Two-pass scheme (the classic parallel scan, same family as
+  * [[Scd2.assignIds]]): range-partition by the order column and sort
+  * within partitions; pass 1 reduces each partition to its local sum
+  * (numPartitions longs to the driver); pass 2 re-walks each partition
+  * adding its broadcast base offset. The sorted RDD is persisted
+  * (spill-safe) between the passes so both walk identical partitions. */
+object Prefix {
+
+  def exclusiveScan(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = total before partition i
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bc.value(i)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        row
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

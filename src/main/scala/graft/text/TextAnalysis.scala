@@ -235,6 +235,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), Fns.money(Fns.sumMoney(col("n_chars"))).as("total_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** Deterministic stratified down-sampling that BALANCES languages: each
+    * language keeps ~(smallest-language count / its count) of its docs,
+    * selected by content hash — the data-mixing step before pretraining
+    * (upweighting rare strata by downsampling dominant ones), fully
+    * reproducible across engines, runs and cluster sizes (no RNG).
+    *
+    * Scale shape: per-language counts are a tiny broadcast; the keep
+    * decision is a per-row hash compare, no shuffle beyond the final
+    * summary aggregate. The float threshold is computed with identical
+    * left-to-right arithmetic on both engines. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("__min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minN))
+      .withColumn("keep",
+        pmod(Fns.h64(col("text")), lit(10000)) <
+          col("__min").cast("double") / col("n_docs") * 10000)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio", Fns.money(col("n_kept") / col("n_docs")))
+      .orderBy(col("lang"))
+  }
+
+  /** GPT-style sequence packing: concatenate the corpus in doc_id order
+    * and cut every `budget` estimated tokens — each doc's bin is
+    * `floor(exclusive-prefix-token-offset / budget)`. Emits per-bin
+    * stats (docs starting in the bin, their token mass, doc range).
+    *
+    * The global running offset comes from [[graft.engine.Prefix]]'s
+    * two-pass distributed scan, NOT an unpartitioned window — the
+    * single-task global sort is the canonical 100 TB killer. */
+  def sequencePacking(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), ceil(col("n_chars") / lit(4.0)).cast("long").as("est_tokens"))
+    graft.engine.Prefix.exclusiveScan(docs, "doc_id", "est_tokens", "off")
+      .withColumn("bin_id", floor(col("off") / lit(budget)).cast("long"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("est_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin_id"))
+  }
+
   /** Winnowing fingerprints (local minima of rolling shingle hashes —
     * the standard document-fingerprint scheme): word 3-gram shingles →
     * 60-bit hashes → min per 4-window → distinct mins. Emits a per-doc

@@ -240,3 +240,37 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(merged.filter(col("r_comment").isNull).count() == v1.count())
   }
 }
+
+class PrefixScanSpec extends SparkSpec {
+  test("distributed exclusive scan equals the single-partition window cumsum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ((i * 37 % 4999).toLong, (i % 13 + 1).toLong))
+      .toDF("ord", "v")
+    val scannedRows = graft.engine.Prefix.exclusiveScan(df, "ord", "v", "off")
+      .select(col("ord"), col("off")).collect()
+    assert(scannedRows.length == 5000)
+    val scanned = scannedRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.withColumn("off", coalesce(sum(col("v")).over(
+        Window.orderBy(col("ord"), col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("ord"), col("off")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ord has duplicates (mod wrap) — compare only unambiguous keys
+    val dupOrds = (1 to 5000).map(i => (i * 37 % 4999).toLong)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSet
+    assert(scanned.filterNot(kv => dupOrds(kv._1)) ==
+      ref.filterNot(kv => dupOrds(kv._1)))
+  }
+
+  test("scan sums to the dataset total and starts at zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i)).toDF("ord", "v")
+    val out = graft.engine.Prefix.exclusiveScan(df, "ord", "v", "off")
+    val last = out.orderBy(col("ord").desc).limit(1).collect()(0)
+    assert(last.getAs[Long]("off") == (1L to 999L).sum)
+    assert(out.orderBy(col("ord")).limit(1).collect()(0).getAs[Long]("off") == 0L)
+  }
+}

@@ -62,6 +62,23 @@ class DedupSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("near-dup clusters: pair-consistent, transitive, min-labeled") {
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    // every near-dup pair lands in the same cluster (transitivity closure)
+    assert(pairs.forall { case (a, b) => clusters(a)._1 == clusters(b)._1 })
+    // the cluster id is the component minimum and a member of the cluster
+    val byCluster = clusters.groupBy(_._2._1)
+    assert(byCluster.forall { case (cid, ms) => ms.keys.min == cid })
+    // sizes agree with membership counts
+    assert(byCluster.forall { case (_, ms) => ms.values.forall(_._2 == ms.size) })
+    // singletons exist (docs with no near-dup) and multi-doc clusters exist
+    assert(byCluster.values.exists(_.size == 1) && byCluster.values.exists(_.size > 1))
+  }
+
   test("embedding pairs: cosine within [-1,1] and bucket-consistent") {
     val out = Dedup.embeddingPairs(spark, sf, threshold = 0.2).collect()
     assert(out.forall { r =>
