@@ -236,10 +236,15 @@ object Dedup {
     * The step a real dedup pipeline needs beyond PAIRS: transitive
     * near-dups (A≈B≈C with A¬≈C) must still collapse to one survivor.
     *
-    * Scale shape: the classic iterative-join CC (one shuffle join + one
-    * min-aggregate per iteration, O(graph diameter) iterations — near-dup
-    * graphs are clique-ish, so the diameter is small). The driver loop
-    * carries only the converged/changed count per iteration; labels stay
+    * Scale shape: iterative-join CC with POINTER JUMPING — each round
+    * takes the min over graph neighbors, then follows the label one hop
+    * (`label[label[u]]`, valid because a label is always a member doc_id
+    * of the same component), so convergence is O(log diameter) rounds
+    * instead of O(diameter): a 10⁶-doc chain converges in ~20 rounds.
+    * Every round `localCheckpoint`s the label relation — iterative plans
+    * otherwise nest one level per round until the driver OOMs on plan
+    * analysis (observed on this fixture's 179-doc chain component). The
+    * driver loop carries only the changed-count per round; labels stay
     * distributed and the fixpoint is order-independent (min is
     * commutative), hence deterministic on any cluster size. Singleton
     * docs keep themselves as cluster id. */
@@ -252,17 +257,25 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      require(rounds <= 64, "connected components failed to converge in 64 rounds")
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "__n"), col("doc_b") === col("__n"))
         .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
-      val next = labels
+      val m1 = labels
         .join(viaNeighbors, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: a label is itself a doc_id of the same component,
+      // so label[label[u]] is a valid, never-larger label for u
+      val lookup = m1.select(col("doc_id").as("__ld"), col("label").as("__ll"))
+      val next = m1.join(lookup, col("label") === col("__ld"))
+        .select(col("doc_id"), least(col("label"), col("__ll")).as("label"))
+        .localCheckpoint(true) // truncate lineage, materialize the round
       changed = next.as("n")
         .join(labels.withColumnRenamed("label", "__old"), "doc_id")
         .filter(col("label") =!= col("__old")).count()
