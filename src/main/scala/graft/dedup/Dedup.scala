@@ -258,9 +258,16 @@ object Dedup {
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence via the label-sum invariant: every update strictly
+    // DECREASES some label (least of candidates includes the own label),
+    // so the sum is strictly decreasing until the fixpoint — an O(scan)
+    // scalar per round instead of a join-and-count job
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0) {
+    while (!converged) {
       rounds += 1
       require(rounds <= 64, "connected components failed to converge in 64 rounds")
       val viaNeighbors = edges
@@ -276,9 +283,9 @@ object Dedup {
       val next = m1.join(lookup, col("label") === col("__ld"))
         .select(col("doc_id"), least(col("label"), col("__ll")).as("label"))
         .localCheckpoint(true) // truncate lineage, materialize the round
-      changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "__old"), "doc_id")
-        .filter(col("label") =!= col("__old")).count()
+      val newSum = labelSum(next)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels.unpersist()
       labels = next
     }
