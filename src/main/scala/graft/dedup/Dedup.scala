@@ -85,16 +85,7 @@ object Dedup {
 
     // band rows keyed by the R raw signature longs — no string building,
     // the shuffle key is (band, k1..k4)
-    val bands0 = docs.select(
-      col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(0, ${B - 1}), b -> named_struct(
-            'band', b,
-            'k1', element_at(sig, b * $R + 1), 'k2', element_at(sig, b * $R + 2),
-            'k3', element_at(sig, b * $R + 3), 'k4', element_at(sig, b * $R + 4)))"""))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
-        col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
+    val bands0 = bandRows(docs)
 
     // hot-bucket cut: the count window shuffles on the same key as the
     // self-join below, so AQE reuses the exchange
@@ -132,16 +123,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Perf probes for MiniBench/SimBench (not part of the query surface):
-    * cost of the signature stage alone, and of candidate generation. */
-  private[graft] def signatureProbe(spark: SparkSession, dir: String): Long =
-    withSignature(Tables.documents(spark, dir))
-      .select(col("doc_id"), expr("element_at(sig, 1)").as("s1")).count()
-
-  private[graft] def candidateProbe(spark: SparkSession, dir: String): Long = {
-    val docs = withSignature(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("sig"))
-    val bands = docs.select(
+  /** MinHash band rows for a signature relation — shared by the pair
+    * pipeline and the perf probe so both measure the identical plan. */
+  private def bandRows(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${B - 1}), b -> named_struct(
@@ -151,10 +136,28 @@ object Dedup {
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
         col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
-    bands.as("a").join(bands.as("b"), Seq("band", "k1", "k2", "k3", "k4"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct().count()
+
+  /** Perf probes for MiniBench (not part of the query surface): cost of
+    * the signature stage alone, and of candidate generation. The
+    * signature probe SUMS a signature element — a bare count() would be
+    * column-pruned down to a parquet footer read and measure nothing. */
+  private[graft] def signatureProbe(spark: SparkSession, dir: String): Long =
+    withSignature(Tables.documents(spark, dir))
+      .agg(sum(expr("element_at(sig, 1)"))).head().getLong(0)
+
+  private[graft] def candidateProbe(spark: SparkSession, dir: String): Long = {
+    // persisted exactly like the real pipeline, so the probe isolates the
+    // band join instead of re-running the signature stage per join side
+    val docs = withSignature(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bands = bandRows(docs)
+      bands.as("a").join(bands.as("b"), Seq("band", "k1", "k2", "k3", "k4"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().count()
+    } finally docs.unpersist()
   }
 
   /** Unsorted per-doc fingerprints — shared by [[simhash]] (which adds
@@ -199,7 +202,16 @@ object Dedup {
     * `bit_count(xor)` check keeps only true matches. The classic
     * fingerprint-blocking scheme; generalizes to d+1 bands for any
     * Hamming budget d. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsUnsorted(spark, dir, maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[simhashPairs]] without the terminal presentation sort — the form
+    * consumers that immediately join/aggregate (e.g.
+    * [[nearDupClusters]]) use, so the full-shuffle global sort isn't
+    * paid just to be discarded. */
+  private def simhashPairsUnsorted(spark: SparkSession, dir: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "8 bands of 8 bits are lossless only up to Hamming 7")
     // persisted like the other pair generators: the fingerprint relation
     // feeds BOTH sides of the band self-join — without it the full
@@ -226,7 +238,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Near-duplicate CLUSTER resolution: connected components over the
@@ -249,7 +260,7 @@ object Dedup {
     * commutative), hence deterministic on any cluster size. Singleton
     * docs keep themselves as cluster id. */
   def nearDupClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val pairs = simhashPairs(spark, dir, maxHamming)
+    val pairs = simhashPairsUnsorted(spark, dir, maxHamming)
       .select(col("doc_a"), col("doc_b"))
     // undirected propagation: each edge both ways
     val edges = pairs

@@ -50,8 +50,10 @@ object Dag {
       var last: Throwable = null
       while (tries < t.maxAttempts) {
         tries += 1
+        // NonFatal only: retrying after OutOfMemoryError / interruption
+        // masks a broken JVM as a transient failure
         try { t.body(); return tries }
-        catch { case e: Throwable => last = e }
+        catch { case scala.util.control.NonFatal(e) => last = e }
       }
       throw new TaskFailed(t.name, tries, last)
     }

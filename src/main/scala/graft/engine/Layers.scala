@@ -144,8 +144,20 @@ object Layers {
         onPublish(rel)
         val leaf = s"$staging/$rel"
         val target = s"$path/$rel"
-        if (Fs.exists(spark, target)) Fs.rename(spark, target, s"$trash/$rel")
-        Fs.rename(spark, leaf, target)
+        // Hadoop rename signals failure by RETURNING FALSE, not throwing
+        // — ignoring it here would delete the trash copy in the finally
+        // and lose the partition entirely, or nest the new dir inside a
+        // still-present target. Check both renames; restore from trash
+        // before surfacing a failed publish so the partition is never
+        // left missing.
+        if (Fs.exists(spark, target) && !Fs.rename(spark, target, s"$trash/$rel"))
+          throw new java.io.IOException(
+            s"atomic publish: could not move aside existing partition $target")
+        if (!Fs.rename(spark, leaf, target)) {
+          Fs.rename(spark, s"$trash/$rel", target)
+          throw new java.io.IOException(
+            s"atomic publish: could not publish partition $rel (old copy restored)")
+        }
       }
     } finally {
       Fs.deleteDir(spark, staging)

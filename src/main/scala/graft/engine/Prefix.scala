@@ -39,6 +39,12 @@ object Prefix {
         row
       }
     }
-    spark.createDataFrame(out, schema)
+    // materialize the result before releasing the inter-pass persist:
+    // unpersisting first would recompute (and re-range-partition) the
+    // input lazily, and leaving it pinned leaks a full corpus copy per
+    // call (clearCache() only drops Dataset caches, not raw RDD persists)
+    val result = spark.createDataFrame(out, schema).localCheckpoint(true)
+    rdd.unpersist()
+    result
   }
 }

@@ -44,8 +44,12 @@ object Similarity {
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5,
       queryChunkRows: Int = 1 << 20): DataFrame = {
     val e = prepared(spark, dir)
+    // persisted: the sizing count below and every chunk's broadcast read
+    // the same small relation — without it the scan+norm pipeline re-runs
+    // per chunk (and once more for the count)
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nChunks = math.max(1,
       math.ceil(queries.count().toDouble / queryChunkRows).toInt)
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
@@ -56,7 +60,11 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
 
     (0 until nChunks).map { i =>
-      val chunk = queries.filter(pmod(col("query_id"), lit(nChunks)) === i)
+      // chunk on a HASH of the id, not the id itself: the query workload
+      // is every 100th vec_id, so `id % nChunks` hits only multiples of
+      // gcd(100, nChunks) — for most chunk counts that collapses every
+      // query into one chunk (the unbounded broadcast again)
+      val chunk = queries.filter(pmod(hash(col("query_id")), lit(nChunks)) === i)
       corpus.crossJoin(broadcast(chunk))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))

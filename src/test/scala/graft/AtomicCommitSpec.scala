@@ -57,6 +57,26 @@ class AtomicCommitSpec extends SparkSpec {
     assert(after.count() == 60 && after.filter(col("version") =!= 1).count() == 0)
   }
 
+  test("null partition values publish and replace like any other partition") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("atomicnull").toString
+    // null partition value → __HIVE_DEFAULT_PARTITION__ leaf dir; the
+    // staging-debris filter must not treat it as debris
+    val df = Seq((Some(1), 10L), (Some(2), 20L), (None, 30L), (None, 31L))
+      .toDF("p", "id")
+    Layers.replacePartitionsAtomic(df, out, Seq("p"))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4)
+    assert(got.filter(col("p").isNull).count() == 2)
+    // redelivering the null partition replaces exactly it
+    val redo = Seq((Option.empty[Int], 99L)).toDF("p", "id")
+    Layers.replacePartitionsAtomic(redo, out, Seq("p"))
+    val after = spark.read.parquet(out)
+    assert(after.count() == 3)
+    assert(after.filter(col("p").isNull).count() == 1)
+    assert(after.filter(col("p").isNull).head().getAs[Long]("id") == 99L)
+  }
+
   test("nested partition columns publish leaf-atomically") {
     import spark.implicits._
     val out = Files.createTempDirectory("atomic3").toString
