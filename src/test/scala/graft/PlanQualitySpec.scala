@@ -43,6 +43,26 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("fact_dim_asof: the fact side never sort-merge-joins the dimension") {
+    val plan = formatted(graft.queries.Scd2Queries.factDimAsOf(spark, sf))
+    // the dim (with its validity-range residual) must arrive by broadcast;
+    // SMJ inside the dim BUILD is fine — assert the top fact join is BHJ
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // lineitem reads only its 3 needed columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("decontaminate: benchmark side is broadcast, corpus never shuffles for the join") {
+    val plan = formatted(graft.text.TextAnalysis.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("gopher_quality: documents scan reads only the needed columns") {
+    val plan = formatted(graft.text.TextAnalysis.gopherQuality(spark, sf))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
