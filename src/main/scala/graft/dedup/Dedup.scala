@@ -266,7 +266,13 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.documents(spark, dir)
+    // iterate ONLY over edge-touched docs: singletons (label = own id by
+    // definition) would ride through every round's joins for nothing —
+    // on a realistic corpus near-dup members are ≪ 1% of docs, so this
+    // shrinks the per-round state by orders of magnitude
+    var labels = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     // convergence via the label-sum invariant: every update strictly
@@ -301,9 +307,15 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
+    // singletons rejoin with themselves as cluster id (left join against
+    // the converged edge-touched labels)
+    val full = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "__m"),
+        col("doc_id") === col("__m"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    val sizes = full.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    full.select(col("doc_id"), col("label").as("cluster_id"))
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
