@@ -123,9 +123,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Sorted-distinct token hashes + MinHash signature for any document
+    * relation — the per-batch form [[graft.streaming.CorpusIngest]]
+    * maintains as its stored index. */
+  private[graft] def signaturesFor(docs: DataFrame): DataFrame =
+    withSignature(docs)
+      .withColumn("th", expr("array_sort(array_distinct(th))"))
+      .select(col("doc_id"), col("th"), col("sig"))
+
   /** MinHash band rows for a signature relation — shared by the pair
-    * pipeline and the perf probe so both measure the identical plan. */
-  private def bandRows(docs: DataFrame): DataFrame =
+    * pipeline, the streaming ingest index probe, and the perf probe so
+    * all measure the identical plan. */
+  private[graft] def bandRows(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       explode(expr(
