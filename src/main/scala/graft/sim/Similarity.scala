@@ -167,6 +167,33 @@ object Similarity {
     kmeansFit(spark, dir, k, iters).map(c => (c.cid, c.c)).toDF("cid", "centroid")
   }
 
+  /** Query vectors routed to their `nprobe` nearest centroids. */
+  private def probesFor(queries: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame = {
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    queries.crossJoin(broadcast(centDf))
+      .withColumn("vb", col("centroid"))
+      .withColumn("ccos", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("cnorm2"))))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("va"), col("na2"), col("cid"))
+  }
+
+  /** Exact top-k within the probed inverted lists. */
+  private def probeSearch(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF probe search over k-means lists: route each query to its `nprobe`
     * closest centroids (by rounded cosine), then exact top-k within those
     * inverted lists only. The corpus is assigned to lists by the same
@@ -178,33 +205,44 @@ object Similarity {
     val e = prepared(spark, dir)
     val cents = kmeansFit(spark, dir, nClusters, iters)
     val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
-
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
-
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(centDf))
-      .withColumn("vb", col("centroid"))
-      .withColumn("ccos", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("cnorm2"))))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("va"), col("na2"), col("cid"))
-
     val corpus = assignCid(e, cents, "v", "norm2")
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
         col("norm2").as("nb2"), col("cid"))
+    probeSearch(corpus, probesFor(queries, centDf, nprobe), k)
+  }
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), Seq("cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+  /** PERSIST the IVF index: centroids + the corpus pre-assigned to its
+    * inverted lists, PARTITIONED BY list id — the index-maintenance job
+    * of a real ANN deployment. Serving then skips the fit AND the
+    * assignment scan, and — because lists are partition directories —
+    * a probe reads only `nprobe/nClusters` of the corpus from disk
+    * (partition pruning on `cid`), which is the entire point of IVF
+    * at 100 TB. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      nClusters: Int = 10, iters: Int = 3): Unit = {
+    import spark.implicits._
+    val e = prepared(spark, dir)
+    val cents = kmeansFit(spark, dir, nClusters, iters)
+    cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignCid(e, cents, "v", "norm2")
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("norm2").as("nb2"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexPath/lists")
+  }
+
+  /** Serve kNN from a [[buildIvfIndex]]-written index: probe routing
+    * against the stored centroids, exact top-k within the stored lists.
+    * Bit-identical to [[knnIvf]] at the same fit parameters (parquet
+    * round-trips doubles exactly). */
+  def knnIvfFromIndex(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val centDf = spark.read.parquet(s"$indexPath/centroids")
+    val corpus = spark.read.parquet(s"$indexPath/lists")
+    val queries = prepared(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
+    probeSearch(corpus, probesFor(queries, centDf, nprobe), k)
   }
 }

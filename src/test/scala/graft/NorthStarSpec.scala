@@ -188,6 +188,21 @@ class SimilaritySpec extends SparkSpec {
     assert(whole.length > 0 && chunked.toSeq == whole.toSeq)
   }
 
+  test("persisted IVF index serves identical results and prunes unprobed lists") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildIvfIndex(spark, sf, idx, nClusters = 10, iters = 3)
+    val live = Similarity.knnIvf(spark, sf, k = 5, nprobe = 2, nClusters = 10, iters = 3)
+      .collect().toSeq
+    val served = Similarity.knnIvfFromIndex(spark, sf, idx, k = 5, nprobe = 2)
+    assert(served.collect().toSeq == live)
+    // lists are partition dirs → the probe join prunes unprobed lists
+    // (dynamic partition pruning on cid, or static after AQE): assert the
+    // index layout actually partitions by cid
+    val listDirs = graft.engine.Fs.listDirs(spark, s"$idx/lists")
+      .map(_.getName).filter(_.startsWith("cid="))
+    assert(listDirs.size == 10, s"expected 10 list partitions, got $listDirs")
+  }
+
   test("kmeans quantizer: 10 non-empty clusters, exhaustive cover, no label read") {
     val cents = Similarity.kmeansFit(spark, sf, k = 10, iters = 3)
     assert(cents.size == 10 && cents.map(_.cid).distinct.size == 10)
