@@ -110,18 +110,26 @@ object Dedup {
 
     val ta = docs.select(col("doc_id").as("doc_a"), col("th").as("th_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("th").as("th_b"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      // size-ratio prune: jaccard ≤ min/max, so pairs failing this cannot
-      // reach the threshold — a no-op on the result, big cut in intersects
-      .filter(least(expr("size(th_a)"), expr("size(th_b)")) >=
-        lit(threshold) * greatest(expr("size(th_a)"), expr("size(th_b)")))
-      .withColumn("inter", expr("sorted_intersect_size(th_a, th_b)"))
-      .withColumn("jaccard_raw",
-        col("inter") / (expr("size(th_a)") + expr("size(th_b)") - col("inter")))
-      .filter(col("jaccard_raw") >= threshold)
+    jaccardAtLeast(cand.join(ta, "doc_a").join(tb, "doc_b"), "th_a", "th_b", threshold)
       .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact-Jaccard gate shared by every verification path (minhash,
+    * n-gram cut, streaming ingest admission): size-ratio prefilter
+    * (jaccard ≤ min/max, so failing pairs can't reach the threshold),
+    * codegen'd merge-scan intersect, threshold filter. Keeping it in one
+    * place keeps admission and pair-generation semantics provably
+    * identical. Requires `ArrayOps.register`; adds `inter` and
+    * `jaccard_raw` columns. */
+  private[graft] def jaccardAtLeast(df: DataFrame, thA: String, thB: String,
+      threshold: Double): DataFrame =
+    df.filter(least(expr(s"size($thA)"), expr(s"size($thB)")) >=
+        lit(threshold) * greatest(expr(s"size($thA)"), expr(s"size($thB)")))
+      .withColumn("inter", expr(s"sorted_intersect_size($thA, $thB)"))
+      .withColumn("jaccard_raw",
+        col("inter") / (expr(s"size($thA)") + expr(s"size($thB)") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
 
   /** Sorted-distinct token hashes + MinHash signature for any document
     * relation — the per-batch form [[graft.streaming.CorpusIngest]]
@@ -289,7 +297,9 @@ object Dedup {
     // so the sum is strictly decreasing until the fixpoint — an O(scan)
     // scalar per round instead of a join-and-count job
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+      // coalesce: sum over an EMPTY label set (a corpus with no near-dup
+      // pairs at all — the normal case off this fixture) is null
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -391,13 +401,9 @@ object Dedup {
           .join(invCut.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val sa = docs.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"), col("n_sh").as("na"))
-        val sb = docs.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"), col("n_sh").as("nb"))
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-          .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
-          .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
-          .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard_raw") >= threshold)
+        val sa = docs.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"))
+        val sb = docs.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"))
+        jaccardAtLeast(cand.join(sa, "doc_a").join(sb, "doc_b"), "sh_a", "sh_b", threshold)
           .select(col("doc_a"), col("doc_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
     }

@@ -127,6 +127,7 @@ object Layers {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$path/_staging-$uuid"
     val trash = s"$path/_trash-$uuid"
+    var preserveTrash = false
     try {
       // the hint resolver accepts only UNresolved attributes as params
       df.hint("rebalance", partitionCols.map(org.apache.spark.sql.functions.col): _*)
@@ -154,14 +155,20 @@ object Layers {
           throw new java.io.IOException(
             s"atomic publish: could not move aside existing partition $target")
         if (!Fs.rename(spark, leaf, target)) {
-          Fs.rename(spark, s"$trash/$rel", target)
+          // restore the old copy; if even the restore fails, the trash
+          // dir is the ONLY surviving copy — preserve it and say where
+          val restored = !Fs.exists(spark, s"$trash/$rel") ||
+            Fs.rename(spark, s"$trash/$rel", target)
+          if (!restored) preserveTrash = true
           throw new java.io.IOException(
-            s"atomic publish: could not publish partition $rel (old copy restored)")
+            s"atomic publish: could not publish partition $rel" +
+              (if (restored) " (old copy restored)"
+               else s" AND restore failed — old data preserved at $trash/$rel"))
         }
       }
     } finally {
       Fs.deleteDir(spark, staging)
-      Fs.deleteDir(spark, trash)
+      if (!preserveTrash) Fs.deleteDir(spark, trash)
     }
   }
 

@@ -16,7 +16,14 @@ import org.apache.spark.storage.StorageLevel
   * within partitions; pass 1 reduces each partition to its local sum
   * (numPartitions longs to the driver); pass 2 re-walks each partition
   * adding its broadcast base offset. The sorted RDD is persisted
-  * (spill-safe) between the passes so both walk identical partitions. */
+  * (spill-safe) between the passes so both walk identical partitions.
+  *
+  * PRECONDITION: `orderCol` values must be UNIQUE. Rows tying on the
+  * order key get an arbitrary within-partition relative order, so their
+  * individual offsets would vary across runs/cluster sizes (offsets of
+  * all non-tied rows are unaffected — a tie only permutes the same
+  * partial sums among the tied rows). Callers needing ties must append
+  * a deterministic tiebreak column to the sort. */
 object Prefix {
 
   def exclusiveScan(df: DataFrame, orderCol: String, valueCol: String,

@@ -44,12 +44,14 @@ object Similarity {
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5,
       queryChunkRows: Int = 1 << 20): DataFrame = {
     val e = prepared(spark, dir)
-    // persisted: the sizing count below and every chunk's broadcast read
-    // the same small relation — without it the scan+norm pipeline re-runs
-    // per chunk (and once more for the count)
+    // localCheckpoint (not persist): the sizing count below and every
+    // chunk's broadcast read the same small relation — a bare persist
+    // here would leak for the session lifetime (the returned plan is
+    // lazy, so there is no safe unpersist point); checkpoint blocks are
+    // freed by the context cleaner once the result is dereferenced
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nChunks = math.max(1,
       math.ceil(queries.count().toDouble / queryChunkRows).toInt)
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),

@@ -53,10 +53,13 @@ object CorpusIngest {
       // a REPLAYED batch must not probe its own previous output — the
       // stored index already holds this batch_id's signatures after a
       // crash-after-write, and every doc would reject as a near-dup of
-      // itself; partition pruning makes the exclusion a directory skip
+      // itself; partition pruning makes the exclusion a directory skip.
+      // The schema is EXPLICIT: after a crash mid-staging the dir exists
+      // but holds only underscore debris, and schema inference would
+      // throw on every replay — wedging the recovery path for good.
       val stored =
         if (Fs.exists(spark, idxPath))
-          spark.read.parquet(idxPath)
+          spark.read.schema(indexSchema.add("batch_id", LongType)).parquet(idxPath)
             .filter(col("batch_id") =!= batchId)
             .select("doc_id", "th", "sig")
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
@@ -75,18 +78,18 @@ object CorpusIngest {
       val cand = candStored.unionAll(candBatch).distinct()
 
       // exact jaccard verify on full token-hash sets (references resolve
-      // from the stored index or the batch itself)
+      // from the stored index or the batch itself) — the SAME gate as
+      // the batch pair generators (Dedup.jaccardAtLeast), so admission
+      // and pair semantics cannot drift apart. The tiny rejected-id set
+      // persists: it feeds the count and both sinks, and the band joins
+      // behind it are the expensive stage.
       val refTh = stored.select(col("doc_id").as("ref_id"), col("th").as("ref_th"))
         .unionByName(sigs.select(col("doc_id").as("ref_id"), col("th").as("ref_th")))
-      val rejected = cand
-        .join(sigs.select(col("doc_id"), col("th")), "doc_id")
-        .join(refTh, "ref_id")
-        .filter(least(expr("size(th)"), expr("size(ref_th)")) >=
-          lit(threshold) * greatest(expr("size(th)"), expr("size(ref_th)")))
-        .withColumn("inter", expr("sorted_intersect_size(th, ref_th)"))
-        .filter(col("inter") / (expr("size(th)") + expr("size(ref_th)") - col("inter"))
-          >= threshold)
+      val rejected = Dedup.jaccardAtLeast(
+          cand.join(sigs.select(col("doc_id"), col("th")), "doc_id").join(refTh, "ref_id"),
+          "th", "ref_th", threshold)
         .select(col("doc_id")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
         .withColumn("batch_id", lit(batchId))
@@ -104,6 +107,7 @@ object CorpusIngest {
           sigs.join(rejected, Seq("doc_id"), "left_anti").withColumn("batch_id", lit(batchId)),
           idxPath, Seq("batch_id"))
       }
+      rejected.unpersist()
       n
     } finally sigs.unpersist()
   }

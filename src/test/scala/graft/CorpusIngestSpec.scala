@@ -50,6 +50,12 @@ class CorpusIngestSpec extends SparkSpec {
       .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/f0")
     Seq((10L, variant("y2")), (11L, unique("z")))
       .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/f1")
+    // the file source orders micro-batches by modification time; writes
+    // landing in the same timestamp granule would make batch order (and
+    // which near-dup side survives) nondeterministic — force f1 later
+    new java.io.File(s"$in/f1").listFiles().foreach { f =>
+      f.setLastModified(System.currentTimeMillis() + 60000)
+    }
     val schema = spark.read.parquet(s"$in/f0").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
