@@ -286,9 +286,11 @@ object Dedup {
     // iterate ONLY over edge-touched docs: singletons (label = own id by
     // definition) would ride through every round's joins for nothing —
     // on a realistic corpus near-dup members are ≪ 1% of docs, so this
-    // shrinks the per-round state by orders of magnitude
-    var labels = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    // shrinks the per-round state by orders of magnitude. Derived from
+    // the PERSISTED edges so the pair pipeline materializes exactly once
+    // (deriving from `pairs` directly was measured to re-run the whole
+    // simhash candidate generation a second time).
+    var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
