@@ -11,6 +11,23 @@ class FakeScheme extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("fake:///")
 }
 
+/** Local-fs scheme whose rename FAILS (returns false, as Hadoop
+  * signals errors) for marked partition values, but only at the
+  * publish position (dst directly under the table root): `p=soft`
+  * fails publish while its restore-from-trash succeeds; `p=hard`
+  * fails both. Exercises the atomic-publish error channel. */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val targetPos = !dst.getParent.getName.startsWith("_")
+    if (targetPos && dst.getName == "p=hard") false
+    else if (targetPos && dst.getName == "p=soft" &&
+        src.getParent.getName.startsWith("_staging")) false
+    else super.rename(src, dst)
+  }
+}
+
 /** Crash-consistency of the atomic partition-replace commit — the minimal
   * stand-in for Delta's transactional log (VERDICT r2 task #2): a killed
   * write must never expose a torn partition to readers. */
@@ -104,6 +121,49 @@ class AtomicCommitSpec extends SparkSpec {
     val n2 = ExtractLoad.run(spark, ev, "events", "event_id", "ts", ckpt, out, "2024-02-02")
     assert(n2 == n1)
     assert(spark.read.parquet(out).count() == ev.count())
+  }
+
+  test("failed publish rename restores the old partition from trash") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val tmp = Files.createTempDirectory("flakysoft").toString
+    // seed old data through the plain local path (no flaky markers hit)
+    Seq(("ok", 1L, 0), ("soft", 2L, 0)).toDF("p", "id", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(tmp)
+    val e = intercept[java.io.IOException] {
+      Layers.replacePartitionsAtomic(
+        Seq(("ok", 10L, 1), ("soft", 20L, 1)).toDF("p", "id", "v"),
+        s"flaky://$tmp", Seq("p"))
+    }
+    assert(e.getMessage.contains("old copy restored"), e.getMessage)
+    val rows = spark.read.parquet(tmp)
+    // 'ok' (published before 'soft' in sorted order) is new; 'soft' is
+    // the restored OLD copy — each complete, nothing lost
+    assert(rows.filter(col("p") === "ok").head().getAs[Int]("v") == 1)
+    assert(rows.filter(col("p") === "soft").head().getAs[Int]("v") == 0)
+    // trash cleaned up after the successful restore
+    assert(Fs.listDirs(spark, tmp).forall(_.getName.startsWith("p=")))
+  }
+
+  test("publish AND restore failing preserves the trash copy and says where") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val tmp = Files.createTempDirectory("flakyhard").toString
+    Seq(("hard", 2L, 0)).toDF("p", "id", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(tmp)
+    val e = intercept[java.io.IOException] {
+      Layers.replacePartitionsAtomic(
+        Seq(("hard", 20L, 1)).toDF("p", "id", "v"),
+        s"flaky://$tmp", Seq("p"))
+    }
+    assert(e.getMessage.contains("old data preserved at"), e.getMessage)
+    // the only copy of the old partition survives in the preserved trash
+    val trash = Fs.listDirs(spark, tmp).map(_.getName).filter(_.startsWith("_trash-"))
+    assert(trash.size == 1)
+    val saved = spark.read.parquet(s"$tmp/${trash.head}/p=hard")
+    assert(saved.count() == 1 && saved.head().getAs[Int]("v") == 0)
   }
 
   test("filesystem ops resolve by URI scheme (fake:// scheme honored)") {
