@@ -51,7 +51,14 @@ object Layers {
     * (`dags/sales.py:102-106`: re-running the fact load doubles rows):
     * re-running the same load replaces its own partitions with identical
     * content instead of appending. Catalog-table variant;
-    * [[replacePartitionsPath]] is the path variant. */
+    * [[replacePartitionsPath]] is the path variant.
+    *
+    * Torn-write note: this variant rides Spark's dynamic partition
+    * overwrite (delete-matching-then-move), so a mid-write crash can
+    * briefly expose a partial partition to concurrent readers of the
+    * catalog table. [[replacePartitionsAtomic]] (the path variant's
+    * engine) closes that window with staged per-partition renames —
+    * prefer path-based tables where readers race writers. */
   def replacePartitions(df: DataFrame, table: String,
       partitionCol: String = "ingestion_date"): Unit = {
     val spark = df.sparkSession
