@@ -108,6 +108,30 @@ object Events {
       .orderBy(col("window_id"))
   }
 
+  /** Mergeable distinct-count rollup via DataSketches HLL — THE
+    * pre-aggregation pattern for distinct counts at 100 TB: build one
+    * small sketch per (day, event_type) ONCE, then answer "distinct
+    * users for any day range / any type subset" by UNIONING sketches —
+    * no rescan of the raw events, no second shuffle over user ids.
+    * (Plain count_distinct cannot pre-aggregate: distinct counts don't
+    * add.) Returns the per-day sketch table; [[sketchEstimate]] is the
+    * serving-side union+estimate. */
+  def dailyUserSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Union the daily sketches over `[fromDay, toDay]` per event type and
+    * estimate distinct users — the dashboard query over the rollup. */
+  def sketchEstimate(sketches: DataFrame, fromDay: String, toDay: String): DataFrame =
+    sketches
+      .filter(col("day") >= to_date(lit(fromDay)) && col("day") <= to_date(lit(toDay)))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("approx_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Tumbling 1-hour window aggregation — batch twin of the streaming
     * windowed count. Emits the window start as a plain timestamp column
     * for the oracle. */

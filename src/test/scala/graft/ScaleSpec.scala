@@ -71,6 +71,38 @@ class ApproxSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("HLL sketch rollup: daily sketches union to range-wide distincts without rescanning") {
+    import graft.queries.Events
+    val sketches = Events.dailyUserSketches(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // serve a range query purely from the rollup...
+      val served = Events.sketchEstimate(sketches, "2024-01-05", "2024-01-20")
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
+      // ...and cross-check against the exact distinct over raw events
+      val exact = Tables.events(spark, sf)
+        .filter(to_date(col("ts")) >= lit("2024-01-05") &&
+          to_date(col("ts")) <= lit("2024-01-20"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served.keySet == exact.keySet && served.nonEmpty)
+      served.foreach { case (t, approx) =>
+        val e = exact(t)
+        assert(math.abs(approx - e).toDouble / e < 0.05, s"$t: approx=$approx exact=$e")
+      }
+      // mergeability — the property that makes the rollup valid: union of
+      // per-day sketches equals one sketch built over the whole range
+      val direct = Tables.events(spark, sf)
+        .filter(to_date(col("ts")) >= lit("2024-01-05") &&
+          to_date(col("ts")) <= lit("2024-01-20"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("direct")).toMap
+      served.foreach { case (t, approx) => assert(approx == direct(t), t) }
+    } finally sketches.unpersist()
+  }
+
   test("approx_percentile tracks exact percentile within accuracy bound") {
     // exact percentile keeps every distinct value in memory per group —
     // the sketch is the 100 TB path; pin its error against the exact form
