@@ -79,6 +79,8 @@ object SparkEntry {
     "top_orders_per_priority" -> ((s, d) => Extras.topOrdersPerPriority(s, d)),
     "customer_order_presence" -> ((s, d) => Extras.customerOrderPresence(s, d)),
     "orders_priority_ordinal" -> ((s, d) => Extras.ordersPriorityOrdinal(s, d)),
+    "order_value_histogram" -> ((s, d) => Extras.orderValueHistogram(s, d)),
+    "lineitem_stats"     -> ((s, d) => Extras.lineitemStats(s, d)),
     "idempotent_reload"       -> ((s, d) => Extras.idempotentReload(s, d)),
     "events_range_join"       -> ((s, d) => Events.rangeJoinWindows(s, d)),
     "variant_props"           -> ((s, d) => Events.variantProps(s, d)),
@@ -193,6 +195,32 @@ object SparkEntry {
       FROM orders
       GROUP BY 1, 2
       ORDER BY 1, 2
+    """,
+    "order_value_histogram" -> """
+      WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      SELECT CAST(least(floor((o_totalprice - mn) / (mx - mn) * 20), 19) AS BIGINT) AS bucket,
+             count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS bucket_value
+      FROM orders CROSS JOIN mm
+      GROUP BY 1 ORDER BY 1
+    """,
+    // corr/stddev from DECIMAL power sums: the built-in double aggregates
+    // are partition-merge-order dependent and can never hash-match
+    "lineitem_stats" -> """
+      WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+               CAST(sum(CAST((floor((l_quantity * l_extendedprice) * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST((floor((l_quantity * l_quantity) * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST((floor((l_extendedprice * l_extendedprice) * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             CAST(n AS BIGINT) AS n_lines,
+             floor(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000 + 0.5) / 10000 AS corr_qty_price,
+             floor((sqrt((n * sxx - sx * sx) / (n * (n - 1)))) * 10000 + 0.5) / 10000 AS stddev_qty
+      FROM s ORDER BY l_returnflag
     """,
     // the Spark side loads + RE-loads before aggregating; matching the
     // single-copy oracle proves replace-partition idempotency end-to-end

@@ -294,6 +294,51 @@ object Extras {
     * replaces its own partitions, so the re-loaded table aggregates to
     * exactly the oracle's single-copy numbers — the reference's append
     * defect (`dags/sales.py:102-106`) would double every count here. */
+  /** Equal-width 20-bucket histogram of order values — the profile query
+    * behind every data-exploration UI. min/max arrive as a 1-row
+    * broadcast scalar (no driver action); the bucket arithmetic is
+    * identical left-to-right IEEE on both engines. */
+  def orderValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        least(floor((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")) * 20), lit(19L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("bucket_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-returnflag correlation + sample stddev of (quantity,
+    * extendedprice) computed from DECIMAL(38,8) power sums — the naive
+    * `corr()`/`stddev()` aggregates accumulate doubles whose value
+    * depends on partition merge order, so they can never hash-match a
+    * serial oracle; decimal power sums are order-independent, and the
+    * per-group scalar algebra on top is plain deterministic IEEE. */
+  def lineitemStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+    val sums = li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Fns.sumMoney(col("x")).cast("double").as("sx"),
+        Fns.sumMoney(col("y")).cast("double").as("sy"),
+        Fns.sumMoney(Fns.money(col("x") * col("y"))).cast("double").as("sxy"),
+        Fns.sumMoney(Fns.money(col("x") * col("x"))).cast("double").as("sxx"),
+        Fns.sumMoney(Fns.money(col("y") * col("y"))).cast("double").as("syy"))
+    sums.select(
+      col("l_returnflag"),
+      col("n").cast("long").as("n_lines"),
+      Fns.money((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
+      Fns.money(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+        (col("n") * (col("n") - 1)))).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def idempotentReload(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_idem_${math.abs(dir.hashCode)}"
     // clean slate: dynamic overwrite only replaces partitions present in
