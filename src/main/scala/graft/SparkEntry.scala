@@ -82,6 +82,7 @@ object SparkEntry {
     "order_value_histogram" -> ((s, d) => Extras.orderValueHistogram(s, d)),
     "lineitem_stats"     -> ((s, d) => Extras.lineitemStats(s, d)),
     "idempotent_reload"       -> ((s, d) => Extras.idempotentReload(s, d)),
+    "manifest_reload"         -> ((s, d) => Extras.manifestReload(s, d)),
     "events_range_join"       -> ((s, d) => Events.rangeJoinWindows(s, d)),
     "variant_props"           -> ((s, d) => Events.variantProps(s, d)),
     "moving_revenue_7d"       -> ((s, d) => Extras.movingRevenue7d(s, d)),
@@ -198,7 +199,8 @@ object SparkEntry {
     """,
     "order_value_histogram" -> """
       WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
-      SELECT CAST(least(floor((o_totalprice - mn) / (mx - mn) * 20), 19) AS BIGINT) AS bucket,
+      SELECT CAST(CASE WHEN mx = mn THEN 0
+                       ELSE least(floor((o_totalprice - mn) / (mx - mn) * 20), 19) END AS BIGINT) AS bucket,
              count(*) AS n_orders,
              floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS bucket_value
       FROM orders CROSS JOIN mm
@@ -225,6 +227,16 @@ object SparkEntry {
     // the Spark side loads + RE-loads before aggregating; matching the
     // single-copy oracle proves replace-partition idempotency end-to-end
     "idempotent_reload" -> """
+      SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ingestion_month,
+             count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+      FROM orders
+      GROUP BY 1
+      ORDER BY 1
+    """,
+    // same single-copy aggregate: the manifest-committed retry must
+    // converge to exactly one copy of every partition
+    "manifest_reload" -> """
       SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ingestion_month,
              count(*) AS n_orders,
              floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value

@@ -104,17 +104,28 @@ object Layers {
     *
     *  1. the batch is written complete to `_staging-<uuid>/` under the
     *     table root — a `_`-prefixed dir, invisible to Spark readers;
-    *  2. each staged leaf partition is published by directory RENAME
-    *     (old moved to `_trash-<uuid>/`, new renamed into place) — atomic
-    *     on HDFS/local, so a reader sees each partition fully-old or
-    *     fully-new, never half-written files;
+    *  2. each staged leaf partition is published by TWO directory RENAMEs
+    *     (old moved to `_trash-<uuid>/`, then new renamed into place).
+    *     Each rename is atomic on HDFS/local, so a reader never sees a
+    *     half-written MIX of old and new files — but between the two
+    *     renames the partition is briefly ABSENT: a reader racing that
+    *     window sees the partition missing (empty), not torn;
     *  3. staging + trash are removed.
     *
     * A crash before publish leaves the target untouched; a crash mid-
     * publish leaves every partition individually consistent (some old,
     * some new) and the retry of the same batch — all loaders here key
-    * batches to their partitions — converges to all-new. Orphaned
-    * `_staging-*`/`_trash-*` dirs from a crash are inert to readers.
+    * batches to their partitions — converges to all-new. A crash INSIDE
+    * the two-rename window of step 2 leaves that one partition absent,
+    * with its only old copy in the reader-invisible `_trash-<uuid>/<rel>`
+    * dir. Recovery: every call first runs [[sweepCommitDebris]] over the
+    * table root, which restores exactly those trash leaves whose target
+    * partition is missing and GCs stale `_trash-*`/`_staging-*` debris —
+    * so the absence heals on the next write (or on a standalone startup
+    * sweep), not never. Single writer per table root is assumed, matching
+    * the reference's own discipline (Airflow `max_active_runs=1`,
+    * `dags/sales.py:33-34`): a concurrent writer's live staging dir would
+    * be indistinguishable from crash debris.
     *
     * The data is REBALANCE-hinted on the partition columns before the
     * staging write: plain `repartition(cols)` funnels a constant-valued
@@ -134,6 +145,7 @@ object Layers {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$path/_staging-$uuid"
     val trash = s"$path/_trash-$uuid"
+    if (Fs.exists(spark, path)) sweepCommitDebris(spark, path, partitionCols.size)
     var preserveTrash = false
     try {
       // the hint resolver accepts only UNresolved attributes as params
@@ -142,13 +154,7 @@ object Layers {
         .partitionBy(partitionCols: _*)
         .parquet(staging)
       beforePublish()
-      // relative leaf partition dirs, depth = number of partition columns
-      def leaves(dir: String, depth: Int): Seq[String] =
-        if (depth == 0) Seq(dir)
-        else Fs.listDirs(spark, s"$staging/$dir").map(_.getName)
-          .filterNot(_.startsWith("_"))
-          .flatMap(n => leaves(if (dir.isEmpty) n else s"$dir/$n", depth - 1))
-      for (rel <- leaves("", partitionCols.size).sorted) { // deterministic publish order
+      for (rel <- leafDirs(spark, staging, partitionCols.size).sorted) { // deterministic publish order
         onPublish(rel)
         val leaf = s"$staging/$rel"
         val target = s"$path/$rel"
@@ -177,6 +183,54 @@ object Layers {
       Fs.deleteDir(spark, staging)
       if (!preserveTrash) Fs.deleteDir(spark, trash)
     }
+  }
+
+  /** Relative leaf partition dirs (`col=value[/col=value…]`, depth =
+    * number of partition columns) under `root`, skipping `_`-prefixed
+    * metadata/staging dirs. Null-valued partitions are kept: their leaf
+    * is `col=__HIVE_DEFAULT_PARTITION__`, which starts with the column
+    * name, not `_`. */
+  private[engine] def leafDirs(spark: SparkSession, root: String, depth: Int): Seq[String] = {
+    def walk(dir: String, d: Int): Seq[String] =
+      if (d == 0) Seq(dir)
+      else Fs.listDirs(spark, if (dir.isEmpty) root else s"$root/$dir").map(_.getName)
+        .filterNot(_.startsWith("_"))
+        .flatMap(n => walk(if (dir.isEmpty) n else s"$dir/$n", d - 1))
+    walk("", depth)
+  }
+
+  /** Restore-or-GC sweep over the commit debris a crashed
+    * [[replacePartitionsAtomic]] can leave under `path` (the `finally`
+    * cleanup never runs on a hard JVM kill):
+    *
+    *  - a `_trash-*` leaf whose target partition is MISSING is the only
+    *    surviving copy — the crash hit between move-aside and publish —
+    *    so it is renamed back into place;
+    *  - a `_trash-*` leaf whose target exists is stale (the new copy
+    *    won) and is GC'd with its trash dir;
+    *  - `_staging-*` dirs are unpublished batch attempts — always GC'd
+    *    (the crashed batch re-runs from scratch).
+    *
+    * A trash dir is only deleted once every needed restore succeeded;
+    * a failed restore rename preserves the dir (still the only copy).
+    * Runs automatically at the start of every [[replacePartitionsAtomic]]
+    * call; also callable standalone as a startup sweep. Assumes a single
+    * writer per table root (see [[replacePartitionsAtomic]]). */
+  def sweepCommitDebris(spark: SparkSession, path: String,
+      partitionDepth: Int): Unit = {
+    val names = Fs.listDirs(spark, path).map(_.getName)
+    for (t <- names.filter(_.startsWith("_trash-"))) {
+      val troot = s"$path/$t"
+      var allRestored = true
+      for (rel <- leafDirs(spark, troot, partitionDepth)) {
+        if (!Fs.exists(spark, s"$path/$rel") &&
+            !Fs.rename(spark, s"$troot/$rel", s"$path/$rel"))
+          allRestored = false
+      }
+      if (allRestored) Fs.deleteDir(spark, troot)
+    }
+    names.filter(_.startsWith("_staging-"))
+      .foreach(s => Fs.deleteDir(spark, s"$path/$s"))
   }
 
   /** S13: INSERT INTO an existing table (reference `create_dim_date.sql:24`). */

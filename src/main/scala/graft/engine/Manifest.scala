@@ -1,0 +1,178 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-committed snapshot tables — the minimal transactional-log
+  * substrate standing in for the Delta tables the reference keeps all its
+  * layers in (`spark/conf/spark-defaults.conf:13` delta catalog,
+  * `trino_scripts/dim_product.sql:35-36` `USING DELTA LOCATION`; no Delta
+  * jars in this environment, SURVEY.md §7.5.3).
+  *
+  * [[Layers.replacePartitionsAtomic]] publishes by directory rename, which
+  * is per-partition atomic but leaves a brief window where a partition is
+  * ABSENT between its two renames (and needs a debris sweep after a hard
+  * crash). This layer removes that window entirely by never mutating live
+  * data:
+  *
+  *  - data files are IMMUTABLE: each commit writes a fresh
+  *    `data-<uuid>/` dir under the table root and never touches others;
+  *  - the live snapshot is defined solely by the newest manifest in
+  *    `_graft_log/v<NNN>.json` — a single JSON file listing, per leaf
+  *    partition, the commit dir that owns it (plus the schema DDL, so an
+  *    empty snapshot still reads with the right schema);
+  *  - a commit = write data dir → write manifest to a temp name → one
+  *    atomic RENAME into `v<N+1>.json`. Readers resolve a manifest once
+  *    and only ever open files it references, so they see a complete
+  *    consistent snapshot: old until the rename, new after — never
+  *    absent, never mixed, no sweep needed after a crash (a dangling
+  *    `data-*` dir is unreferenced garbage for [[vacuum]]);
+  *  - rename-refuses-to-overwrite doubles as optimistic concurrency:
+  *    two racing writers both targeting `v<N+1>.json` cannot both win —
+  *    the loser's rename returns false and surfaces as
+  *    ConcurrentModificationException (Delta's conflict semantics).
+  *
+  * Old manifests remain readable — `read(spark, path, Some(v))` is time
+  * travel — until [[vacuum]] drops them. At 100 TB the manifest lists
+  * leaf partitions (thousands), not files (millions): listing cost stays
+  * flat, and scan planning reads one small JSON instead of a recursive
+  * directory walk of the table root (the object-store listing that kills
+  * large tables).
+  */
+object Manifest {
+
+  case class Entry(part: String, dir: String)
+  case class State(version: Long, partitionCols: Seq[String],
+      schemaDdl: String, entries: Seq[Entry])
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private def logDir(path: String) = s"$path/_graft_log"
+  private def fileFor(version: Long) = f"v$version%020d.json"
+
+  /** Newest committed version, None for a table with no log. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val (fs, p) = Fs.resolve(spark, logDir(path))
+    if (!fs.exists(p)) None
+    else {
+      val vs = fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Parsed manifest at `version` (default: newest). */
+  def state(spark: SparkSession, path: String,
+      version: Option[Long] = None): Option[State] =
+    version.orElse(currentVersion(spark, path)).map { v =>
+      val (fs, p) = Fs.resolve(spark, s"${logDir(path)}/${fileFor(v)}")
+      val in = fs.open(p)
+      try mapper.readValue(in: java.io.InputStream, classOf[State]) finally in.close()
+    }
+
+  /** The snapshot at `version` (default: newest) as one DataFrame.
+    * Entries are grouped by commit dir so partition-column discovery runs
+    * per dir (`basePath`); predicate pushdown and partition pruning apply
+    * within each scan. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val st = state(spark, path, version).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    val schema = StructType.fromDDL(st.schemaDdl)
+    val scans = st.entries.groupBy(_.dir).toSeq.sortBy(_._1).map { case (dir, es) =>
+      spark.read.option("basePath", s"$path/$dir")
+        .schema(schema)
+        .parquet(es.map(e =>
+          if (e.part.isEmpty) s"$path/$dir" else s"$path/$dir/${e.part}"): _*)
+    }
+    scans match {
+      case Seq() => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case ss => ss.reduce(_ unionByName _)
+    }
+  }
+
+  /** Full-overwrite commit: the new snapshot is exactly `df`. */
+  def write(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq.empty): Long =
+    commitData(df, path, partitionCols, replaceAll = true)
+
+  /** Partition-replace commit: leaf partitions present in `df` point at
+    * the new commit dir; all others keep their current entries —
+    * `INSERT OVERWRITE … PARTITION` / Delta `replaceWhere` semantics
+    * with snapshot isolation. Re-committing the same batch converges
+    * (same partitions re-pointed), so at-least-once loaders stay
+    * exactly-once. */
+  def replacePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Long =
+    commitData(df, path, partitionCols, replaceAll = false)
+
+  private def commitData(df: DataFrame, path: String,
+      partitionCols: Seq[String], replaceAll: Boolean): Long = {
+    val spark = df.sparkSession
+    val prev = state(spark, path)
+    prev.foreach { st =>
+      require(st.partitionCols == partitionCols,
+        s"partitionCols ${partitionCols.mkString(",")} != committed ${st.partitionCols.mkString(",")}")
+    }
+    val dir = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    val writer = df.hint("rebalance",
+        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(s"$path/$dir")
+    val fresh =
+      if (partitionCols.isEmpty) Seq(Entry("", dir))
+      else Layers.leafDirs(spark, s"$path/$dir", partitionCols.size)
+        .sorted.map(Entry(_, dir))
+    val kept =
+      if (replaceAll) Seq.empty
+      else prev.map(_.entries.filterNot(e => fresh.exists(_.part == e.part)))
+        .getOrElse(Seq.empty)
+    commit(spark, path, State(prev.map(_.version + 1).getOrElse(0L),
+      partitionCols, df.schema.toDDL, kept ++ fresh))
+  }
+
+  /** private[graft]: the crash/race specs drive the protocol directly. */
+  private[graft] def commit(spark: SparkSession, path: String, st: State): Long = {
+    val tmp = s"${logDir(path)}/_tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    val (fs, tmpPath) = Fs.resolve(spark, tmp)
+    val out = fs.create(tmpPath, true)
+    try out.write(mapper.writeValueAsBytes(st)) finally out.close()
+    val target = s"${logDir(path)}/${fileFor(st.version)}"
+    if (Fs.exists(spark, target) || !Fs.rename(spark, tmp, target)) {
+      fs.delete(tmpPath, false)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest commit lost the race for version ${st.version} at $path")
+    }
+    st.version
+  }
+
+  /** Drop manifests older than the newest `keepVersions` and delete every
+    * `data-*` dir no kept manifest references — crashed commits' dangling
+    * dirs and fully superseded commit dirs. With `keepVersions = 1` only
+    * the live snapshot survives (no more time travel). Run it like Delta's
+    * VACUUM: out-of-band, never concurrently with a reader pinned to a
+    * version about to be dropped. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    val cur = currentVersion(spark, path).getOrElse(return)
+    val floor = cur - (keepVersions - 1).max(0)
+    val (fs, lp) = Fs.resolve(spark, logDir(path))
+    fs.listStatus(lp).toIndexedSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("v") && n.endsWith(".json") &&
+          n.stripPrefix("v").stripSuffix(".json").toLong < floor)
+        fs.delete(p, false)
+      if (n.startsWith("_tmp-")) fs.delete(p, false) // crashed commit debris
+    }
+    val live = (floor to cur)
+      .flatMap(v => scala.util.Try(state(spark, path, Some(v))).toOption.flatten)
+      .flatMap(_.entries.map(_.dir)).toSet
+    Fs.listDirs(spark, path).map(_.getName)
+      .filter(n => n.startsWith("data-") && !live.contains(n))
+      .foreach(n => Fs.deleteDir(spark, s"$path/$n"))
+  }
+}

@@ -18,22 +18,37 @@ import org.apache.spark.storage.StorageLevel
   * adding its broadcast base offset. The sorted RDD is persisted
   * (spill-safe) between the passes so both walk identical partitions.
   *
-  * PRECONDITION: `orderCol` values must be UNIQUE. Rows tying on the
-  * order key get an arbitrary within-partition relative order, so their
-  * individual offsets would vary across runs/cluster sizes (offsets of
-  * all non-tied rows are unaffected — a tie only permutes the same
-  * partial sums among the tied rows). Callers needing ties must append
-  * a deterministic tiebreak column to the sort. */
+  * PRECONDITIONS:
+  *  - `orderCol` values must be UNIQUE. Rows tying on the order key get
+  *    an arbitrary within-partition relative order, so their individual
+  *    offsets would vary across runs/cluster sizes (offsets of all
+  *    non-tied rows are unaffected — a tie only permutes the same
+  *    partial sums among the tied rows). Callers needing ties must
+  *    append a deterministic tiebreak column to the sort.
+  *  - `valueCol` must be a NON-NULL `LongType` column. The type is
+  *    validated up front (an `IntegerType` would otherwise throw a
+  *    bare ClassCastException mid-job — cast in the caller's plan); a
+  *    null value fails the first pass with a named error, not an NPE. */
 object Prefix {
 
   def exclusiveScan(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String): DataFrame = {
     val spark = df.sparkSession
+    require(df.schema(valueCol).dataType == LongType,
+      s"exclusiveScan: valueCol '$valueCol' must be LongType, got " +
+        s"${df.schema(valueCol).dataType.simpleString} — cast it in the caller's plan")
     val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+      var s = 0L
+      it.foreach { r =>
+        // pass 2 walks the same persisted rows, so validating here covers both
+        if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+          s"exclusiveScan: null in value column (non-null required; coalesce in the caller's plan)")
+        s += r.getLong(vIdx)
+      }
+      Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = total before partition i
     val bc = spark.sparkContext.broadcast(offsets)

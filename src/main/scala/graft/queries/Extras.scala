@@ -288,22 +288,19 @@ object Extras {
       ORDER BY 1, 2""")
   }
 
-  /** MERGE-semantics proof wired into the oracle gate: load orders
-    * partitioned by month, then RE-run the identical load. With
-    * [[graft.engine.Layers.replacePartitionsPath]] the second run
-    * replaces its own partitions, so the re-loaded table aggregates to
-    * exactly the oracle's single-copy numbers — the reference's append
-    * defect (`dags/sales.py:102-106`) would double every count here. */
   /** Equal-width 20-bucket histogram of order values — the profile query
     * behind every data-exploration UI. min/max arrive as a 1-row
     * broadcast scalar (no driver action); the bucket arithmetic is
-    * identical left-to-right IEEE on both engines. */
+    * identical left-to-right IEEE on both engines. A degenerate corpus
+    * where every value is equal (mx = mn) collapses to bucket 0 instead
+    * of dividing 0/0 into NaN buckets. */
   def orderValueHistogram(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
     o.crossJoin(broadcast(mm))
       .withColumn("bucket",
-        least(floor((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")) * 20), lit(19L)))
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")) * 20), lit(19L))))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         Fns.money(Fns.sumMoney(col("o_totalprice"))).as("bucket_value"))
@@ -339,6 +336,35 @@ object Extras {
       .orderBy(col("l_returnflag"))
   }
 
+  /** [[idempotentReload]]'s snapshot-isolated twin: the same double-load
+    * retry driven through the manifest-committed table layer
+    * ([[graft.engine.Manifest]]) — immutable commit dirs + one atomic
+    * manifest swap per load, so the retry converges to single-copy
+    * numbers AND a concurrent reader can never catch a partition absent
+    * (the window the rename-publish path documents). Ends with a vacuum
+    * so the superseded first commit's files are actually reclaimed. */
+  def manifestReload(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_man_${math.abs(dir.hashCode)}"
+    graft.engine.Fs.deleteDir(spark, out)
+    val src = Tables.orders(spark, dir)
+      .withColumn("ingestion_month",
+        date_format(col("o_orderdate"), "yyyyMM").cast("int"))
+    graft.engine.Manifest.replacePartitions(src, out, Seq("ingestion_month"))
+    graft.engine.Manifest.replacePartitions(src, out, Seq("ingestion_month")) // the retry
+    graft.engine.Manifest.vacuum(spark, out)
+    graft.engine.Manifest.read(spark, out)
+      .groupBy(col("ingestion_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"))
+      .orderBy(col("ingestion_month"))
+  }
+
+  /** MERGE-semantics proof wired into the oracle gate: load orders
+    * partitioned by month, then RE-run the identical load. With
+    * [[graft.engine.Layers.replacePartitionsPath]] the second run
+    * replaces its own partitions, so the re-loaded table aggregates to
+    * exactly the oracle's single-copy numbers — the reference's append
+    * defect (`dags/sales.py:102-106`) would double every count here. */
   def idempotentReload(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_idem_${math.abs(dir.hashCode)}"
     // clean slate: dynamic overwrite only replaces partitions present in

@@ -27,7 +27,13 @@ import graft.engine.{Fs, Layers}
   * the atomic batch-keyed partition publish — so a replayed batch
   * REPLACES its own partitions (exactly-once under at-least-once
   * delivery), and admission decisions are reproducible: within a batch,
-  * the smaller doc_id wins deterministically.
+  * the smaller doc_id wins deterministically. Replay determinism holds
+  * for ANY redelivered batch_id, not only the most recent: a batch
+  * probes only strictly earlier batches' index partitions, so an older
+  * batch redelivered after later batches were ingested re-derives its
+  * original admitted set bit-for-bit (later batches' admission of docs
+  * near-dup to it is unaffected — they tested against its index
+  * output, which the replay reproduces).
   *
   * Rejection is conservative on in-batch chains (A<B<C, B≈A, C≈B but
   * C≉A still rejects C): admission tests against all SMALLER-id batch
@@ -50,17 +56,23 @@ object CorpusIngest {
     val sigs = Dedup.signaturesFor(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val idxPath = s"$root/index"
-      // a REPLAYED batch must not probe its own previous output — the
-      // stored index already holds this batch_id's signatures after a
-      // crash-after-write, and every doc would reject as a near-dup of
-      // itself; partition pruning makes the exclusion a directory skip.
-      // The schema is EXPLICIT: after a crash mid-staging the dir exists
-      // but holds only underscore debris, and schema inference would
-      // throw on every replay — wedging the recovery path for good.
+      // a REPLAYED batch must probe exactly the index it saw originally:
+      // only strictly EARLIER batches. Including == batchId would
+      // self-reject every doc after a crash-after-write; including
+      // > batchId (batches ingested after this one's original attempt)
+      // would shrink an out-of-order redelivery's admitted set — the
+      // replay would probe a larger index than the original run and
+      // silently drop docs it once admitted. `< batchId` restores the
+      // original decision basis exactly, for ANY redelivered batch, not
+      // just the most recent one; partition pruning makes the exclusion
+      // a directory skip. The schema is EXPLICIT: after a crash
+      // mid-staging the dir exists but holds only underscore debris, and
+      // schema inference would throw on every replay — wedging the
+      // recovery path for good.
       val stored =
         if (Fs.exists(spark, idxPath))
           spark.read.schema(indexSchema.add("batch_id", LongType)).parquet(idxPath)
-            .filter(col("batch_id") =!= batchId)
+            .filter(col("batch_id") < batchId)
             .select("doc_id", "th", "sig")
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
 

@@ -166,6 +166,35 @@ class AtomicCommitSpec extends SparkSpec {
     assert(saved.count() == 1 && saved.head().getAs[Int]("v") == 0)
   }
 
+  test("sweep restores a partition stranded in trash by a crash between move-aside and publish") {
+    val out = Files.createTempDirectory("sweep1").toString
+    Layers.replacePartitionsAtomic(mk(0), out, Seq("p"))
+    // simulate a hard JVM kill inside the two-rename window: p=2 moved
+    // aside to trash, publish rename never ran, staging still present
+    assert(Fs.rename(spark, s"$out/p=2", s"$out/_trash-dead/p=2"))
+    mk(1).filter(col("p") === 2).write.partitionBy("p").parquet(s"$out/_staging-dead")
+    assert(spark.read.parquet(out).count() == 40) // reader sees p=2 absent, not torn
+    // the next write on the same root heals the absence before its own work
+    Layers.replacePartitionsAtomic(mk(1).filter(col("p") === 1), out, Seq("p"))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 60)
+    assert(rows.filter(col("p") === 2 && col("version") =!= 0).count() == 0) // restored old copy
+    assert(rows.filter(col("p") === 1 && col("version") =!= 1).count() == 0) // new batch applied
+    assert(Fs.listDirs(spark, out).forall(_.getName.startsWith("p="))) // debris gone
+  }
+
+  test("standalone sweep GCs stale trash (target exists) without touching live partitions") {
+    val out = Files.createTempDirectory("sweep2").toString
+    Layers.replacePartitionsAtomic(mk(0), out, Seq("p"))
+    // stale trash: the new copy won before the crash — target exists
+    mk(1).filter(col("p") === 3).write.partitionBy("p").parquet(s"$out/_trash-dead")
+    Layers.sweepCommitDebris(spark, out, 1)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 60)
+    assert(rows.filter(col("version") =!= 0).count() == 0) // stale copy NOT restored
+    assert(Fs.listDirs(spark, out).forall(_.getName.startsWith("p=")))
+  }
+
   test("filesystem ops resolve by URI scheme (fake:// scheme honored)") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.fake.impl", classOf[FakeScheme].getName)

@@ -41,6 +41,30 @@ class CorpusIngestSpec extends SparkSpec {
     assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 11L))
   }
 
+  test("out-of-order replay of an OLDER batch probes only strictly-earlier index partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ingest_ooo").toString
+    val b0 = Seq((1L, base), (2L, unique("u"))).toDF("doc_id", "text")
+    val b1 = Seq((10L, variant("y2")), (11L, unique("z"))).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(b0, root, batchId = 0L) == 2)
+    assert(CorpusIngest.ingestBatch(b1, root, batchId = 1L) == 1)
+    // A redelivered batch must see exactly the index its original run
+    // saw: strictly earlier batch_ids, with partition pruning making the
+    // exclusion a directory skip. Proof by poison: a LATER partition of
+    // garbage bytes crashes any plan that actually opens it — so the
+    // replays below succeed only if later partitions are pruned, not
+    // merely filtered post-scan.
+    val poison = new java.io.File(s"$root/index/batch_id=99")
+    poison.mkdirs()
+    Files.write(poison.toPath.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes)
+    assert(CorpusIngest.ingestBatch(b0, root, batchId = 0L) == 2) // probes nothing
+    assert(CorpusIngest.ingestBatch(b1, root, batchId = 1L) == 1) // probes batch 0 only
+    val ids = CorpusIngest.corpus(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L))
+  }
+
   test("streaming form: micro-batched file source builds the same deduped corpus") {
     import spark.implicits._
     val root = Files.createTempDirectory("ingest_s").toString

@@ -264,6 +264,24 @@ class PrefixScanSpec extends SparkSpec {
       ref.filterNot(kv => dupOrds(kv._1)))
   }
 
+  test("scan rejects a non-long value column up front and a null value with a named error") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val intCol = (1 to 10).map(i => (i.toLong, i)).toDF("ord", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Prefix.exclusiveScan(intCol, "ord", "v", "off")
+    }
+    assert(e.getMessage.contains("must be LongType"))
+    val withNull = Seq((1L, Some(1L)), (2L, None), (3L, Some(3L))).toDF("ord", "v")
+    val e2 = intercept[Exception] {
+      graft.engine.Prefix.exclusiveScan(withNull, "ord", "v", "off").collect()
+    }
+    // surfaced from the executor wrapped in SparkException — walk the chain
+    val msgs = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("non-null required"), msgs)
+  }
+
   test("scan sums to the dataset total and starts at zero") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
