@@ -95,6 +95,12 @@ object SparkEntry {
         graft.engine.DataQuality.NotNull("o_custkey"),
         graft.engine.DataQuality.InRange("o_totalprice", 0, 1000000000),
         graft.engine.DataQuality.Unique("o_orderkey")))),
+    "funnel_conversion"       -> ((s, d) => Events.funnelConversion(s, d)),
+    "cohort_retention"        -> ((s, d) => Events.cohortRetention(s, d)),
+    "customer_ntile_segments" -> ((s, d) => Extras.customerNtileSegments(s, d)),
+    "postings_index"          -> ((s, d) => TextAnalysis.postingsIndex(s, d)),
+    "pii_redact"              -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,6 +239,77 @@ object SparkEntry {
       FROM orders
       GROUP BY 1
       ORDER BY 1
+    """,
+    // ordered funnel: each stage's min-ts must be strictly after the
+    // user's previous-stage min-ts
+    "funnel_conversion" -> """
+      WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+      t1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN t1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN t2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+      SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+      UNION ALL SELECT '2_click', count(*) FROM t2
+      UNION ALL SELECT '3_purchase', count(*) FROM t3
+      ORDER BY stage
+    """,
+    "cohort_retention" -> """
+      WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+      c AS (SELECT user_id, CAST(strftime(min(ts), '%Y%m%d') AS INT) AS cohort_day
+            FROM ev GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS activity_day
+            FROM ev)
+      SELECT cohort_day, activity_day, count(*) AS n_users
+      FROM a JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    // the oracle uses the single-task window ntile the Spark side
+    // deliberately avoids — same tiles, distributed rank
+    "customer_ntile_segments" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
+        FROM orders GROUP BY 1),
+      t AS (SELECT o_custkey, revenue,
+                   CAST(ntile(10) OVER (ORDER BY revenue, o_custkey) AS INT) AS decile
+            FROM rev)
+      SELECT decile, count(*) AS n_customers,
+             min(revenue) AS min_revenue, max(revenue) AS max_revenue,
+             floor((CAST(sum(CAST(revenue AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_revenue
+      FROM t GROUP BY 1 ORDER BY 1
+    """,
+    // capped posting lists: rank per term by (tf DESC, doc_id), keep 20;
+    // df stays exact over all docs
+    "postings_index" -> """
+      WITH tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      ranked AS (
+        SELECT term, doc_id, tf,
+               row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        FROM tf),
+      lists AS (
+        SELECT term, list(doc_id ORDER BY tf DESC, doc_id) AS postings
+        FROM ranked WHERE rn <= 20 GROUP BY term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT term, df, postings FROM lists JOIN dfreq USING (term) ORDER BY term
+    """,
+    // same pattern string on both engines (RE2 ∩ java.util.regex dialect)
+    "pii_redact" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{3,}|\bcustomer\b|\bkey\b')) AS INT) AS n_redactions,
+             md5(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{3,}|\bcustomer\b|\bkey\b', '[REDACTED]', 'g')) AS clean_md5
+      FROM documents ORDER BY doc_id
+    """,
+    // one-shot full aggregate: the 3-increment partial-state merge on
+    // the Spark side must reproduce it exactly
+    "mv_incremental" -> """
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total,
+             floor(((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) / count(*)) * 10000 + 0.5) / 10000 AS mean
+      FROM orders GROUP BY 1 ORDER BY 1
     """,
     // same single-copy aggregate: the manifest-committed retry must
     // converge to exactly one copy of every partition

@@ -82,6 +82,66 @@ object Events {
         Fns.money(Fns.sumMoney(get_json_object(col("props"), "$.k").cast("int"))).as("total_k"))
       .orderBy(col("event_type"))
 
+  /** Ordered 3-stage funnel (view → click → purchase): a user converts a
+    * stage only with an event STRICTLY AFTER their earliest arrival at
+    * the previous stage — the product-analytics query every event store
+    * ships. Staged as per-stage min-timestamp aggregates chained by
+    * equi-joins on `user_id`:
+    * each stage filters its event type FIRST (predicate reaches the
+    * scan), aggregates map-side to one row per user, then joins the
+    * previous stage's survivors — so the shuffles carry user-cardinality
+    * rows, not event-cardinality, and every join/agg keys on the same
+    * `user_id` (one partitioning, reused). The window-function
+    * alternative (per-user sort of ALL events) shuffles and sorts the
+    * full event log; this never materializes a per-user timeline.
+    *
+    * The per-stage aggregates are localCheckpoint'd (eager, reclaimable
+    * by the context cleaner — persist-without-unpersist is the leak to
+    * avoid): t1 feeds both its own count and stage 2, t2 its count and
+    * stage 3, and without the cut each consumer re-derives its stage
+    * from a fresh event scan (6 fact scans instead of 3). The
+    * checkpointed frames are user-cardinality — orders of magnitude
+    * below event-cardinality. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def stageMin(t: String) = ev.filter(col("event_type") === t)
+    val t1 = stageMin("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .localCheckpoint(true)
+    val t2 = stageMin("click").join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .localCheckpoint(true)
+    val t3 = stageMin("purchase").join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    Seq(("1_view", t1), ("2_click", t2), ("3_purchase", t3))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention matrix: users grouped by the day of their FIRST
+    * event (the cohort), counted on every day they were active —
+    * (cohort_day, activity_day, n_users). One user-keyed aggregate for
+    * cohorts, one distinct (user, day) projection for activity, one
+    * equi-join on `user_id`, one final small aggregate: the join carries
+    * user×active-day rows (≪ events), and the event scan reads only
+    * (user_id, ts). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_format(col("first_ts"), "yyyyMMdd").cast("int").as("cohort_day"))
+    val active = ev
+      .select(col("user_id"), date_format(col("ts"), "yyyyMMdd").cast("int").as("activity_day"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), col("activity_day"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("activity_day"))
+  }
+
   /** Overlapping promo-window attribution via the bucketed range join
     * ([[graft.operators.RangeJoin]]): 40 ten-day windows sliding by 3
     * days (so each event day belongs to up to 4 windows), events matched

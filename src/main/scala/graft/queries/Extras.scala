@@ -336,6 +336,39 @@ object Extras {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Decile segmentation of customers by lifetime revenue — exact SQL
+    * `ntile(10)` semantics WITHOUT the trap in how engines plan it: an
+    * unpartitioned `ntile() OVER (ORDER BY …)` window funnels every row
+    * through ONE task (Spark warns; it dies at 100 TB). Here the global
+    * rank comes from [[graft.engine.Scd2.assignIds]] (range partition +
+    * per-partition zipWithIndex — sorts stay distributed), the row count
+    * rides a 1-row broadcast, and the tile is computed from (rank, n)
+    * with ntile's exact fill rule: the first `n mod k` tiles hold
+    * `⌈n/k⌉` rows, the rest `⌊n/k⌋`. The rank order (revenue, custkey)
+    * is total, so tiles are deterministic. */
+  def customerNtileSegments(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Fns.money(Fns.sumMoney(col("o_totalprice"))).as("revenue"))
+      .withColumn("ord", struct(col("revenue"), col("o_custkey")))
+    val ranked = graft.engine.Scd2.assignIds(rev, "ord", "rank").drop("ord")
+    val n = ranked.agg(count(lit(1)).as("n")).select(col("n"))
+    val small = floor(col("n") / k)            // ⌊n/k⌋
+    val nBig = col("n") % k                    // tiles that get one extra row
+    val cut = nBig * (small + 1)               // ranks 1..cut sit in the big tiles
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        when(col("rank") - 1 < cut, floor((col("rank") - 1) / (small + 1)) + 1)
+          .otherwise(nBig + floor((col("rank") - 1 - cut) / small) + 1)
+          .cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("revenue")).as("min_revenue"),
+        max(col("revenue")).as("max_revenue"),
+        Fns.money(Fns.sumMoney(col("revenue"))).as("total_revenue"))
+      .orderBy(col("decile"))
+  }
+
   /** [[idempotentReload]]'s snapshot-isolated twin: the same double-load
     * retry driven through the manifest-committed table layer
     * ([[graft.engine.Manifest]]) — immutable commit dirs + one atomic
@@ -357,6 +390,30 @@ object Extras {
       .agg(count(lit(1)).as("n_orders"),
         Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"))
       .orderBy(col("ingestion_month"))
+  }
+
+  /** Incremental materialized-view maintenance proof wired into the
+    * oracle gate: the daily-revenue MV is built from THREE disjoint
+    * increments of orders (arrival slices by hashed order key), each
+    * reduced to partial-aggregate state ([[graft.engine.Mv.state]]) and
+    * merged pairwise — and the served result must equal the oracle's
+    * one-shot full aggregate exactly. Works because the state is a
+    * commutative monoid (COUNT + DECIMAL SUM): merge order cannot change
+    * a bit. This is the refresh path that replaces rescanning 100 TB of
+    * history with a delta-sized merge. */
+  def mvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("day", to_date(col("o_orderdate")))
+    // deterministic 3-way arrival split; hash first — consecutive keys
+    // sharing a factor with the modulus would skew raw pmod slices
+    val slice = pmod(Fns.h64(col("o_orderkey").cast("string")), lit(3))
+    val states = (0 until 3).map(i =>
+      graft.engine.Mv.state(o.filter(slice === i), Seq("day"), col("o_totalprice")))
+    val merged = graft.engine.Mv.merge(
+      Seq(graft.engine.Mv.merge(states.take(2), Seq("day")), states(2)), Seq("day"))
+    graft.engine.Mv.serve(merged, Seq("day"))
+      .withColumnRenamed("n_rows", "n_orders")
+      .orderBy(col("day"))
   }
 
   /** MERGE-semantics proof wired into the oracle gate: load orders

@@ -197,6 +197,49 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(k)
 
+  /** Search-style inverted index: per term, the top-`k` posting list of
+    * doc_ids ranked by term frequency (tf DESC, doc_id ASC). The cap
+    * rides the bounded-heap `topk_by` aggregate
+    * ([[graft.functions.TopKByAgg]]): each map task forwards at most k
+    * postings per term through the shuffle — the posting-list build
+    * never materializes full per-term doc lists, which is what makes an
+    * index build over 100 TB of text feasible (hot terms appear in
+    * nearly every document; an uncapped `collect_list` per term is a
+    * straggler-task OOM). Document frequency is still exact over ALL
+    * docs (count, not the capped list). */
+  def postingsIndex(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.TopKByAgg.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        expr(s"topk_by(CAST(tf AS DOUBLE), doc_id, $k)").as("topk"))
+      .select(col("term"), col("df"),
+        expr("transform(topk, x -> x.payload)").as("postings"))
+      .orderBy(col("term"))
+  }
+
+  /** Pattern-based sensitive-content redaction — the PII scrub every
+    * training-data pipeline runs before anything else. One compiled
+    * regex alternation per row (emails, long digit runs, and a
+    * dictionary of flagged tokens — the fixture's stand-ins for a real
+    * denylist), applied with `regexp_replace`/`regexp_count`: per-row,
+    * embarrassingly parallel, no shuffle before the final order. The
+    * redacted text is reported as an md5 so the oracle compares content
+    * equality without hauling full texts through the diff. Patterns stay
+    * in the RE2 ∩ java.util.regex common dialect (no backrefs /
+    * lookaround) so one pattern string serves both engines. */
+  def piiRedact(spark: SparkSession, dir: String,
+      pattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|[0-9]{3,}|\\bcustomer\\b|\\bkey\\b")
+      : DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(pattern)).as("n_redactions"),
+        md5(regexp_replace(col("text"), pattern, "[REDACTED]")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF per document, reduced to a portable checksum: sum over terms
     * of tf(t,d) * ln(N / df(t)), money-rounded. The tf×idf join is keyed
     * on the term — the standard two-pass distributed formulation. The
