@@ -101,6 +101,8 @@ object SparkEntry {
     "postings_index"          -> ((s, d) => TextAnalysis.postingsIndex(s, d)),
     "pii_redact"              -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
+    "decontaminate_bloom"     -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
+    "daily_revenue_filled"    -> ((s, d) => Extras.dailyRevenueFilled(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,6 +304,37 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{3,}|\bcustomer\b|\bkey\b')) AS INT) AS n_redactions,
              md5(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{3,}|\bcustomer\b|\bkey\b', '[REDACTED]', 'g')) AS clean_md5
       FROM documents ORDER BY doc_id
+    """,
+    // the bloom prune has no false negatives, so the exact join behind
+    // it must reproduce the unpruned decontamination answer exactly
+    "decontaminate_bloom" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+                 ELSE list_transform(range(1, len(toks) - 1), i ->
+                   ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT) END)) AS g
+        FROM t),
+      bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+      SELECT doc_id, count(*) AS n_shared
+      FROM sh JOIN bench USING (g)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id ORDER BY doc_id
+    """,
+    "daily_revenue_filled" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+               floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS day_revenue
+        FROM orders GROUP BY 1),
+      spine AS (
+        SELECT CAST(unnest(generate_series((SELECT min(day) FROM daily),
+                                           (SELECT max(day) FROM daily),
+                                           INTERVAL 1 DAY)) AS DATE) AS day),
+      j AS (SELECT s.day, d.n_orders, d.day_revenue FROM spine s LEFT JOIN daily d USING (day))
+      SELECT day, COALESCE(n_orders, 0) AS n_orders,
+             day_revenue IS NULL AS is_gap,
+             last_value(day_revenue IGNORE NULLS)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_filled
+      FROM j ORDER BY day
     """,
     // one-shot full aggregate: the 3-increment partial-state merge on
     // the Spark side must reproduce it exactly

@@ -73,6 +73,11 @@ object Manifest {
       try mapper.readValue(in: java.io.InputStream, classOf[State]) finally in.close()
     }
 
+  /** An entry's commit-dir root: relative names resolve under the table
+    * root; absolute URIs (written by [[clone]]) stand alone. */
+  private def dirRoot(path: String, dir: String): String =
+    if (dir.startsWith("/") || dir.contains("://")) dir else s"$path/$dir"
+
   /** The snapshot at `version` (default: newest) as one DataFrame.
     * Entries are grouped by commit dir so partition-column discovery runs
     * per dir (`basePath`); predicate pushdown and partition pruning apply
@@ -83,10 +88,11 @@ object Manifest {
       throw new IllegalArgumentException(s"no manifest log at $path"))
     val schema = StructType.fromDDL(st.schemaDdl)
     val scans = st.entries.groupBy(_.dir).toSeq.sortBy(_._1).map { case (dir, es) =>
-      spark.read.option("basePath", s"$path/$dir")
+      val root = dirRoot(path, dir)
+      spark.read.option("basePath", root)
         .schema(schema)
         .parquet(es.map(e =>
-          if (e.part.isEmpty) s"$path/$dir" else s"$path/$dir/${e.part}"): _*)
+          if (e.part.isEmpty) root else s"$root/${e.part}"): _*)
     }
     scans match {
       case Seq() => spark.createDataFrame(
@@ -100,6 +106,22 @@ object Manifest {
       partitionCols: Seq[String] = Seq.empty): Long =
     commitData(df, path, partitionCols, replaceAll = true)
 
+  /** Full-overwrite commit at EXACTLY `version` — the streaming form,
+    * where versions are named by epoch/batch id so redelivery is
+    * detectable. Returns false (leaving the log untouched, staged data
+    * removed) when that version is already committed: a replayed epoch
+    * recomputes the same deterministic snapshot, so skipping IS the
+    * exactly-once behavior. The pre-write short-circuit just saves the
+    * data write; the atomic manifest rename remains the real guard
+    * against two writers racing the same epoch. */
+  def writeVersioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      version: Long): Boolean = {
+    val spark = df.sparkSession
+    if (Fs.exists(spark, s"${logDir(path)}/${fileFor(version)}")) return false
+    try { commitData(df, path, partitionCols, replaceAll = true, at = Some(version)); true }
+    catch { case _: java.util.ConcurrentModificationException => false }
+  }
+
   /** Partition-replace commit: leaf partitions present in `df` point at
     * the new commit dir; all others keep their current entries —
     * `INSERT OVERWRITE … PARTITION` / Delta `replaceWhere` semantics
@@ -111,7 +133,8 @@ object Manifest {
     commitData(df, path, partitionCols, replaceAll = false)
 
   private def commitData(df: DataFrame, path: String,
-      partitionCols: Seq[String], replaceAll: Boolean): Long = {
+      partitionCols: Seq[String], replaceAll: Boolean,
+      at: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val prev = state(spark, path)
     prev.foreach { st =>
@@ -132,8 +155,14 @@ object Manifest {
       if (replaceAll) Seq.empty
       else prev.map(_.entries.filterNot(e => fresh.exists(_.part == e.part)))
         .getOrElse(Seq.empty)
-    commit(spark, path, State(prev.map(_.version + 1).getOrElse(0L),
-      partitionCols, df.schema.toDDL, kept ++ fresh))
+    try
+      commit(spark, path, State(at.getOrElse(prev.map(_.version + 1).getOrElse(0L)),
+        partitionCols, df.schema.toDDL, kept ++ fresh))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Fs.deleteDir(spark, s"$path/$dir") // unreferenced; don't wait for vacuum
+        throw e
+    }
   }
 
   /** private[graft]: the crash/race specs drive the protocol directly. */
@@ -149,6 +178,71 @@ object Manifest {
         s"manifest commit lost the race for version ${st.version} at $path")
     }
     st.version
+  }
+
+  /** Copy-on-write row deletion — Delta `DELETE WHERE` semantics with
+    * PARTITION-scoped rewrite: only leaf partitions actually containing
+    * matching rows are rewritten (survivors re-staged, matches dropped);
+    * every untouched partition keeps its existing entry — same files, no
+    * data movement. A partition emptied by the delete loses its entry
+    * outright (partition-replace alone cannot express that: an empty
+    * frame carries no partitions). Old versions still read the
+    * pre-delete rows — retention until [[vacuum]], exactly Delta's
+    * model. */
+  def deleteWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val prev = state(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    val pcols = prev.partitionCols
+    val snap = read(spark, path)
+    val affected = snap.filter(cond).select(pcols.map(col): _*).distinct()
+    // survivors of affected partitions only — a partition-keyed semi join,
+    // not a full-table rewrite
+    val rewritten = snap.join(affected, pcols).filter(!cond)
+    val dir = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    rewritten.hint("rebalance", pcols.map(col): _*)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy(pcols: _*).parquet(s"$path/$dir")
+    val fresh = Layers.leafDirs(spark, s"$path/$dir", pcols.size).sorted.map(Entry(_, dir))
+    // O(affected partitions) driver rows; values must render to the same
+    // leaf-dir names Spark wrote (true for the int/string/date partition
+    // keys used across this engine — exotic types needing URI-escaping
+    // would need Spark's ExternalCatalogUtils escaping here)
+    val affectedParts = affected.collect().map { r =>
+      pcols.zipWithIndex.map { case (c, i) =>
+        s"$c=${Option(r.get(i)).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+      }.mkString("/")
+    }.toSet
+    val kept = prev.entries.filterNot(e => affectedParts.contains(e.part))
+    commit(spark, path, State(prev.version + 1, pcols, prev.schemaDdl, kept ++ fresh))
+  }
+
+  /** Small-file compaction as a manifest commit: rewrite the live
+    * snapshot into one fresh commit dir (AQE-coalesced partition writes)
+    * and point a new version at it — readers never see the rewrite in
+    * flight, old versions stay readable, superseded files go at the next
+    * [[vacuum]]. The micro-batch-sink maintenance job
+    * ([[Layers.compact]]'s transactional sibling). */
+  def compact(spark: SparkSession, path: String): Long = {
+    val prev = state(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    if (prev.partitionCols.isEmpty) write(read(spark, path), path)
+    else replacePartitions(read(spark, path), path, prev.partitionCols)
+  }
+
+  /** Zero-copy shallow clone — Delta `SHALLOW CLONE`: the clone's v0
+    * manifest references the SOURCE's live data dirs by absolute path
+    * (no bytes copied); subsequent commits on the clone write its own
+    * relative dirs, so the clone diverges copy-on-write. Caveat shared
+    * with Delta: [[vacuum]] on the SOURCE can reclaim files the clone
+    * still references (the clone's own vacuum never touches absolute
+    * entries — it only deletes `data-*` under its root). */
+  def shallowClone(spark: SparkSession, src: String, dst: String): Long = {
+    val st = state(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $src"))
+    require(state(spark, dst).isEmpty, s"clone target $dst already has a log")
+    commit(spark, dst, State(0L, st.partitionCols, st.schemaDdl,
+      st.entries.map(e => e.copy(dir = dirRoot(src, e.dir)))))
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete every

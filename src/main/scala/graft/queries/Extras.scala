@@ -392,6 +392,34 @@ object Extras {
       .orderBy(col("ingestion_month"))
   }
 
+  /** Time-series gap fill with forward carry: the complete day spine
+    * from min to max order date (built by `sequence()` off a 1-row
+    * aggregate — no driver action, no generator UDF), left-joined to the
+    * daily aggregate, missing days carried forward with
+    * `last(_, ignoreNulls)`. The fill window is global-ordered but runs
+    * over the DAILY AGGREGATE (a few thousand rows at any corpus size —
+    * days, not orders), the same deliberate smallness argument as
+    * [[movingRevenue7d]]; the heavy aggregation below it is fully
+    * distributed. */
+  def dailyRevenueFilled(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("day_revenue"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("day_revenue").isNull.as("is_gap"),
+        last(col("day_revenue"), ignoreNulls = true)
+          .over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("revenue_filled"))
+      .orderBy(col("day"))
+  }
+
   /** Incremental materialized-view maintenance proof wired into the
     * oracle gate: the daily-revenue MV is built from THREE disjoint
     * increments of orders (arrival slices by hashed order key), each

@@ -156,8 +156,10 @@ object TextAnalysis {
     * hashes (never doc×doc), with the benchmark side — small by
     * definition — broadcast, so the corpus never shuffles. Output is one
     * row per contaminated doc with its distinct shared-shingle count. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  /** Distinct 60-bit word-3-gram hashes per document — shared by the
+    * decontamination variants. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .withColumn("toks", expr("split(text, ' ')"))
       .select(col("doc_id"), explode(expr(
         """array_distinct(CASE WHEN size(toks) < 3 THEN array()
@@ -166,12 +168,42 @@ object TextAnalysis {
                element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
                1, 15), 16, 10) AS BIGINT))
            END)""")).as("g"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
     val bench = sh.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[decontaminate]] with a BLOOM-FILTER pre-prune — the shape that
+    * holds when the benchmark set is too large to broadcast-join every
+    * corpus shingle against directly: build one bloom over the benchmark
+    * shingle hashes ([[graft.functions.Bloom]] exposes Spark's own
+    * runtime-filter expressions to SQL), prune the corpus map-side with
+    * `bloom_might_contain`, and run the exact join only on survivors.
+    * Bloom filters have NO false negatives, so the exact join behind the
+    * prune returns exactly [[decontaminate]]'s answer — which is why
+    * this variant can sit in the oracle gate at all. The filter reaches
+    * the corpus as a scalar subquery (broadcast once per executor, never
+    * embedded in task binaries), and false positives only cost wasted
+    * probes, never wrong rows. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Bloom.register(spark)
+    shingleHashes(spark, dir).createOrReplaceTempView("decon_shingles")
+    spark.sql("""
+      WITH bench AS (SELECT DISTINCT g FROM decon_shingles WHERE doc_id % 97 = 0),
+      built AS (SELECT bloom_agg(xxhash64(g), 1000000L, 8000000L) AS bf FROM bench),
+      pruned AS (
+        SELECT doc_id, g FROM decon_shingles
+        WHERE doc_id % 97 <> 0
+          AND bloom_might_contain((SELECT bf FROM built), xxhash64(g)))
+      SELECT /*+ BROADCAST(bench) */ doc_id, count(*) AS n_shared
+      FROM pruned JOIN bench USING (g)
+      GROUP BY doc_id ORDER BY doc_id""")
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens

@@ -103,6 +103,66 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, path).count() == 60)
   }
 
+  test("deleteWhere rewrites only partitions holding matches and drops emptied partitions") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("mandel").toString
+    Manifest.write(mk(0), path, Seq("p"))
+    val dirsBefore = Manifest.state(spark, path).get.entries.map(e => e.part -> e.dir).toMap
+    // matches live in p=1 (some ids) and ALL of p=2 (id is 1 mod 3 → p=2)
+    Manifest.deleteWhere(spark, path, col("id") % 3 === 1 || (col("p") === 1 && col("id") < 30))
+    val st = Manifest.state(spark, path).get
+    val got = Manifest.read(spark, path)
+    // p=2 fully emptied → entry gone entirely
+    assert(got.filter(col("p") === 2).count() == 0)
+    assert(!st.entries.exists(_.part == "p=2"))
+    // p=3 untouched: SAME entry (same files, no rewrite)
+    assert(st.entries.find(_.part == "p=3").map(_.dir) == dirsBefore.get("p=3"))
+    // p=1 rewritten: survivors only, new dir
+    assert(st.entries.find(_.part == "p=1").exists(_.dir != dirsBefore("p=1")))
+    assert(got.filter(col("p") === 1).count() ==
+      mk(0).filter(col("p") === 1 && !(col("id") % 3 === 1 || col("id") < 30)).count())
+    // time travel still serves the pre-delete rows
+    assert(Manifest.read(spark, path, Some(0L)).count() == 60)
+  }
+
+  test("compact folds a fragmented partitioned table into one commit, content identical") {
+    val path = Files.createTempDirectory("mancomp").toString
+    // one commit per partition → entries scattered over 3 dirs
+    (1 to 3).foreach { i =>
+      Manifest.replacePartitions(mk(i).filter(col("p") === i), path, Seq("p"))
+    }
+    val before = Manifest.read(spark, path).orderBy("p", "id", "version").collect()
+    assert(before.length == 60)
+    assert(Manifest.state(spark, path).get.entries.map(_.dir).distinct.size == 3)
+    Manifest.compact(spark, path)
+    val st = Manifest.state(spark, path).get
+    assert(st.entries.map(_.dir).distinct.size == 1)
+    val after = Manifest.read(spark, path).orderBy("p", "id", "version").collect()
+    assert(after.sameElements(before))
+    Manifest.vacuum(spark, path)
+    val live = graft.engine.Fs.listDirs(spark, path).map(_.getName).filter(_.startsWith("data-"))
+    assert(live.toSet == st.entries.map(_.dir).toSet)
+  }
+
+  test("shallowClone shares source files zero-copy and diverges copy-on-write") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("mansrc").toString
+    val dst = Files.createTempDirectory("mandst").toString + "/t"
+    Manifest.write(mk(0), src, Seq("p"))
+    Manifest.shallowClone(spark, src, dst)
+    // no data dirs under the clone root — all entries absolute into src
+    assert(graft.engine.Fs.listDirs(spark, dst).map(_.getName).count(_.startsWith("data-")) == 0)
+    assert(Manifest.read(spark, dst).count() == 60)
+    // clone diverges without touching the source
+    Manifest.replacePartitions(Seq((2, 7L, 9)).toDF("p", "id", "version"), dst, Seq("p"))
+    assert(Manifest.read(spark, dst).count() == 41)
+    assert(Manifest.read(spark, src).count() == 60)
+    assert(Manifest.read(spark, src).filter(col("version") === 9).count() == 0)
+    // the clone's own vacuum never deletes the source's files
+    Manifest.vacuum(spark, dst)
+    assert(Manifest.read(spark, src).count() == 60)
+  }
+
   test("unpartitioned table commits and an empty snapshot keeps its schema") {
     import spark.implicits._
     val path = Files.createTempDirectory("man7").toString
