@@ -103,6 +103,8 @@ object SparkEntry {
     "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
     "decontaminate_bloom"     -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
     "daily_revenue_filled"    -> ((s, d) => Extras.dailyRevenueFilled(s, d)),
+    "scd2_diff"               -> ((s, d) => Scd2Queries.changes(s, d)),
+    "events_zscore"           -> ((s, d) => Events.hourlyAnomalies(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -304,6 +306,74 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{3,}|\bcustomer\b|\bkey\b')) AS INT) AS n_redactions,
              md5(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|[0-9]{3,}|\bcustomer\b|\bkey\b', '[REDACTED]', 'g')) AS clean_md5
       FROM documents ORDER BY doc_id
+    """,
+    // CDF between two as-of snapshots reconstructed from the same SCD2
+    // merge pipeline the snapshot oracle replays
+    "scd2_diff" -> """
+      WITH base AS (
+        SELECT p_partkey AS part_key, p_name, p_brand, p_type, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM part),
+      dim0 AS (
+        SELECT row_number() OVER (ORDER BY part_key) AS surrogate_key, base.*,
+               md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM base),
+      src AS (
+        SELECT part_key, p_name, p_brand, p_type, p_size,
+               CASE WHEN part_key % 7 = 0 THEN price_cents + 100 ELSE price_cents END AS price_cents
+        FROM base
+        UNION ALL
+        SELECT part_key + 1000000, p_name || '_v2', p_brand, p_type, p_size, price_cents
+        FROM base WHERE part_key % 50 = 0),
+      srch AS (
+        SELECT src.*, md5(concat_ws('|', p_name, p_brand, p_type,
+                   CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS attr_hash
+        FROM src),
+      changed AS (
+        SELECT s.* FROM srch s LEFT JOIN dim0 d USING (part_key)
+        WHERE d.part_key IS NULL OR d.attr_hash <> s.attr_hash),
+      old_rows AS (
+        SELECT d.part_key, d.price_cents, d.attr_hash,
+               DATE '2024-01-01' AS effective_date,
+               CASE WHEN c.part_key IS NOT NULL THEN DATE '2024-06-01'
+                    ELSE CAST(NULL AS DATE) END AS expiry_date
+        FROM dim0 d LEFT JOIN (SELECT DISTINCT part_key FROM changed) c USING (part_key)),
+      new_rows AS (
+        SELECT part_key, price_cents, attr_hash,
+               DATE '2024-06-01' AS effective_date, CAST(NULL AS DATE) AS expiry_date
+        FROM changed),
+      merged AS (SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows),
+      a AS (SELECT part_key, price_cents, attr_hash FROM merged
+            WHERE effective_date <= DATE '2024-03-01'
+              AND (expiry_date IS NULL OR expiry_date > DATE '2024-03-01')),
+      b AS (SELECT part_key, price_cents, attr_hash FROM merged
+            WHERE effective_date <= DATE '2024-07-01'
+              AND (expiry_date IS NULL OR expiry_date > DATE '2024-07-01'))
+      SELECT COALESCE(a.part_key, b.part_key) AS part_key,
+             CASE WHEN a.part_key IS NULL THEN 'I'
+                  WHEN b.part_key IS NULL THEN 'D' ELSE 'U' END AS op,
+             a.price_cents AS old_price_cents,
+             b.price_cents AS new_price_cents
+      FROM a FULL OUTER JOIN b ON a.part_key = b.part_key
+      WHERE a.part_key IS NULL OR b.part_key IS NULL OR a.attr_hash <> b.attr_hash
+      ORDER BY part_key
+    """,
+    // moments from exact integer power sums — merge-order independent,
+    // unlike built-in stddev
+    "events_zscore" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(c) AS DOUBLE) AS sx, CAST(sum(c * c) AS DOUBLE) AS sxx
+        FROM hourly GROUP BY 1)
+      SELECT event_type, hour, c AS n_events,
+             floor(((c - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1)))) * 10000 + 0.5) / 10000 AS zscore
+      FROM hourly JOIN stats USING (event_type)
+      WHERE abs((c - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1)))) > 2
+      ORDER BY event_type, hour
     """,
     // the bloom prune has no false negatives, so the exact join behind
     // it must reproduce the unpruned decontamination answer exactly

@@ -142,6 +142,32 @@ object Events {
       .orderBy(col("cohort_day"), col("activity_day"))
   }
 
+  /** Hourly volume anomalies per event type: z-score of each hour's
+    * count against that type's own mean/stddev over all hours, keeping
+    * |z| > 2. The moments come from EXACT integer power sums (count,
+    * Σc, Σc² — all < 2⁵³, so bit-exact in doubles on any engine); the
+    * scalar algebra on top is plain IEEE, so the oracle matches without
+    * the merge-order hazard of built-in `stddev` (the
+    * [[Extras.lineitemStats]] discipline). Two hash aggregates + a
+    * broadcast-sized per-type stats join — no window, no sort until the
+    * final output ordering. */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("c")).cast("double").as("sx"),
+        sum(col("c") * col("c")).cast("double").as("sxx"))
+    val z = (col("c") - col("sx") / col("n")) /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * (col("n") - 1)))
+    hourly.join(broadcast(stats), "event_type")
+      .filter(abs(z) > 2) // gate on the RAW ratio; report money-rounded
+      .select(col("event_type"), col("hour"), col("c").as("n_events"),
+        Fns.money(z).as("zscore"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Overlapping promo-window attribution via the bucketed range join
     * ([[graft.operators.RangeJoin]]): 40 ten-day windows sliding by 3
     * days (so each event day belongs to up to 4 windows), events matched

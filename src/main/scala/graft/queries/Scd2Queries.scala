@@ -54,6 +54,36 @@ object Scd2Queries {
     Scd2.snapshotAsOf(upsert(spark, dir), cfg, "2024-07-01")
       .orderBy(col("surrogate_key"))
 
+  /** Change data feed between two points in time — Delta CDF semantics
+    * reconstructed from SCD2 history: diff the snapshots current at
+    * `2024-03-01` (pre-merge) and `2024-07-01` (post-merge), classify
+    * each business key I/U/D by full-outer join on the key with the
+    * attribute hash as the change detector. Emits ONLY changed keys
+    * (unchanged rows — the overwhelming majority — never leave the
+    * join). A snapshot carries at most one current version per key, so
+    * the join is 1:1; at scale both sides shuffle once on the business
+    * key. The D branch is real code but empty on this fixture — SCD2
+    * expires, it never deletes. */
+  def changes(spark: SparkSession, dir: String): DataFrame = {
+    val dim = upsert(spark, dir)
+    val a = Scd2.snapshotAsOf(dim, cfg, "2024-03-01").select(
+      col("part_key"), col("price_cents").as("old_price_cents"),
+      col(cfg.hashCol).as("old_hash"))
+    val b = Scd2.snapshotAsOf(dim, cfg, "2024-07-01").select(
+      col("part_key").as("part_key_b"), col("price_cents").as("new_price_cents"),
+      col(cfg.hashCol).as("new_hash"))
+    a.join(b, col("part_key") === col("part_key_b"), "full_outer")
+      .filter(col("old_hash").isNull || col("new_hash").isNull ||
+        col("old_hash") =!= col("new_hash"))
+      .select(
+        coalesce(col("part_key"), col("part_key_b")).as("part_key"),
+        when(col("old_hash").isNull, lit("I"))
+          .when(col("new_hash").isNull, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("old_price_cents"), col("new_price_cents"))
+      .orderBy(col("part_key"))
+  }
+
   /** Fact ⋈ SCD2-dim AS-OF: every fact line joins the dimension version
     * that was CURRENT on its as-of date — the consumer pattern SCD2
     * exists for (the reference maintains its product dim,
