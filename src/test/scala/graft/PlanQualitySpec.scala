@@ -63,6 +63,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), plan)
   }
 
+  test("decontaminate_bloom: the bloom prune reaches the corpus as a subquery-fed filter") {
+    val plan = formatted(graft.text.TextAnalysis.decontaminateBloom(spark, sf))
+    // might_contain must appear as a Filter condition fed by a scalar
+    // subquery (broadcast once per executor) — NOT as a literal bitmap
+    // baked into the task binary, and not optimized away entirely
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("Subquery"), plan)
+  }
+
+  test("postings_index: per-term top-k runs as an object-hash aggregate, not a window sort") {
+    val plan = formatted(graft.text.TextAnalysis.postingsIndex(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    // corpus scan reads only doc_id + text
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("funnel_conversion: each stage's event-type filter reaches the parquet scan") {
+    val plan = formatted(graft.queries.Events.funnelConversion(spark, sf))
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan)
+    // stages 1-2 are checkpointed at construction, so only the last
+    // stage's scan is in the final plan — one filtered scan, no full read
+    assert(!plan.contains("EqualTo(event_type,view)"), plan)
+  }
+
+  test("customer_ntile_segments: no unpartitioned window anywhere in the plan") {
+    val plan = formatted(graft.queries.Extras.customerNtileSegments(spark, sf))
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
