@@ -134,7 +134,7 @@ object Manifest {
 
   private def commitData(df: DataFrame, path: String,
       partitionCols: Seq[String], replaceAll: Boolean,
-      at: Option[Long] = None): Long = {
+      at: Option[Long] = None, rebalance: Boolean = true): Long = {
     val spark = df.sparkSession
     val prev = state(spark, path)
     prev.foreach { st =>
@@ -142,9 +142,13 @@ object Manifest {
         s"partitionCols ${partitionCols.mkString(",")} != committed ${st.partitionCols.mkString(",")}")
     }
     val dir = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
-    val writer = df.hint("rebalance",
-        partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode(SaveMode.ErrorIfExists)
+    // rebalance=false preserves a caller-arranged clustering (Z-order):
+    // the AQE rebalance shuffle would redistribute it
+    val shaped =
+      if (rebalance)
+        df.hint("rebalance", partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val writer = shaped.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(s"$path/$dir")
     val fresh =
@@ -217,6 +221,43 @@ object Manifest {
     commit(spark, path, State(prev.version + 1, pcols, prev.schemaDdl, kept ++ fresh))
   }
 
+  /** Copy-on-write MERGE (SCD1 upsert) — Delta `MERGE INTO … WHEN
+    * MATCHED UPDATE WHEN NOT MATCHED INSERT` for whole rows: `src` rows
+    * replace target rows sharing the business key; unmatched `src` rows
+    * insert. Only partitions that hold a matched key or receive an
+    * insert are rewritten — every other partition keeps its entry
+    * untouched (same files). The four DML verbs over manifest tables are
+    * then: [[write]]/[[replacePartitions]] (INSERT OVERWRITE),
+    * [[deleteWhere]] (DELETE), this (UPDATE/UPSERT), [[compact]]/
+    * [[optimizeZOrder]] (OPTIMIZE).
+    *
+    * CONSTRAINT (standard for partitioned upserts): partition values
+    * must be stable under the merge — a matched key's `src` row must
+    * carry the same partition values as its target row, else the old
+    * partition keeps a stale copy (the same rule Hive/Delta dynamic
+    * partition upserts impose). History keeps serving the pre-merge
+    * snapshot. */
+  def upsert(src: DataFrame, path: String, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = src.sparkSession
+    val prev = state(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    val pcols = prev.partitionCols
+    require(pcols.nonEmpty, "upsert targets partitioned tables; use write() for full rewrites")
+    val tgt = read(spark, path)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    // partitions to rewrite: those holding a matched key + those gaining
+    // a src row (update-in-place or insert; both land in src's partition)
+    val affected = tgt.join(srcKeys, keyCols, "left_semi")
+      .select(pcols.map(col): _*)
+      .unionByName(src.select(pcols.map(col): _*))
+      .distinct()
+    val survivors = tgt.join(affected, pcols, "left_semi")
+      .join(srcKeys, keyCols, "left_anti")
+    replacePartitions(survivors.unionByName(src.select(tgt.columns.map(col): _*)),
+      path, pcols)
+  }
+
   /** Small-file compaction as a manifest commit: rewrite the live
     * snapshot into one fresh commit dir (AQE-coalesced partition writes)
     * and point a new version at it — readers never see the rewrite in
@@ -228,6 +269,26 @@ object Manifest {
       throw new IllegalArgumentException(s"no manifest log at $path"))
     if (prev.partitionCols.isEmpty) write(read(spark, path), path)
     else replacePartitions(read(spark, path), path, prev.partitionCols)
+  }
+
+  /** `OPTIMIZE … ZORDER BY` — Delta's table-maintenance command as one
+    * manifest commit: rewrite the live snapshot clustered by the Morton
+    * code of two columns ([[Layout.zValue]]) so subsequent scans
+    * filtering on EITHER column prune most files via parquet min/max
+    * stats. Transactional like [[compact]]: readers see the old snapshot
+    * until the single manifest rename, old versions stay readable, the
+    * unclustered files go at the next [[vacuum]]. `nFiles` bounds the
+    * rewrite's output files (each owning a small hyper-rectangle of the
+    * key space). Unpartitioned tables only — partitioned tables cluster
+    * within partitions at write time via the rebalance hint. */
+  def optimizeZOrder(spark: SparkSession, path: String,
+      xCol: String, yCol: String, nFiles: Int): Long = {
+    val prev = state(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    require(prev.partitionCols.isEmpty,
+      "optimizeZOrder rewrites whole snapshots; partitioned tables cluster per partition on write")
+    commitData(Layout.zorderBy(read(spark, path), xCol, yCol, nFiles), path,
+      Seq.empty, replaceAll = true, rebalance = false)
   }
 
   /** Zero-copy shallow clone — Delta `SHALLOW CLONE`: the clone's v0

@@ -163,6 +163,58 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, src).count() == 60)
   }
 
+  test("upsert rewrites only matched/inserted partitions; updates replace, inserts append") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manup").toString
+    Manifest.write(mk(0), path, Seq("p"))
+    val dirsBefore = Manifest.state(spark, path).get.entries.map(e => e.part -> e.dir).toMap
+    // update two keys in p=2, insert a fresh key into p=4
+    val src = Seq((2, 1L, 77), (2, 4L, 77), (4, 900L, 77)).toDF("p", "id", "version")
+    Manifest.upsert(src, path, Seq("p", "id"))
+    val st = Manifest.state(spark, path).get
+    val got = Manifest.read(spark, path)
+    assert(got.count() == 61) // 60 + 1 insert
+    // p=1, p=3 untouched — identical entries, no rewrite
+    assert(st.entries.find(_.part == "p=1").map(_.dir) == dirsBefore.get("p=1"))
+    assert(st.entries.find(_.part == "p=3").map(_.dir) == dirsBefore.get("p=3"))
+    // p=2 rewritten: the two matched rows carry the new version, rest old
+    assert(got.filter(col("p") === 2 && col("version") === 77).count() == 2)
+    assert(got.filter(col("p") === 2).count() == 20)
+    // p=4 created by the insert
+    assert(got.filter(col("p") === 4).select("id").head().getLong(0) == 900L)
+    // history still serves the pre-merge snapshot
+    assert(Manifest.read(spark, path, Some(0L)).count() == 60)
+    assert(Manifest.read(spark, path, Some(0L)).filter(col("version") =!= 0).count() == 0)
+  }
+
+  test("optimizeZOrder: one-commit clustered rewrite — same rows, small per-file bounding boxes") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manopt").toString
+    val rows = Seq.tabulate(4096)(i => ((i * 2654435761L % 256).toInt,
+      (i * 40503 % 256).toInt, i.toLong)).toDF("x", "y", "id")
+    Manifest.write(rows.repartition(16), path)
+    val before = Manifest.read(spark, path).orderBy("id").collect()
+    Manifest.optimizeZOrder(spark, path, "x", "y", 16)
+    val opt = Manifest.read(spark, path)
+    assert(opt.orderBy("id").collect().sameElements(before)) // content identical
+    assert(Manifest.read(spark, path, Some(0L)).count() == 4096) // time travel intact
+    // per-FILE bounding boxes of the clustered layout ≪ the full 256×256
+    // space a random layout spans (the min/max-stat pruning surface)
+    val live = Manifest.state(spark, path).get.entries.map(_.dir).distinct
+    assert(live.size == 1)
+    val files = graft.engine.Fs.resolve(spark, s"$path/${live.head}")._1
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/${live.head}"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    assert(files.length > 4)
+    val avgArea = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(((max(col("x")) - min(col("x")) + 1) *
+          (max(col("y")) - min(col("y")) + 1)).cast("double")).head().getDouble(0)
+      r
+    }.sum / files.length
+    assert(avgArea < 256.0 * 256.0 / 4, s"avg file bounding box $avgArea")
+  }
+
   test("unpartitioned table commits and an empty snapshot keeps its schema") {
     import spark.implicits._
     val path = Files.createTempDirectory("man7").toString
