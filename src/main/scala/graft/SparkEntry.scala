@@ -105,6 +105,7 @@ object SparkEntry {
     "daily_revenue_filled"    -> ((s, d) => Extras.dailyRevenueFilled(s, d)),
     "scd2_diff"               -> ((s, d) => Scd2Queries.changes(s, d)),
     "events_zscore"           -> ((s, d) => Events.hourlyAnomalies(s, d)),
+    "knn_filtered"            -> ((s, d) => Similarity.knnFilteredByLabel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -939,6 +940,27 @@ object SparkEntry {
              neighbor_id, cosine
       FROM s
       QUALIFY rank <= 5
+      ORDER BY query_id, rank
+    """,
+    // filtered ANN: neighbors restricted to the query's own label —
+    // the Spark side runs it as a hash equi-join on label
+    "knn_filtered" -> """
+      WITH p AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, label, v AS va, norm2 AS na2 FROM p WHERE vec_id % 100 = 0),
+      s AS (
+        SELECT q.query_id, p.vec_id AS neighbor_id, q.label,
+               floor((list_reduce(list_transform(range(1, len(q.va) + 1), i -> q.va[i] * p.v[i]),
+                 (x, y) -> x + y) / sqrt(q.na2 * p.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM q JOIN p ON p.label = q.label AND p.vec_id <> q.query_id)
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+             neighbor_id, label, cosine
+      FROM s
+      QUALIFY rank <= 3
       ORDER BY query_id, rank
     """,
     // IVF with a LEARNED coarse quantizer: Lloyd's k-means (k=10, 3

@@ -94,11 +94,16 @@ object Manifest {
         .parquet(es.map(e =>
           if (e.part.isEmpty) root else s"$root/${e.part}"): _*)
     }
-    scans match {
+    val merged = scans match {
       case Seq() => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case ss => ss.reduce(_ unionByName _)
     }
+    // partitioned scans surface partition columns LAST regardless of the
+    // provided schema — restore the committed column order so readers of
+    // any version see one stable schema
+    merged.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+      .toIndexedSeq: _*)
   }
 
   /** Full-overwrite commit: the new snapshot is exactly `df`. */

@@ -77,6 +77,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** METADATA-FILTERED exact kNN: each query's neighbors are restricted
+    * to corpus vectors sharing its `label` — the filtered-vector-search
+    * pattern (tenant/language/category scoping) every production ANN
+    * serves. The filter column becomes the JOIN KEY: corpus ⋈ queries is
+    * a hash equi-join on `label` instead of a post-filtered cross
+    * product, so each corpus row meets only the queries of its own label
+    * — with L labels, 1/L of the pair workload, and the plan is the same
+    * shape as the star joins (broadcast hash join, corpus never
+    * shuffles). At IVF scale the same label key composes with the list
+    * id (join on (label, cid)). */
+  def knnFilteredByLabel(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = prepared(spark, dir)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("va"), col("norm2").as("na2"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("v").as("vb"), col("norm2").as("nb2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Centroid state between Lloyd iterations: O(nClusters·dim) doubles on
     * the driver — the same driver-resident footprint spark-ml's KMeans
     * keeps, broadcast back into each iteration's single corpus scan. */
