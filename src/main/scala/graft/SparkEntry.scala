@@ -106,6 +106,8 @@ object SparkEntry {
     "scd2_diff"               -> ((s, d) => Scd2Queries.changes(s, d)),
     "events_zscore"           -> ((s, d) => Events.hourlyAnomalies(s, d)),
     "knn_filtered"            -> ((s, d) => Similarity.knnFilteredByLabel(s, d)),
+    "yoy_growth"              -> ((s, d) => Extras.yoyGrowth(s, d)),
+    "basket_pairs"            -> ((s, d) => Extras.basketPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -941,6 +943,28 @@ object SparkEntry {
       FROM s
       QUALIFY rank <= 5
       ORDER BY query_id, rank
+    """,
+    // period-over-period: self-join of the monthly aggregate on
+    // (year-1, month) — gap-tolerant, no global-window lag
+    "yoy_growth" -> """
+      WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+               floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
+        FROM orders GROUP BY 1, 2)
+      SELECT m.yr, m.mo, m.revenue, p.revenue AS prior_revenue,
+             CASE WHEN p.revenue IS NULL OR p.revenue = 0 THEN NULL
+                  ELSE floor(((m.revenue - p.revenue) / p.revenue) * 10000 + 0.5) / 10000 END AS yoy_growth
+      FROM monthly m LEFT JOIN monthly p ON p.yr = m.yr - 1 AND p.mo = m.mo
+      ORDER BY m.yr, m.mo
+    """,
+    // per-order distinct part list self-joined on the order key, a<b
+    "basket_pairs" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem)
+      SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_orders
+      FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, part_a, part_b
+      LIMIT 20
     """,
     // filtered ANN: neighbors restricted to the query's own label —
     // the Spark side runs it as a hash equi-join on label

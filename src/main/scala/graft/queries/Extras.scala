@@ -392,6 +392,50 @@ object Extras {
       .orderBy(col("ingestion_month"))
   }
 
+  /** Year-over-year growth: monthly revenue joined to the same month one
+    * year earlier — the period-over-period comparison behind every BI
+    * dashboard. Expressed as a self-equi-join of the MONTHLY aggregate
+    * on (year-1, month) rather than a `lag(12)` window: the join needs
+    * no global ordering (no single-task window), tolerates missing
+    * months (lag(12) silently reads the wrong row across gaps), and the
+    * joined relation is month-cardinality. Growth ratio is guarded for
+    * a zero prior month and reported money-rounded off raw IEEE
+    * division. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(Fns.money(Fns.sumMoney(col("o_totalprice"))).as("revenue"))
+    val prior = monthly.select((col("yr") + 1).as("yr"), col("mo"),
+      col("revenue").as("prior_revenue"))
+    monthly.join(prior, Seq("yr", "mo"), "left")
+      .select(col("yr"), col("mo"), col("revenue"), col("prior_revenue"),
+        when(col("prior_revenue").isNull || col("prior_revenue") === 0, lit(null))
+          .otherwise(Fns.money((col("revenue") - col("prior_revenue")) / col("prior_revenue")))
+          .as("yoy_growth"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  /** Market-basket co-occurrence: the 20 part pairs most often ordered
+    * together. Pairs are generated per order via a self-join of the
+    * per-order DISTINCT part list on the order key with `a < b` (each
+    * unordered pair once) — work is bounded by Σ basket² per order, not
+    * corpus², and the pair aggregate is an ordinary hash agg with
+    * map-side partials. Top-20 via TakeOrderedAndProject with a full
+    * deterministic tie-break. */
+  def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    items.withColumnRenamed("part", "part_a")
+      .join(items.withColumnRenamed("part", "part_b"), "okey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Time-series gap fill with forward carry: the complete day spine
     * from min to max order date (built by `sequence()` off a 1-row
     * aggregate — no driver action, no generator UDF), left-joined to the

@@ -93,6 +93,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("knn_filtered: the label filter is the join key — broadcast hash join, no cross product") {
+    val plan = formatted(graft.sim.Similarity.knnFilteredByLabel(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
