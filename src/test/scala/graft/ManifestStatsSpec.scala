@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.engine.Manifest
+
+/** Per-entry min/max stats and stats-pruned scans ([[Manifest.readWhere]])
+  * — the manifest half of Delta/Iceberg data skipping. The killer property
+  * is proved by poisoning: entries outside the range have their parquet
+  * bytes corrupted, so the test fails loudly if the pruned scan ever plans
+  * (let alone reads) them. */
+class ManifestStatsSpec extends SparkSpec {
+
+  // three partitions with disjoint id ranges: p=1 → 0..19, p=2 → 100..119, p=3 → 200..219
+  private def mk() = {
+    import spark.implicits._
+    Seq.tabulate(60)(i => (i % 3 + 1, (i % 3) * 100L + i / 3)).toDF("p", "id")
+  }
+
+  private def poison(dirPath: String): Unit = {
+    val d = Paths.get(dirPath)
+    Files.list(d).forEach { f =>
+      if (f.getFileName.toString.endsWith(".parquet"))
+        Files.write(f, Array.fill[Byte](64)(0x7f))
+    }
+  }
+
+  test("stats are collected per entry and prune to exactly the overlapping partitions") {
+    val path = Files.createTempDirectory("mstats1").toString
+    Manifest.write(mk(), path, Seq("p"), statsCols = Seq("id"))
+    val st = Manifest.state(spark, path).get
+    assert(st.statsCols.contains(Seq("id")))
+    assert(st.entries.forall(_.stats.exists(_.contains("id"))))
+    val schema = StructType.fromDDL(st.schemaDdl)
+    val kept = Manifest.overlapping(st, schema, "id", Some(100), Some(110))
+    assert(kept.map(_.part) == Seq("p=2"))
+    // one-sided bounds
+    assert(Manifest.overlapping(st, schema, "id", Some(120), None).map(_.part) == Seq("p=3"))
+    assert(Manifest.overlapping(st, schema, "id", None, Some(19)).map(_.part) == Seq("p=1"))
+  }
+
+  test("readWhere never opens pruned entries (poisoned files) and still returns the exact filter result") {
+    val path = Files.createTempDirectory("mstats2").toString
+    Manifest.write(mk(), path, Seq("p"), statsCols = Seq("id"))
+    val st = Manifest.state(spark, path).get
+    // corrupt every file of the out-of-range partitions: any plan that
+    // touches them crashes
+    st.entries.filterNot(_.part == "p=2").foreach { e =>
+      poison(s"$path/${e.dir}/${e.part}")
+    }
+    intercept[Exception] { // the unpruned scan DOES die on the poison
+      Manifest.read(spark, path).filter(col("id").between(100, 110)).count()
+    }
+    val got = Manifest.readWhere(spark, path, "id", Some(100), Some(110))
+    assert(got.count() == 11)
+    assert(got.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(100L, 110L))
+  }
+
+  test("entries without stats are conservatively kept; residual filter keeps the result exact") {
+    val path = Files.createTempDirectory("mstats3").toString
+    Manifest.write(mk(), path, Seq("p"), statsCols = Seq("id"))
+    // strip stats from p=1 (simulates a manifest written before stats
+    // existed); it must be scanned despite the range missing it
+    val st = Manifest.state(spark, path).get
+    Manifest.commit(spark, path, st.copy(version = st.version + 1,
+      entries = st.entries.map(e =>
+        if (e.part == "p=1") e.copy(stats = None) else e)))
+    val schema = StructType.fromDDL(st.schemaDdl)
+    val st2 = Manifest.state(spark, path).get
+    assert(Manifest.overlapping(st2, schema, "id", Some(100), Some(110))
+      .map(_.part).toSet == Set("p=1", "p=2"))
+    // result identical to the unpruned filter
+    val want = Manifest.read(spark, path)
+      .filter(col("id").between(100, 110)).orderBy("id").collect().toSeq
+    val got = Manifest.readWhere(spark, path, "id", Some(100), Some(110))
+      .orderBy("id").collect().toSeq
+    assert(got == want)
+  }
+
+  test("DML re-collects stats: deleteWhere and replacePartitions keep skipping correct") {
+    val path = Files.createTempDirectory("mstats4").toString
+    import spark.implicits._
+    Manifest.write(mk(), path, Seq("p"), statsCols = Seq("id"))
+    // delete the low half of p=2 → its fresh entry's min must rise to 110
+    Manifest.deleteWhere(spark, path, col("id").between(100, 109))
+    val st = Manifest.state(spark, path).get
+    assert(st.statsCols.contains(Seq("id"))) // inherited, not re-passed
+    assert(st.entries.find(_.part == "p=2").get.stats.get("id") == Seq("110", "119"))
+    // replacePartitions with no explicit statsCols also inherits
+    Manifest.replacePartitions(Seq((3, 500L)).toDF("p", "id"), path, Seq("p"))
+    val st2 = Manifest.state(spark, path).get
+    assert(st2.entries.find(_.part == "p=3").get.stats.get("id") == Seq("500", "500"))
+    val schema = StructType.fromDDL(st2.schemaDdl)
+    assert(Manifest.overlapping(st2, schema, "id", Some(400), None).map(_.part) == Seq("p=3"))
+  }
+}
