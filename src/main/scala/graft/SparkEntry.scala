@@ -108,6 +108,9 @@ object SparkEntry {
     "knn_filtered"            -> ((s, d) => Similarity.knnFilteredByLabel(s, d)),
     "yoy_growth"              -> ((s, d) => Extras.yoyGrowth(s, d)),
     "basket_pairs"            -> ((s, d) => Extras.basketPairs(s, d)),
+    "doc_chunks"              -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    "corpus_mixture"          -> ((s, d) => TextAnalysis.corpusMixture(s, d)),
+    "edit_dist_pairs"         -> ((s, d) => Dedup.editDistancePairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -965,6 +968,48 @@ object SparkEntry {
       GROUP BY 1, 2
       ORDER BY n_orders DESC, part_a, part_b
       LIMIT 20
+    """,
+    // Spark side: per-row generator explode; the chunk-count arithmetic
+    // is exact-integer on both engines
+    "doc_chunks" -> """
+      SELECT doc_id, CAST(u AS INT) AS chunk_id,
+             substr(text, CAST(u * 150 + 1 AS INT), 200) AS chunk_text,
+             CAST(len(substr(text, CAST(u * 150 + 1 AS INT), 200)) AS INT) AS chunk_len
+      FROM documents,
+           unnest(range(0, CASE WHEN len(text) <= 200 THEN 1
+                                ELSE (len(text) - 200 + 149) // 150 + 1 END)) AS t(u)
+      ORDER BY doc_id, chunk_id
+    """,
+    // α=0.5 data-mixture weights; sqrt is correctly-rounded on both
+    // engines (pow is not), per-source sqrt is money-rounded BEFORE the
+    // decimal normalizing sum so the total is order-independent
+    "corpus_mixture" -> """
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      s AS (SELECT *, floor(sqrt(tokens) * 10000 + 0.5) / 10000 AS sq FROM per),
+      tot AS (SELECT CAST(sum(CAST(sq AS DECIMAL(38,8))) AS DOUBLE) AS tot_sq,
+                     sum(tokens) AS tot_tokens FROM s)
+      SELECT source, n_docs, tokens,
+             floor((tokens / tot_tokens) * 10000 + 0.5) / 10000 AS raw_share,
+             floor((sq / tot_sq) * 10000 + 0.5) / 10000 AS weight,
+             floor(((floor((sq / tot_sq) * 10000 + 0.5) / 10000) /
+                    (floor((tokens / tot_tokens) * 10000 + 0.5) / 10000)) * 10000 + 0.5) / 10000 AS boost
+      FROM s, tot ORDER BY source
+    """,
+    // Spark side generates candidates via a (lang, length-band ±1)
+    // equi-join with the bounded levenshtein; the oracle's plain non-equi
+    // join proves the banding is lossless. Byte- vs codepoint-based
+    // levenshtein agree on this all-ASCII fixture (spec-pinned).
+    "edit_dist_pairs" -> """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS INT) AS edit_dist
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 60
+      WHERE levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 40
+      ORDER BY doc_a, doc_b
     """,
     // filtered ANN: neighbors restricted to the query's own label —
     // the Spark side runs it as a hash equi-join on label

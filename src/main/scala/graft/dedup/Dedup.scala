@@ -492,4 +492,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Fns.money(col("cos_raw")).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Edit-distance near-dup pairs: documents in the same language whose
+    * lengths differ by ≤ `maxLenDiff` and whose `prefix`-char prefixes
+    * are within `maxDist` Levenshtein edits — the character-level
+    * fuzzy-dup family member (MinHash/SimHash are set/bit-level; this
+    * catches small in-place edits they dilute).
+    *
+    * Scale shape: candidates come from a KEYED equi-join on
+    * (lang, length-band) — the left side probes its own band ±1, the
+    * right side stays single-band, so each qualifying pair is emitted
+    * exactly once and nothing is all-pairs. Levenshtein runs with Spark's
+    * bounded form (`levenshtein(l, r, threshold)`), which abandons a DP
+    * row once `maxDist` is exceeded — O(prefix × maxDist), not
+    * O(prefix²), per candidate.
+    *
+    * Oracle caveat: DuckDB's `levenshtein` is byte-based while Spark's is
+    * codepoint-based; they agree on this fixture (all-ASCII corpus — the
+    * spec pins it) and on any single-byte corpus. */
+  def editDistancePairs(spark: SparkSession, dir: String, prefix: Int = 120,
+      maxLenDiff: Int = 60, maxDist: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(s"substring(text, 1, $prefix)").as("p"),
+        (col("n_chars") / maxLenDiff).cast("long").as("band"))
+    val a = docs
+      .withColumn("jband", explode(expr("sequence(band - 1, band + 1)")))
+      .select(col("lang"), col("jband"), col("doc_id").as("doc_a"),
+        col("n_chars").as("len_a"), col("p").as("pa"))
+    val b = docs.select(col("lang"), col("band").as("jband"),
+      col("doc_id").as("doc_b"), col("n_chars").as("len_b"), col("p").as("pb"))
+    a.join(b, Seq("lang", "jband"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= maxLenDiff)
+      .withColumn("edit_dist",
+        expr(s"levenshtein(pa, pb, $maxDist)").cast("int"))
+      .filter(col("edit_dist") >= 0) // bounded form returns -1 past maxDist
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

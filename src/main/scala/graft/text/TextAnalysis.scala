@@ -357,6 +357,63 @@ object TextAnalysis {
       .orderBy(col("bin_id"))
   }
 
+  /** Overlapping fixed-window document chunking — the RAG / context-window
+    * prep step: each document yields chunks of `size` chars every `stride`
+    * chars (overlap = size - stride), the last chunk clipped at the text
+    * end. A document shorter than `size` still yields its single chunk.
+    *
+    * Scale shape: a per-row generator explode (`sequence` → `explode`) —
+    * no shuffle, no state; output is ~(len/stride)× the input rows and
+    * streams straight to the sink. The chunk count is computed with exact
+    * integer arithmetic so the emitted window set is identical on any
+    * engine. */
+  def docChunks(spark: SparkSession, dir: String,
+      size: Int = 200, stride: Int = 150): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_chunks", expr(
+        s"""CASE WHEN length(text) <= $size THEN 1
+            ELSE (length(text) - $size + ${stride - 1}) div $stride + 1 END"""))
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, CAST(n_chunks - 1 AS INT))")).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        expr(s"substring(text, chunk_id * $stride + 1, $size)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("int"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Temperature-scaled corpus mixing weights — the data-mixture step of
+    * a pretraining run (Pile/LLaMA-style): per source, token mass and the
+    * α=0.5 power-scaled sampling weight `√tokens / Σ√tokens`, which
+    * upweights small sources relative to their raw share (`boost` =
+    * weight / raw_share > 1 for small sources). α is fixed at 0.5 because
+    * `sqrt` is IEEE-correctly-rounded on BOTH engines, unlike `pow(x, α)`
+    * (1-ulp-loose in libm and Java alike) — a general-α version would
+    * need the money-rounding moved before the normalizing sum anyway,
+    * which is exactly what this does.
+    *
+    * Scale shape: one tiny per-source aggregate (map-side combined), the
+    * normalizing totals attached as a 1-row broadcast scalar — the corpus
+    * is scanned once and never shuffled beyond the hash aggregate. */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("tokens"))
+      .withColumn("sq", Fns.money(sqrt(col("tokens"))))
+    val tot = per.agg(
+      Fns.sumMoney(col("sq")).as("__tot_sq"),
+      sum(col("tokens")).as("__tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("raw_share", Fns.money(col("tokens") / col("__tot_tokens")))
+      .withColumn("weight", Fns.money(col("sq") / col("__tot_sq")))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("raw_share"), col("weight"),
+        Fns.money(col("weight") / col("raw_share")).as("boost"))
+      .orderBy(col("source"))
+  }
+
   /** Winnowing fingerprints (local minima of rolling shingle hashes —
     * the standard document-fingerprint scheme): word 3-gram shingles →
     * 60-bit hashes → min per 4-window → distinct mins. Emits a per-doc

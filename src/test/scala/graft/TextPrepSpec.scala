@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Properties of the round-4 text-prep operators that the oracle diff
+  * cannot see: chunk coverage/reconstruction, length-band losslessness of
+  * the edit-distance candidate join, and the all-ASCII fixture pin the
+  * byte-vs-codepoint levenshtein oracle caveat rests on. */
+class TextPrepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("docChunks: windows tile every document — stride-aligned, full coverage, correct clipping") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextAnalysis.docChunks(spark, dir).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet) // every doc chunked, even short ones
+    for ((id, cs) <- byDoc) {
+      val n = docs(id)
+      val sorted = cs.sortBy(_.getInt(1))
+      // chunk ids are 0..k-1; starts stride apart; all but last are full
+      assert(sorted.map(_.getInt(1)).toSeq == (0 until sorted.length))
+      assert(sorted.init.forall(_.getInt(3) == 200))
+      // last chunk reaches exactly the end of the text
+      val last = sorted.last
+      assert(last.getInt(1) * 150 + last.getInt(3) == n)
+      // coverage: next window starts inside the previous one (overlap 50)
+      assert(sorted.length == (if (n <= 200) 1 else (n - 200 + 149) / 150 + 1))
+    }
+  }
+
+  test("editDistancePairs: (lang, length-band ±1) candidate join is lossless vs all-pairs") {
+    import spark.implicits._
+    val banded = Dedup.editDistancePairs(spark, dir).collect().toSeq
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("substring(text, 1, 120)").as("p"))
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"),
+      col("n_chars").as("la"), col("p").as("pa"))
+    val b = docs.select(col("lang"), col("doc_id").as("doc_b"),
+      col("n_chars").as("lb"), col("p").as("pb"))
+    val allPairs = a.join(b, "lang")
+      .filter(col("doc_a") < col("doc_b") && abs(col("la") - col("lb")) <= 60)
+      .withColumn("edit_dist", expr("levenshtein(pa, pb)").cast("int"))
+      .filter(col("edit_dist") <= 40)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    assert(banded == allPairs)
+    assert(banded.nonEmpty) // the fixture does contain char-level near-dups
+  }
+
+  test("documents fixture is all-ASCII (the levenshtein oracle's byte=codepoint precondition)") {
+    // DuckDB's levenshtein counts bytes, Spark's counts codepoints; the
+    // oracle comparison is valid only while the corpus is single-byte
+    val nonAscii = Tables.documents(spark, dir)
+      .filter(length(col("text")) !== octet_length(col("text"))).count()
+    assert(nonAscii == 0)
+  }
+
+  test("corpusMixture: weights normalize and temperature-flattening favors small sources") {
+    val rows = TextAnalysis.corpusMixture(spark, dir).collect()
+    val weightSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(weightSum - 1.0) < 1e-3) // rounded weights still ~normalize
+    val byTokens = rows.sortBy(_.getLong(2))
+    assert(byTokens.head.getDouble(5) > 1.0) // smallest source boosted
+    assert(byTokens.last.getDouble(5) < 1.0) // largest source damped
+    // α=0.5 flattening is order-preserving: more tokens, more weight
+    assert(byTokens.map(_.getDouble(4)).toSeq == byTokens.map(_.getDouble(4)).sorted.toSeq)
+  }
+}
