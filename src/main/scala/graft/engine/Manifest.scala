@@ -184,6 +184,26 @@ object Manifest {
     catch { case _: java.util.ConcurrentModificationException => false }
   }
 
+  /** True iff `version` is committed — the replay-detection primitive for
+    * epoch-keyed writers. */
+  def hasVersion(spark: SparkSession, path: String, version: Long): Boolean =
+    Fs.exists(spark, s"${logDir(path)}/${fileFor(version)}")
+
+  /** [[replacePartitions]] at EXACTLY `version` — the streaming form:
+    * an epoch's partitions land under a version named by the epoch, so a
+    * redelivered epoch is detected (returns false, log untouched, staged
+    * data removed) instead of re-applied. The atomic manifest rename
+    * remains the real guard against two writers racing the same epoch. */
+  def replacePartitionsVersioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], version: Long): Boolean = {
+    val spark = df.sparkSession
+    if (hasVersion(spark, path, version)) return false
+    try {
+      commitData(df, path, partitionCols, replaceAll = false, at = Some(version))
+      true
+    } catch { case _: java.util.ConcurrentModificationException => false }
+  }
+
   /** Partition-replace commit: leaf partitions present in `df` point at
     * the new commit dir; all others keep their current entries —
     * `INSERT OVERWRITE … PARTITION` / Delta `replaceWhere` semantics

@@ -43,10 +43,43 @@ import graft.engine.{Fs, Layers}
   */
 object CorpusIngest {
 
-  private def indexSchema: StructType = new StructType()
+  private[streaming] def indexSchema: StructType = new StructType()
     .add("doc_id", LongType, nullable = false)
     .add("th", ArrayType(LongType), nullable = true)
     .add("sig", ArrayType(LongType), nullable = true)
+
+  /** Doc_ids of `sigs` rejected as near-dups of the `stored` index or of a
+    * smaller-id document in their own batch: band-bucket candidate join
+    * (never all-pairs) + exact jaccard verify — the decision core shared
+    * by the directory-keyed and manifest-committed ingest variants.
+    * Caller persists/unpersists the returned frame (it feeds the count
+    * and both sinks). */
+  private[streaming] def rejectedIds(sigs: DataFrame, stored: DataFrame,
+      threshold: Double): DataFrame = {
+    val newBands = Dedup.bandRows(sigs)
+    val storedBands = Dedup.bandRows(stored)
+      .withColumnsRenamed(Map("doc_id" -> "ref_id"))
+    // candidates vs the admitted index (any id) + vs earlier batch docs
+    val candStored = newBands.join(storedBands, Seq("band", "k1", "k2", "k3", "k4"))
+      .select(col("doc_id"), col("ref_id"))
+    val candBatch = newBands
+      .join(newBands.withColumnsRenamed(Map("doc_id" -> "ref_id")),
+        Seq("band", "k1", "k2", "k3", "k4"))
+      .filter(col("ref_id") < col("doc_id"))
+      .select(col("doc_id"), col("ref_id"))
+    val cand = candStored.unionAll(candBatch).distinct()
+
+    // exact jaccard verify on full token-hash sets (references resolve
+    // from the stored index or the batch itself) — the SAME gate as the
+    // batch pair generators (Dedup.jaccardAtLeast), so admission and
+    // pair semantics cannot drift apart
+    val refTh = stored.select(col("doc_id").as("ref_id"), col("th").as("ref_th"))
+      .unionByName(sigs.select(col("doc_id").as("ref_id"), col("th").as("ref_th")))
+    Dedup.jaccardAtLeast(
+        cand.join(sigs.select(col("doc_id"), col("th")), "doc_id").join(refTh, "ref_id"),
+        "th", "ref_th", threshold)
+      .select(col("doc_id")).distinct()
+  }
 
   /** Ingest one batch; returns the number of ADMITTED documents. */
   def ingestBatch(batch: DataFrame, root: String, batchId: Long,
@@ -76,31 +109,9 @@ object CorpusIngest {
             .select("doc_id", "th", "sig")
         else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
 
-      val newBands = Dedup.bandRows(sigs)
-      val storedBands = Dedup.bandRows(stored)
-        .withColumnsRenamed(Map("doc_id" -> "ref_id"))
-      // candidates vs the admitted index (any id) + vs earlier batch docs
-      val candStored = newBands.join(storedBands, Seq("band", "k1", "k2", "k3", "k4"))
-        .select(col("doc_id"), col("ref_id"))
-      val candBatch = newBands
-        .join(newBands.withColumnsRenamed(Map("doc_id" -> "ref_id")),
-          Seq("band", "k1", "k2", "k3", "k4"))
-        .filter(col("ref_id") < col("doc_id"))
-        .select(col("doc_id"), col("ref_id"))
-      val cand = candStored.unionAll(candBatch).distinct()
-
-      // exact jaccard verify on full token-hash sets (references resolve
-      // from the stored index or the batch itself) — the SAME gate as
-      // the batch pair generators (Dedup.jaccardAtLeast), so admission
-      // and pair semantics cannot drift apart. The tiny rejected-id set
-      // persists: it feeds the count and both sinks, and the band joins
-      // behind it are the expensive stage.
-      val refTh = stored.select(col("doc_id").as("ref_id"), col("th").as("ref_th"))
-        .unionByName(sigs.select(col("doc_id").as("ref_id"), col("th").as("ref_th")))
-      val rejected = Dedup.jaccardAtLeast(
-          cand.join(sigs.select(col("doc_id"), col("th")), "doc_id").join(refTh, "ref_id"),
-          "th", "ref_th", threshold)
-        .select(col("doc_id")).distinct()
+      // the tiny rejected-id set persists: it feeds the count and both
+      // sinks, and the band joins behind it are the expensive stage
+      val rejected = rejectedIds(sigs, stored, threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
