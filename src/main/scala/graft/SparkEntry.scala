@@ -111,6 +111,7 @@ object SparkEntry {
     "doc_chunks"              -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "corpus_mixture"          -> ((s, d) => TextAnalysis.corpusMixture(s, d)),
     "edit_dist_pairs"         -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    "compound_index"          -> ((s, d) => Extras.compoundIndex(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1010,6 +1011,27 @@ object SparkEntry {
        AND abs(a.n_chars - b.n_chars) <= 60
       WHERE levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 40
       ORDER BY doc_a, doc_b
+    """,
+    // both engines run the IDENTICAL recursion (Spark: native recursive
+    // CTE / UnionLoop); the per-step money-rounding has no closed form,
+    // so a hash match proves step-by-step iterative equivalence
+    "compound_index" -> """
+      WITH RECURSIVE monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+               floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
+        FROM orders GROUP BY 1, 2),
+      seq AS (
+        SELECT yr, mo, revenue,
+               CAST(row_number() OVER (ORDER BY yr, mo) AS INT) AS idx
+        FROM monthly),
+      rec AS (
+        SELECT idx, yr, mo, revenue, CAST(100.0 AS DOUBLE) AS index_value
+        FROM seq WHERE idx = 1
+        UNION ALL
+        SELECT s.idx, s.yr, s.mo, s.revenue,
+               floor((r.index_value * (s.revenue / r.revenue)) * 10000 + 0.5) / 10000
+        FROM rec r JOIN seq s ON s.idx = r.idx + 1)
+      SELECT idx, yr, mo, revenue, index_value FROM rec ORDER BY idx
     """,
     // filtered ANN: neighbors restricted to the query's own label —
     // the Spark side runs it as a hash equi-join on label

@@ -511,4 +511,40 @@ object Extras {
         Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"))
       .orderBy(col("ingestion_month"))
   }
+
+  /** Iterative computation via a native RECURSIVE CTE (Spark 4's
+    * `UnionLoop` execution): a compounded month-over-month revenue index
+    * (base 100), where each month's value is the PREVIOUS month's index
+    * times the revenue ratio, money-rounded at every step. The per-step
+    * rounding makes the recursion load-bearing — no closed form
+    * (`100 · revₙ/rev₁` or `exp(sum(log))`) reproduces it — so this
+    * genuinely exercises the iterative-query operator class, with the
+    * oracle replaying the identical recursion in DuckDB's
+    * `WITH RECURSIVE`.
+    *
+    * Scale shape: recursion depth = number of MONTHS (bounded, ~tens —
+    * well under `spark.sql.cteRecursionLevelLimit`), never data-sized;
+    * each step joins one row against the tiny month relation. The
+    * unpartitioned `row_number` window runs over the monthly AGGREGATE
+    * (dozens of rows), not the fact table. */
+  def compoundIndex(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("ci_orders")
+    spark.sql(s"""
+      WITH RECURSIVE monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+               ${Fns.moneySql(Fns.sumMoneySql("o_totalprice"))} AS revenue
+        FROM ci_orders GROUP BY 1, 2),
+      seq AS (
+        SELECT yr, mo, revenue,
+               CAST(row_number() OVER (ORDER BY yr, mo) AS INT) AS idx
+        FROM monthly),
+      rec AS (
+        SELECT idx, yr, mo, revenue, CAST(100.0 AS DOUBLE) AS index_value
+        FROM seq WHERE idx = 1
+        UNION ALL
+        SELECT s.idx, s.yr, s.mo, s.revenue,
+               ${Fns.moneySql("r.index_value * (s.revenue / r.revenue)")}
+        FROM rec r JOIN seq s ON s.idx = r.idx + 1)
+      SELECT idx, yr, mo, revenue, index_value FROM rec ORDER BY idx""")
+  }
 }

@@ -79,6 +79,24 @@ class ManifestStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("additive schema evolution: old commit dirs read under the new schema with nulls") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("mevo").toString
+    Manifest.write(mk(), path, Seq("p"))
+    // v1 replaces only p=2 with a WIDER schema (new `note` column); the
+    // committed schema evolves, old dirs keep their narrow files
+    Manifest.replacePartitions(
+      Seq((2, 100L, "fresh")).toDF("p", "id", "note"), path, Seq("p"))
+    val now = Manifest.read(spark, path)
+    assert(now.columns.toSeq == Seq("p", "id", "note"))
+    assert(now.filter(col("p") === 2).select("note").head().getString(0) == "fresh")
+    // untouched partitions surface the new column as null
+    assert(now.filter(col("p") =!= 2 && col("note").isNotNull).count() == 0)
+    assert(now.count() == 41)
+    // time travel still serves the narrow schema
+    assert(Manifest.read(spark, path, Some(0L)).columns.toSeq == Seq("p", "id"))
+  }
+
   test("DML re-collects stats: deleteWhere and replacePartitions keep skipping correct") {
     val path = Files.createTempDirectory("mstats4").toString
     import spark.implicits._

@@ -99,6 +99,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("doc_chunks: a pure per-row generator — no shuffle before the output sort") {
+    val plan = formatted(graft.text.TextAnalysis.docChunks(spark, sf))
+    // the only repartitioning is the range one the deterministic ORDER BY
+    // needs — no hash shuffle anywhere (no join/agg in the pipeline)
+    assert("rangepartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(plan.contains("Generate"), plan)
+    // the documents scan reads only doc_id + text
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("edit_dist_pairs: candidates via equi-join on (lang, band) — never a cross product") {
+    val plan = formatted(graft.dedup.Dedup.editDistancePairs(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the length-band join keys are in the join, not a post-filter
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("corpus_mixture: normalizing totals attach as a 1-row broadcast, corpus scanned once per branch") {
+    val plan = formatted(graft.text.TextAnalysis.corpusMixture(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row scalar attach
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-source aggregate is map-side combined (partial then final)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
