@@ -241,9 +241,20 @@ object Manifest {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(s"$path/$dir")
     val bare =
-      if (partitionCols.isEmpty) Seq(Entry("", dir))
-      else Layers.leafDirs(spark, s"$path/$dir", partitionCols.size)
-        .sorted.map(Entry(_, dir))
+      if (partitionCols.nonEmpty)
+        Layers.leafDirs(spark, s"$path/$dir", partitionCols.size)
+          .sorted.map(Entry(_, dir))
+      else if (effStats.isEmpty) Seq(Entry("", dir))
+      else {
+        // stats-tracked unpartitioned tables get one entry PER FILE —
+        // Delta's granularity — so [[readWhere]] skips at file level
+        // (this is what makes [[optimizeZOrder]]'s clustering actually
+        // prune: clustered files own disjoint key ranges)
+        val (fs, p) = Fs.resolve(spark, s"$path/$dir")
+        fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .sorted.map(Entry(_, dir))
+      }
     val fresh = collectStats(spark, s"$path/$dir", df.schema,
       partitionCols, effStats, bare)
     val kept =
@@ -295,14 +306,19 @@ object Manifest {
       schema: StructType, pcols: Seq[String], statsCols: Seq[String],
       entries: Seq[Entry]): Seq[Entry] = {
     if (statsCols.isEmpty) return entries
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, element_at, max, min, split}
     val written = spark.read.schema(schema).parquet(dirPath)
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")))
-    val rows =
-      if (pcols.isEmpty) written.agg(aggs.head, aggs.tail: _*).collect()
-      else written.groupBy(pcols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect()
+    // unpartitioned: per-FILE grouping (entries are file names); else
+    // per leaf partition
+    val keyed =
+      if (pcols.isEmpty)
+        written.groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("__file"))
+      else written.groupBy(pcols.map(col): _*)
+    val rows = keyed.agg(aggs.head, aggs.tail: _*).collect()
     val byPart = rows.map { r =>
       val m = statsCols.flatMap { c =>
         (Option(r.getAs[String](s"__min_$c")), Option(r.getAs[String](s"__max_$c"))) match {
@@ -310,7 +326,8 @@ object Manifest {
           case _ => None
         }
       }.toMap
-      renderPart(pcols, r) -> m
+      val key = if (pcols.isEmpty) r.getAs[String]("__file") else renderPart(pcols, r)
+      key -> m
     }.toMap
     entries.map(e => e.copy(stats = byPart.get(e.part).filter(_.nonEmpty)))
   }
@@ -402,8 +419,9 @@ object Manifest {
   /** `OPTIMIZE … ZORDER BY` — Delta's table-maintenance command as one
     * manifest commit: rewrite the live snapshot clustered by the Morton
     * code of two columns ([[Layout.zValue]]) so subsequent scans
-    * filtering on EITHER column prune most files via parquet min/max
-    * stats. Transactional like [[compact]]: readers see the old snapshot
+    * filtering on EITHER column prune most files — twice: [[readWhere]]
+    * skips whole files via the manifest's per-file stats before planning,
+    * and parquet row-group min/max prunes within the files that remain. Transactional like [[compact]]: readers see the old snapshot
     * until the single manifest rename, old versions stay readable, the
     * unclustered files go at the next [[vacuum]]. `nFiles` bounds the
     * rewrite's output files (each owning a small hyper-rectangle of the

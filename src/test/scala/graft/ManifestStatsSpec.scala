@@ -79,6 +79,35 @@ class ManifestStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("unpartitioned tables track per-FILE stats; OPTIMIZE clustering makes readWhere skip files") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("mstats5").toString
+    val df = spark.range(400).toDF("id")
+      .select(col("id"), (col("id") % 20).as("x"))
+    Manifest.write(df, path, Seq.empty, statsCols = Seq("id"))
+    // OPTIMIZE into 4 files clustered by id (Morton of (id,id) is
+    // monotone in id → disjoint per-file id ranges)
+    Manifest.optimizeZOrder(spark, path, "id", "id", nFiles = 4)
+    val st = Manifest.state(spark, path).get
+    assert(st.entries.size == 4 && st.entries.forall(_.part.endsWith(".parquet")))
+    assert(st.entries.forall(_.stats.exists(_.contains("id"))))
+    val schema = StructType.fromDDL(st.schemaDdl)
+    val kept = Manifest.overlapping(st, schema, "id", Some(10), Some(60))
+    assert(kept.size < st.entries.size, s"clustering should let [10,60] skip files: $st")
+    // ground truth collected BEFORE poisoning; then corrupt every
+    // skipped file — readWhere succeeds iff it never opens them
+    val want = Manifest.read(spark, path)
+      .filter(col("id").between(10, 60)).orderBy("id").collect().toSeq
+    val keptNames = kept.map(_.part).toSet
+    st.entries.filterNot(e => keptNames.contains(e.part)).foreach { e =>
+      java.nio.file.Files.write(Paths.get(s"$path/${e.dir}/${e.part}"),
+        Array.fill[Byte](64)(0x11))
+    }
+    val got = Manifest.readWhere(spark, path, "id", Some(10), Some(60))
+      .orderBy("id").collect().toSeq
+    assert(got == want && got.size == 51)
+  }
+
   test("additive schema evolution: old commit dirs read under the new schema with nulls") {
     import spark.implicits._
     val path = Files.createTempDirectory("mevo").toString
