@@ -69,8 +69,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // stdout AFTER the stderr block, plus a file copy the driver can read
-    // even when the log tail truncates
+    // The full per-query line exceeds a 2000-char log tail at ~65+ queries
+    // (BENCH_r03 recorded parsed:null for exactly this reason), so the
+    // LAST stdout line is a compact total that always fits the tail; the
+    // full per-query map goes to stdout above it and to BENCH_TOTAL.json.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${medians.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     try {
       val w = new java.io.PrintWriter("BENCH_TOTAL.json")
@@ -78,6 +82,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_TOTAL.json: ${e.getMessage}")
     }
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -112,6 +112,9 @@ object SparkEntry {
     "corpus_mixture"          -> ((s, d) => TextAnalysis.corpusMixture(s, d)),
     "edit_dist_pairs"         -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "compound_index"          -> ((s, d) => Extras.compoundIndex(s, d)),
+    "dedup_canonical"         -> ((s, d) => Dedup.canonicalDocs(s, d)),
+    "group_sample"            -> ((s, d) => TextAnalysis.groupSample(s, d)),
+    "top_docs_list"           -> ((s, d) => TextAnalysis.topDocsList(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1495,6 +1498,72 @@ object SparkEntry {
       UNION ALL SELECT 'range_o_totalprice', total, rng, rng = 0 FROM t
       UNION ALL SELECT 'unique_o_orderkey', total, uq, uq = 0 FROM t
       ORDER BY rule
+    """,
+    // same simhash + recursive-CTE connected components as dedup_clusters,
+    // extended by the survivor election (longest doc, ties to smaller id)
+    "dedup_canonical" -> """
+      WITH RECURSIVE th AS (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> struct_pack(lo := ('0x' || substr(md5(t), 1, 8))::BIGINT,
+                                               hi := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS h
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 64), j ->
+                 CASE WHEN list_sum(list_transform(h, x ->
+                        CASE WHEN ((CASE WHEN j < 32 THEN x.lo ELSE x.hi END) >> (j % 32)) & 1 = 1
+                             THEN 1 ELSE -1 END)) > 0
+                      THEN (CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                            ELSE (1::BIGINT << j) END)
+                      ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        FROM th),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+      kept AS (
+        SELECT cluster_id, doc_id AS kept_doc_id FROM (
+          SELECT c.cluster_id, c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          FROM comp c JOIN documents d USING (doc_id)) t
+        WHERE rn = 1)
+      SELECT c.doc_id, c.cluster_id, s.cluster_size, k.kept_doc_id,
+             CASE WHEN c.doc_id = k.kept_doc_id THEN 1 ELSE 0 END AS keep
+      FROM comp c JOIN sizes s USING (cluster_id) JOIN kept k USING (cluster_id)
+      ORDER BY c.doc_id
+    """,
+    "group_sample" -> """
+      SELECT lang, source, rank, doc_id FROM (
+        SELECT lang, source, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang, source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT,
+                          doc_id) AS INT) AS rank
+        FROM documents) t
+      WHERE rank <= 5
+      ORDER BY lang, source, rank
+    """,
+    "top_docs_list" -> """
+      SELECT lang, source,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs,
+             max(n_chars) AS max_chars
+      FROM (
+        SELECT lang, source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 3
+      GROUP BY lang, source
+      ORDER BY lang, source
     """,
   )
 }

@@ -531,4 +531,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Canonical-document election: the step after [[nearDupClusters]] a
+    * real dedup pipeline runs — inside each near-dup cluster KEEP the
+    * best representative (longest `n_chars`, ties to the smallest
+    * `doc_id`) and mark the rest as drops, rather than keeping the
+    * arbitrary min-id member. Mirrors the reference's "survivor pick"
+    * framing of dedup (dedup = choose one row per duplicate group, cf.
+    * `dags/product.py` latest-row dedup before SCD2), lifted to
+    * transitive near-dup groups.
+    *
+    * Scale shape: the election is one `max_by` hash aggregation over the
+    * cluster relation — O(1) state per cluster, map-side partials, no
+    * window sort over members — then a broadcast-size join back (one row
+    * per cluster ≤ one row per doc). The ordering struct `(n_chars,
+    * -doc_id)` makes max_by deterministic under ties without a second
+    * pass. */
+  def canonicalDocs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val clusters = nearDupClusters(spark, dir, maxHamming)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val kept = clusters.join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(expr("max_by(doc_id, struct(n_chars, -doc_id))").as("kept_doc_id"))
+    clusters.join(kept, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("kept_doc_id"),
+        (col("doc_id") === col("kept_doc_id")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -452,6 +452,28 @@ object Manifest {
       st.entries.map(e => e.copy(dir = dirRoot(src, e.dir))), st.statsCols))
   }
 
+  /** Roll the table back to `toVersion` AS A NEW COMMIT (Delta's
+    * `RESTORE TABLE … VERSION AS OF`): the restored snapshot's entries are
+    * re-published under version current+1, so history is preserved — the
+    * bad versions stay time-travelable and the restore itself is one more
+    * auditable log entry, not a log rewrite. No data moves: entries are
+    * directory references, so restore is O(manifest) regardless of table
+    * size. Fails if any referenced commit dir was already [[vacuum]]ed
+    * away (restore cannot resurrect deleted files). */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    if (!Fs.exists(spark, s"${logDir(path)}/${fileFor(toVersion)}"))
+      throw new IllegalArgumentException(
+        s"no manifest version $toVersion at $path (already vacuumed?)")
+    val st = state(spark, path, Some(toVersion)).get
+    st.entries.map(_.dir).distinct.foreach { d =>
+      require(Fs.exists(spark, dirRoot(path, d)),
+        s"restore to v$toVersion impossible: commit dir $d was vacuumed")
+    }
+    commit(spark, path, st.copy(version = cur + 1))
+  }
+
   /** Drop manifests older than the newest `keepVersions` and delete every
     * `data-*` dir no kept manifest references — crashed commits' dangling
     * dirs and fully superseded commit dirs. With `keepVersions = 1` only

@@ -443,4 +443,56 @@ object TextAnalysis {
         expr("aggregate(fps, CAST(0 AS BIGINT), (acc, f) -> acc + f % 1000000007)").as("fp_checksum"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic per-stratum sample: the k docs with the SMALLEST
+    * content-independent hash in each (lang, source) stratum — the
+    * reproducible replacement for reservoir sampling a training-data
+    * pipeline needs (same sample on any cluster size, any engine, any
+    * re-run; cf. [[trainTestSplit]]'s hash-split rationale).
+    *
+    * Scale shape: bottom-k via the [[graft.functions.TopKByAgg]]
+    * bounded-heap aggregate (ord = negated hash) — O(k) state per
+    * stratum with map-side partials, never a full window sort of the
+    * corpus by hash. The hash keeps 13 hex digits (52 bits) so its
+    * DOUBLE image in the heap is exact (53-bit mantissa): the heap's
+    * double ordering and the oracle's BIGINT ordering cannot disagree. */
+  def groupSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.TopKByAgg.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("h52",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(expr(s"topk_by(-CAST(h52 AS DOUBLE), doc_id, $k)").as("topk"))
+      .select(col("lang"), col("source"), posexplode(col("topk")).as(Seq("idx", "entry")))
+      .select(col("lang"), col("source"),
+        (col("idx") + 1).cast("int").as("rank"),
+        col("entry.payload").as("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rank"))
+  }
+
+  /** Ordered string aggregation (the LISTAGG / STRING_AGG shape the
+    * reference's mart consumers use for label columns): per (lang,
+    * source), the comma-joined doc_ids of the 3 longest documents,
+    * longest first, ties to the smaller id.
+    *
+    * Scale shape: rank-then-collect — a window `row_number` keeps only
+    * 3 rows per stratum BEFORE any list materializes, so the
+    * `collect_list` is bounded at 3 elements regardless of corpus size
+    * (collect_list over raw groups is unbounded state and the classic
+    * listagg OOM); `array_sort` on (rank) makes the join order
+    * deterministic where collect_list alone is arrival-ordered. */
+  def topDocsList(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        expr("""array_join(transform(array_sort(collect_list(struct(rn, doc_id))),
+                x -> CAST(x.doc_id AS STRING)), ',')""").as("top_docs"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

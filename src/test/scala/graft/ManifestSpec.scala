@@ -45,6 +45,26 @@ class ManifestSpec extends SparkSpec {
     assert(now.filter(col("p") =!= 2 && col("version") =!= 0).count() == 0)
   }
 
+  test("restore: rolls back as a new commit, history intact, vacuumed target refused") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manR").toString
+    Manifest.write(mk(0), path, Seq("p"))                              // v0
+    Manifest.replacePartitions(Seq((2, 999L, 1)).toDF("p", "id", "version"),
+      path, Seq("p"))                                                  // v1 (bad write)
+    val v = Manifest.restore(spark, path, 0L)                          // v2 = v0 again
+    assert(v == 2L)
+    // restored head matches v0 exactly
+    val now = Manifest.read(spark, path)
+    assert(now.count() == 60 && now.filter(col("version") =!= 0).count() == 0)
+    // the bad version is still time-travelable (restore appends, never rewrites)
+    assert(Manifest.read(spark, path, Some(1L)).filter(col("id") === 999L).count() == 1)
+    // restore to a vacuumed version is refused loudly, head unharmed
+    Manifest.vacuum(spark, path, keepVersions = 1)
+    val e = intercept[IllegalArgumentException](Manifest.restore(spark, path, 1L))
+    assert(e.getMessage.contains("vacuum") || e.getMessage.contains("version"))
+    assert(Manifest.read(spark, path).count() == 60)
+  }
+
   test("crash before manifest commit leaves the table byte-identical; vacuum GCs the dangling dir") {
     val path = Files.createTempDirectory("man3").toString
     Manifest.write(mk(0), path, Seq("p"))
