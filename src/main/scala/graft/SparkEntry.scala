@@ -115,6 +115,9 @@ object SparkEntry {
     "dedup_canonical"         -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "group_sample"            -> ((s, d) => TextAnalysis.groupSample(s, d)),
     "top_docs_list"           -> ((s, d) => TextAnalysis.topDocsList(s, d)),
+    "manifest_cdf"            -> ((s, d) => Extras.manifestCdf(s, d)),
+    "event_transitions"       -> ((s, d) => Events.eventTransitions(s, d)),
+    "customers_all_priorities" -> ((s, d) => Extras.customersAllPriorities(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1012,7 +1015,7 @@ object SparkEntry {
       FROM documents a JOIN documents b
         ON a.lang = b.lang AND a.doc_id < b.doc_id
        AND abs(a.n_chars - b.n_chars) <= 60
-      WHERE levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 40
+      WHERE levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 12
       ORDER BY doc_a, doc_b
     """,
     // both engines run the IDENTICAL recursion (Spark: native recursive
@@ -1551,6 +1554,46 @@ object SparkEntry {
         FROM documents) t
       WHERE rank <= 5
       ORDER BY lang, source, rank
+    """,
+    // the engine restates the latest month's prices at half value; the
+    // oracle recomputes the implied delete+insert feed from raw orders
+    "manifest_cdf" -> """
+      WITH mo AS (SELECT o_totalprice,
+                         CAST(strftime(o_orderdate, '%Y%m') AS INT) AS im
+                  FROM orders),
+      mx AS (SELECT max(im) AS mx FROM mo)
+      SELECT * FROM (
+        SELECT 'delete' AS _change_type, count(*) AS n_rows,
+               floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+        FROM mo, mx WHERE im = mx.mx
+        UNION ALL
+        SELECT 'insert', count(*),
+               floor((CAST(sum(CAST((o_totalprice / 2) AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000
+        FROM mo, mx WHERE im = mx.mx) t
+      ORDER BY _change_type
+    """,
+    "event_transitions" -> """
+      WITH g AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      m AS (
+        SELECT prev_type, event_type, count(*) AS n_transitions
+        FROM g WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT prev_type, event_type, n_transitions,
+             floor((n_transitions / (sum(n_transitions) OVER (PARTITION BY prev_type))) * 10000 + 0.5) / 10000 AS p_transition
+      FROM m
+      ORDER BY prev_type, event_type
+    """,
+    "customers_all_priorities" -> """
+      SELECT o_custkey, count(*) AS n_orders,
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(DISTINCT o_orderpriority) =
+             (SELECT count(DISTINCT o_orderpriority) FROM orders)
+      ORDER BY o_custkey
     """,
     "top_docs_list" -> """
       SELECT lang, source,

@@ -452,6 +452,66 @@ object Manifest {
       st.entries.map(e => e.copy(dir = dirRoot(src, e.dir))), st.statsCols))
   }
 
+  /** Row-level change feed between two committed versions (Delta's
+    * `table_changes` for rewrite-based DML): emitted rows carry
+    * `_change_type` = `delete` (row was in `fromVersion`, its entry is
+    * gone) or `insert` (row's entry is new in `toVersion`). A rewritten
+    * partition shows as full delete+insert — the same contract Delta CDF
+    * has for copy-on-write writers without row tracking.
+    *
+    * Scale shape: entries are immutable (a (part, dir) pair never mutates
+    * in place), so the diff is a manifest-only set difference and ONLY
+    * the changed entries' dirs are ever scanned — consuming the feed of a
+    * one-partition change on a 10⁵-partition table reads one partition,
+    * not the table ([[ManifestSpec]] pins `inputFiles` to changed dirs).
+    * Each side reads with its OWN version's schema, so the feed stays
+    * correct across schema evolution. */
+  def changeFeed(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"changeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    val st0 = state(spark, path, Some(fromVersion)).getOrElse(
+      throw new IllegalArgumentException(s"no manifest version $fromVersion at $path"))
+    val st1 = state(spark, path, Some(toVersion)).getOrElse(
+      throw new IllegalArgumentException(s"no manifest version $toVersion at $path"))
+    def key(e: Entry) = (e.part, e.dir)
+    val keys0 = st0.entries.map(key).toSet
+    val keys1 = st1.entries.map(key).toSet
+    val removed = st0.entries.filterNot(e => keys1.contains(key(e)))
+    val added = st1.entries.filterNot(e => keys0.contains(key(e)))
+    def side(entries: Seq[Entry], ddl: String, tpe: String): Option[DataFrame] =
+      if (entries.isEmpty) None
+      else Some(readEntries(spark, path, StructType.fromDDL(ddl), entries)
+        .withColumn("_change_type", lit(tpe)))
+    val parts = side(removed, st0.schemaDdl, "delete").toSeq ++
+      side(added, st1.schemaDdl, "insert").toSeq
+    parts match {
+      case Nil =>
+        // no structural change: an empty, correctly-shaped feed
+        readEntries(spark, path, StructType.fromDDL(st1.schemaDdl), st1.entries)
+          .withColumn("_change_type", lit("insert")).limit(0)
+      case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Commit history as a DataFrame (Delta's `DESCRIBE HISTORY`): one row
+    * per retained version with its entry/dir counts and schema —
+    * manifest-only, no data files touched. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    (0L to cur).flatMap { v =>
+      scala.util.Try(state(spark, path, Some(v))).toOption.flatten.map { st =>
+        (v, st.entries.size.toLong, st.entries.map(_.dir).distinct.size.toLong,
+          st.partitionCols.mkString(","), st.schemaDdl)
+      }
+    }.toDF("version", "n_entries", "n_dirs", "partition_cols", "schema_ddl")
+      .orderBy(col("version"))
+  }
+
   /** Roll the table back to `toVersion` AS A NEW COMMIT (Delta's
     * `RESTORE TABLE … VERSION AS OF`): the restored snapshot's entries are
     * re-published under version current+1, so history is preserved — the

@@ -231,4 +231,31 @@ object Events {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** First-order Markov transition matrix over per-user event timelines:
+    * how often does event type A directly precede event type B, and with
+    * what conditional probability? The sequence-analytics primitive
+    * behind next-action prediction and anomalous-flow detection.
+    *
+    * Scale shape: one keyed window (partitioned by user — no global
+    * sort) produces the lagged pairs; the transition matrix is a
+    * type²-cardinality hash agg with map-side partials, and the
+    * row-normalizing window runs over that tiny matrix, not the events.
+    * The probability is a single IEEE division of two exact longs —
+    * deterministic on any engine. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        Fns.money(col("n_transitions") /
+          sum(col("n_transitions")).over(
+            Window.partitionBy(col("prev_type")))))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
 }

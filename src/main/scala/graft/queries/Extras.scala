@@ -512,22 +512,57 @@ object Extras {
       .orderBy(col("ingestion_month"))
   }
 
-  /** Iterative computation via a native RECURSIVE CTE (Spark 4's
-    * `UnionLoop` execution): a compounded month-over-month revenue index
-    * (base 100), where each month's value is the PREVIOUS month's index
-    * times the revenue ratio, money-rounded at every step. The per-step
-    * rounding makes the recursion load-bearing — no closed form
-    * (`100 · revₙ/rev₁` or `exp(sum(log))`) reproduces it — so this
-    * genuinely exercises the iterative-query operator class, with the
-    * oracle replaying the identical recursion in DuckDB's
-    * `WITH RECURSIVE`.
+  /** Compounded month-over-month revenue index (base 100): each month's
+    * value is the PREVIOUS month's index times the revenue ratio,
+    * money-rounded at every step. The per-step rounding makes the
+    * recurrence load-bearing — no closed form (`100 · revₙ/rev₁` or
+    * `exp(sum(log))`) reproduces it — and the oracle replays the
+    * identical recursion as a DuckDB `WITH RECURSIVE`.
     *
-    * Scale shape: recursion depth = number of MONTHS (bounded, ~tens —
-    * well under `spark.sql.cteRecursionLevelLimit`), never data-sized;
-    * each step joins one row against the tiny month relation. The
-    * unpartitioned `row_number` window runs over the monthly AGGREGATE
-    * (dozens of rows), not the fact table. */
+    * Scale shape: the recurrence input is the monthly AGGREGATE (bounded
+    * cardinality — months, not orders), so after one distributed
+    * hash-agg the chain runs inside a single `aggregate` HOF over the
+    * sorted month array: one job, zero shuffles beyond the agg,
+    * bit-identical left-to-right IEEE sequence. The native RECURSIVE CTE
+    * twin is [[compoundIndexRecursive]] (spec-pinned equal) — UnionLoop
+    * pays one Spark job per month, the right shape only when each
+    * iteration is itself a big distributed relation. */
   def compoundIndex(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(Fns.money(Fns.sumMoney(col("o_totalprice"))).as("revenue"))
+    monthly
+      .agg(expr("array_sort(collect_list(struct(yr, mo, revenue)))").as("ms"))
+      .select(explode(expr(
+        """aggregate(
+             slice(ms, 2, size(ms) - 1),
+             array(named_struct(
+               'idx', 1, 'yr', ms[0].yr, 'mo', ms[0].mo,
+               'revenue', ms[0].revenue,
+               'index_value', CAST(100.0 AS DOUBLE))),
+             (acc, x) -> array_append(acc, named_struct(
+               'idx', element_at(acc, -1).idx + 1,
+               'yr', x.yr, 'mo', x.mo, 'revenue', x.revenue,
+               'index_value',
+               floor(element_at(acc, -1).index_value
+                     * (x.revenue / element_at(acc, -1).revenue)
+                     * 10000 + 0.5) / 10000)))""")).as("r"))
+      .select(col("r.idx").cast("int").as("idx"), col("r.yr").as("yr"),
+        col("r.mo").as("mo"), col("r.revenue").as("revenue"),
+        col("r.index_value").as("index_value"))
+      .orderBy(col("idx"))
+  }
+
+  /** The RECURSIVE CTE twin of [[compoundIndex]] — Spark 4's native
+    * `WITH RECURSIVE` (UnionLoop) running the identical recurrence, one
+    * iteration per month. Kept as the coverage witness for recursive SQL
+    * and spec-pinned equal to the HOF form; the queries-map entry uses
+    * the HOF form because a driver-sized recurrence pays ~80 sequential
+    * Spark jobs of pure fixed overhead here (measured 31 s vs 0.5 s at
+    * sf0.1) — UnionLoop is the right shape only when each step is a big
+    * distributed relation. */
+  def compoundIndexRecursive(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("ci_orders")
     spark.sql(s"""
       WITH RECURSIVE monthly AS (
@@ -546,5 +581,56 @@ object Extras {
                ${Fns.moneySql("r.index_value * (s.revenue / r.revenue)")}
         FROM rec r JOIN seq s ON s.idx = r.idx + 1)
       SELECT idx, yr, mo, revenue, index_value FROM rec ORDER BY idx""")
+  }
+
+  /** Change-data-feed round trip on a manifest table (Delta's
+    * `table_changes` consumer pattern): load orders partitioned by month
+    * (v0), restate the latest month's prices at half value (v1 — the
+    * classic late-correction rewrite), then read the v0→v1 feed — the
+    * rewritten partition surfaces as full delete+insert and NO other
+    * partition is scanned ([[graft.engine.Manifest.changeFeed]];
+    * physical pin in `ManifestSpec`). The month to rewrite arrives as a
+    * 1-row broadcast scalar, not a driver action. Downstream shape:
+    * exactly what an incremental MV or replication consumer applies —
+    * per-change-type row counts and money totals. */
+  def manifestCdf(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_${math.abs(dir.hashCode)}"
+    graft.engine.Fs.deleteDir(spark, out)
+    val src = Tables.orders(spark, dir)
+      .withColumn("ingestion_month",
+        date_format(col("o_orderdate"), "yyyyMM").cast("int"))
+    graft.engine.Manifest.replacePartitions(src, out, Seq("ingestion_month"))
+    val mx = src.agg(max(col("ingestion_month")).as("mx"))
+    val rewrite = src.join(broadcast(mx), col("ingestion_month") === col("mx"))
+      .drop("mx")
+      .withColumn("o_totalprice", col("o_totalprice") / 2)
+    graft.engine.Manifest.replacePartitions(rewrite, out, Seq("ingestion_month"))
+    graft.engine.Manifest.changeFeed(spark, out, 0L, 1L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"))
+      .orderBy(col("_change_type"))
+  }
+
+  /** Relational division (the FOR-ALL operator class): customers who
+    * have placed at least one order in EVERY priority class present in
+    * the data — `R ÷ S` with the divisor discovered from the data
+    * itself, not hard-coded.
+    *
+    * Scale shape: division-by-counting — one distinct-count hash agg per
+    * customer compared against a 1-row broadcast scalar of the global
+    * distinct count. No per-element anti-join cascade (the textbook
+    * double-NOT-EXISTS plan, which at scale is |divisor| anti-joins),
+    * one shuffle on the group key. */
+  def customersAllPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val total = o.agg(countDistinct(col("o_orderpriority")).as("np"))
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("np_cust"),
+        count(lit(1)).as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_value"))
+      .join(broadcast(total), col("np_cust") === col("np"))
+      .select(col("o_custkey"), col("n_orders"), col("total_value"))
+      .orderBy(col("o_custkey"))
   }
 }

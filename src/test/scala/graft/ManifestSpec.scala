@@ -65,6 +65,44 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, path).count() == 60)
   }
 
+  test("changeFeed: rewritten partition = delete+insert, untouched partitions never scanned") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manCdf").toString
+    Manifest.write(mk(0), path, Seq("p"))                              // v0
+    Manifest.replacePartitions(Seq((2, 999L, 1)).toDF("p", "id", "version"),
+      path, Seq("p"))                                                  // v1
+    val feed = Manifest.changeFeed(spark, path, 0L, 1L)
+    // deletes: all 20 old p=2 rows; inserts: the one new p=2 row
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 20L, "insert" -> 1L))
+    assert(feed.filter(col("p") =!= 2).count() == 0) // untouched partitions absent
+    // physical pin: only the changed partition's leaf dirs are listed —
+    // consuming a one-partition change must not scan the other
+    // partitions' files (entries are leaf-scoped even within a shared
+    // commit dir)
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/p=2/")),
+      "change feed scanned an unchanged partition's files")
+    // identical versions → empty feed with the feed schema
+    val empty = Manifest.changeFeed(spark, path, 1L, 1L)
+    assert(empty.count() == 0 && empty.columns.contains("_change_type"))
+  }
+
+  test("history lists every retained version with entry counts, manifest-only") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manH").toString
+    Manifest.write(mk(0), path, Seq("p"))
+    Manifest.replacePartitions(Seq((2, 999L, 1)).toDF("p", "id", "version"),
+      path, Seq("p"))
+    val h = Manifest.history(spark, path).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(h.head.getLong(1) == 3L) // v0: partitions p=1,2,3
+    assert(h.last.getLong(1) == 3L) // v1: still 3 leaf partitions
+    assert(h.last.getLong(2) == 2L) // ...spread over two commit dirs
+    assert(h.forall(_.getString(3) == "p"))
+  }
+
   test("crash before manifest commit leaves the table byte-identical; vacuum GCs the dangling dir") {
     val path = Files.createTempDirectory("man3").toString
     Manifest.write(mk(0), path, Seq("p"))

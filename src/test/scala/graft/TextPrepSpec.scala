@@ -33,7 +33,7 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
-  test("editDistancePairs: (lang, length-band ±1) candidate join is lossless vs all-pairs") {
+  test("editDistancePairs: banding + q-gram count filter are lossless vs all-pairs") {
     import spark.implicits._
     val banded = Dedup.editDistancePairs(spark, dir).collect().toSeq
     val docs = Tables.documents(spark, dir)
@@ -46,7 +46,7 @@ class TextPrepSpec extends SparkSpec {
     val allPairs = a.join(b, "lang")
       .filter(col("doc_a") < col("doc_b") && abs(col("la") - col("lb")) <= 60)
       .withColumn("edit_dist", expr("levenshtein(pa, pb)").cast("int"))
-      .filter(col("edit_dist") <= 40)
+      .filter(col("edit_dist") <= 12)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
       .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
     assert(banded == allPairs)
