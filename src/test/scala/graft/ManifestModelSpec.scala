@@ -77,6 +77,23 @@ class ManifestModelSpec extends SparkSpec {
     history.foreach { case (v, snap) =>
       assert(readSet(path, Some(v)) == snap, s"time travel diverged at v$v")
     }
+    // CDC invariant: applying the v→v' change feed to the v snapshot
+    // reproduces the v' snapshot, for every consecutive committed pair
+    // AND for the net head catch-up a restarting consumer would do
+    def applyFeed(from: Long, to: Long, base: Set[Row3]): Set[Row3] = {
+      val feed = Manifest.changeFeed(spark, path, from, to).collect().toIndexedSeq
+      val dels = feed.filter(_.getString(3) == "delete")
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      val ins = feed.filter(_.getString(3) == "insert")
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      (base -- dels) ++ ins
+    }
+    val vs = history.keys.toSeq.sorted
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      assert(applyFeed(a, b, history(a)) == history(b), s"feed $a->$b diverged")
+    case _ => () }
+    assert(applyFeed(vs.head, vs.last, history(vs.head)) == history(vs.last),
+      "net catch-up feed diverged")
     // vacuum to the live version only: live intact, only referenced dirs remain
     Manifest.vacuum(spark, path)
     assert(readSet(path) == history(history.keys.max))
