@@ -515,6 +515,18 @@ object Dedup {
     * row once `maxDist` is exceeded — O(prefix × maxDist), not
     * O(prefix²), and only on the filter's survivors.
     *
+    * Measured alternative (rejected): a PassJoin-style segment index
+    * (Li et al., VLDB'11 — equi-join on (segment-id, content-hash) with
+    * ±shift probe enumeration) was implemented and benchmarked at 2-3×
+    * SLOWER here (6.6-19.6 s candidate gen vs 5.9 s end-to-end): on a
+    * shared-vocabulary corpus 9-char segments collide across unrelated
+    * docs (150k-256k distinct candidates vs ~10² true pairs), and
+    * cutting hot segment buckets — unlike [[minhashPairs]]'s
+    * `maxBucketSize` — would break the pigeonhole guarantee. The
+    * length-band join's quadratic-bucket risk at corpus scale is
+    * instead bounded by the cheapness of the count filter (~240 fused
+    * ops/pair, no DP) and by `maxLenDiff` narrowing the bands.
+    *
     * Oracle caveat: DuckDB's `levenshtein` is byte-based while Spark's is
     * codepoint-based; they agree on this fixture (all-ASCII corpus — the
     * spec pins it) and on any single-byte corpus. */
