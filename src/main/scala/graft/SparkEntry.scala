@@ -118,6 +118,7 @@ object SparkEntry {
     "manifest_cdf"            -> ((s, d) => Extras.manifestCdf(s, d)),
     "event_transitions"       -> ((s, d) => Events.eventTransitions(s, d)),
     "customers_all_priorities" -> ((s, d) => Extras.customersAllPriorities(s, d)),
+    "lateral_top_orders"      -> ((s, d) => Extras.lateralTopOrders(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1585,6 +1586,14 @@ object SparkEntry {
              floor((n_transitions / (sum(n_transitions) OVER (PARTITION BY prev_type))) * 10000 + 0.5) / 10000 AS p_transition
       FROM m
       ORDER BY prev_type, event_type
+    """,
+    "lateral_top_orders" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
     """,
     "customers_all_priorities" -> """
       SELECT o_custkey, count(*) AS n_orders,

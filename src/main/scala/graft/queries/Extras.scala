@@ -612,6 +612,27 @@ object Extras {
       .orderBy(col("_change_type"))
   }
 
+  /** LATERAL correlated subquery (SQL:2003 lateral derived table — the
+    * "top-N per row" idiom BI tools emit): each customer row feeds a
+    * correlated ORDER BY … LIMIT 2 subquery over orders. Catalyst
+    * DECORRELATES this into the same window/aggregate shape as the
+    * explicit rank query — no per-row re-execution survives in the
+    * physical plan — so the lateral syntax costs nothing at scale; it's
+    * the front-end surface this engine must accept, not a new operator.
+    * Output is raw parquet doubles (no aggregation), so no rounding
+    * discipline is needed for the oracle match. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM lat_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM lat_orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+  }
+
   /** Relational division (the FOR-ALL operator class): customers who
     * have placed at least one order in EVERY priority class present in
     * the data — `R ÷ S` with the divisor discovered from the data

@@ -118,6 +118,12 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("lateral_top_orders: correlated LIMIT subquery decorrelates to a window, no per-row re-execution") {
+    val plan = formatted(graft.queries.Extras.lateralTopOrders(spark, sf))
+    assert(plan.contains("Window"), plan) // rank-based decorrelation
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("corpus_mixture: normalizing totals attach as a 1-row broadcast, corpus scanned once per branch") {
     val plan = formatted(graft.text.TextAnalysis.corpusMixture(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row scalar attach
