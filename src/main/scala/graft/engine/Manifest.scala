@@ -495,6 +495,48 @@ object Manifest {
     }
   }
 
+  /** Exactly-once incremental consumption of a manifest table (the
+    * Delta-streaming-source consumer pattern, composed from
+    * [[changeFeed]] + a version checkpoint): processes the net change
+    * feed from the last ACKNOWLEDGED version to the current head, then
+    * records the head — first call with no checkpoint delivers the full
+    * head snapshot as inserts. A crash between `fn` and the ack leaves
+    * the checkpoint untouched, so the next run redelivers the SAME
+    * deterministic feed (at-least-once transport; consumers that apply
+    * feeds idempotently — partition replace, keyed upsert — get
+    * exactly-once end to end, the same contract foreachBatch gives).
+    * Single consumer per checkpoint path by design (the ack is
+    * last-writer-wins, not CAS). Returns the (from, to] version range
+    * processed, or None when already caught up. */
+  def consumeChanges(spark: SparkSession, path: String, checkpointPath: String)
+      (fn: DataFrame => Unit): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.lit
+    val head = currentVersion(spark, path).getOrElse(return None)
+    val (fs, ck) = Fs.resolve(spark, checkpointPath)
+    val last: Option[Long] =
+      if (!fs.exists(ck)) None
+      else {
+        val in = fs.open(ck)
+        try Some(new String(in.readAllBytes()).trim.toLong) finally in.close()
+      }
+    if (last.exists(_ >= head)) return None
+    val feed = last match {
+      case Some(l) => changeFeed(spark, path, l, head)
+      case None => read(spark, path, Some(head))
+        .withColumn("_change_type", lit("insert"))
+    }
+    fn(feed)
+    // ack AFTER fn: overwrite via temp + rename (monotonic, one consumer)
+    val tmp = s"$checkpointPath-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    val (_, tmpP) = Fs.resolve(spark, tmp)
+    val out = fs.create(tmpP, true)
+    try out.write(head.toString.getBytes) finally out.close()
+    if (fs.exists(ck)) fs.delete(ck, false)
+    if (!fs.rename(tmpP, ck))
+      throw new java.io.IOException(s"could not ack consumer checkpoint $checkpointPath")
+    Some((last.getOrElse(-1L), head))
+  }
+
   /** Commit history as a DataFrame (Delta's `DESCRIBE HISTORY`): one row
     * per retained version with its entry/dir counts and schema —
     * manifest-only, no data files touched. */

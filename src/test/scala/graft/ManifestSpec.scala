@@ -89,6 +89,40 @@ class ManifestSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.contains("_change_type"))
   }
 
+  test("consumeChanges: checkpointed feed consumption — full first load, redelivery on crash, exactly-once on ack") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manCon").toString
+    val ck = s"$path/_consumer/state"
+    Manifest.write(mk(0), path, Seq("p"))                              // v0
+    // a consumer materializing the table as a map keyed by (p, id)
+    var target = Map.empty[(Int, Long), Int]
+    def apply(feed: org.apache.spark.sql.DataFrame): Unit =
+      feed.collect().foreach { r =>
+        val k = (r.getInt(0), r.getLong(1))
+        if (r.getString(3) == "delete") target -= k
+        else target += k -> r.getInt(2)
+      }
+    // first consume: full snapshot as inserts
+    assert(Manifest.consumeChanges(spark, path, ck)(apply) == Some((-1L, 0L)))
+    assert(target.size == 60)
+    // caught up: fn not called
+    assert(Manifest.consumeChanges(spark, path, ck)(_ => fail("should not run")) == None)
+    // two commits, then a consumer crash BEFORE ack: checkpoint untouched
+    Manifest.replacePartitions(Seq((2, 999L, 1)).toDF("p", "id", "version"),
+      path, Seq("p"))                                                  // v1
+    Manifest.replacePartitions(Seq((3, 777L, 2)).toDF("p", "id", "version"),
+      path, Seq("p"))                                                  // v2
+    intercept[RuntimeException] {
+      Manifest.consumeChanges(spark, path, ck)(_ => throw new RuntimeException("crash"))
+    }
+    // redelivery: same net (0 -> 2] feed, applied this time
+    assert(Manifest.consumeChanges(spark, path, ck)(apply) == Some((0L, 2L)))
+    val expect = Manifest.read(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(target == expect)
+    assert(Manifest.consumeChanges(spark, path, ck)(_ => fail("should not run")) == None)
+  }
+
   test("history lists every retained version with entry counts, manifest-only") {
     import spark.implicits._
     val path = Files.createTempDirectory("manH").toString
