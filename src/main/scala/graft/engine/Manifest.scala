@@ -47,10 +47,20 @@ object Manifest {
     * strings (absent for all-null columns and for manifests written before
     * stats existed — absent always means "cannot prune"). */
   case class Entry(part: String, dir: String,
-      stats: Option[Map[String, Seq[String]]] = None)
+      stats: Option[Map[String, Seq[String]]] = None,
+      bloom: Option[Map[String, String]] = None)
   case class State(version: Long, partitionCols: Seq[String],
       schemaDdl: String, entries: Seq[Entry],
-      statsCols: Option[Seq[String]] = None)
+      statsCols: Option[Seq[String]] = None,
+      bloomCols: Option[Seq[String]] = None)
+
+  /** Per-entry bloom sizing: ~8 bits/key at 100k expected keys ≈ 1% fpp,
+    * 100 KB per (entry, column) inline in the manifest JSON. Production
+    * note: at thousands of entries the blooms belong in per-entry
+    * SIDECAR files referenced by the manifest, not inline — the format
+    * here keeps the commit single-file for the sandbox. */
+  private val BloomItems = 100000L
+  private val BloomBits = 800000L
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -139,6 +149,52 @@ object Manifest {
       .reduceOption(_ && _).map(base.filter).getOrElse(base)
   }
 
+  /** Point-lookup scan using BOTH manifest skipping layers — min/max
+    * range stats first, then per-entry BLOOM filters (Delta's bloom
+    * index analog, built at commit time for `bloomCols` via Spark's own
+    * `BloomFilterAggregate` over `xxhash64`): an entry whose bloom says
+    * the key is definitely absent is dropped before the scan is planned.
+    * Blooms discriminate where min/max cannot — interleaved keys give
+    * every entry the same [min, max] but near-disjoint key SETS, the
+    * needle-in-100TB lookup shape. No false negatives (bloom property +
+    * entries without a bloom conservatively kept) and a residual exact
+    * filter, so the result always equals `read(...).filter(col === v)`. */
+  def readPoint(spark: SparkSession, path: String, column: String, value: Any,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val st = state(spark, path, version).getOrElse(
+      throw new IllegalArgumentException(s"no manifest log at $path"))
+    val schema = StructType.fromDDL(st.schemaDdl)
+    val admitted = bloomAdmits(spark, st, schema, column, value,
+      overlapping(st, schema, column, Some(value), Some(value)))
+    readEntries(spark, path, schema, admitted)
+      .filter(col(column) === lit(value).cast(schema(column).dataType))
+  }
+
+  /** Entries whose bloom (if any) might contain `value` — the hash is
+    * the same `xxhash64` of the same-typed value the build side used, so
+    * build and probe can never disagree on hashing. */
+  private[graft] def bloomAdmits(spark: SparkSession, st: State,
+      schema: StructType, column: String, value: Any,
+      entries: Seq[Entry]): Seq[Entry] = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    if (!st.bloomCols.exists(_.contains(column))) return entries
+    val h = spark.range(1)
+      .select(xxhash64(lit(value).cast(schema(column).dataType)))
+      .head().getLong(0)
+    entries.filter { e =>
+      e.bloom.flatMap(_.get(column)) match {
+        case None => true // no bloom recorded — cannot prune
+        case Some(b64) =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(
+              // MIME decoder: Spark's base64() chunks with CRLF every 76 chars
+              java.util.Base64.getMimeDecoder.decode(b64)))
+            .mightContainLong(h)
+      }
+    }
+  }
+
   /** Entries whose stats admit a row in `[lo, hi]` (private[graft]: the
     * skipping spec asserts the pruned set directly). */
   private[graft] def overlapping(st: State, schema: StructType,
@@ -164,9 +220,10 @@ object Manifest {
     * and later DML re-collects for the same columns automatically. */
   def write(df: DataFrame, path: String,
       partitionCols: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long =
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long =
     commitData(df, path, partitionCols, replaceAll = true,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
 
   /** Full-overwrite commit at EXACTLY `version` — the streaming form,
     * where versions are named by epoch/batch id so redelivery is
@@ -212,14 +269,16 @@ object Manifest {
     * exactly-once. */
   def replacePartitions(df: DataFrame, path: String,
       partitionCols: Seq[String],
-      statsCols: Seq[String] = Seq.empty): Long =
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long =
     commitData(df, path, partitionCols, replaceAll = false,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
 
   private def commitData(df: DataFrame, path: String,
       partitionCols: Seq[String], replaceAll: Boolean,
       at: Option[Long] = None, rebalance: Boolean = true,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val prev = state(spark, path)
     prev.foreach { st =>
@@ -230,6 +289,9 @@ object Manifest {
     val effStats =
       if (statsCols.nonEmpty) statsCols
       else prev.flatMap(_.statsCols).getOrElse(Seq.empty)
+    val effBlooms =
+      if (bloomCols.nonEmpty) bloomCols
+      else prev.flatMap(_.bloomCols).getOrElse(Seq.empty)
     val dir = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
     // rebalance=false preserves a caller-arranged clustering (Z-order):
     // the AQE rebalance shuffle would redistribute it
@@ -244,7 +306,7 @@ object Manifest {
       if (partitionCols.nonEmpty)
         Layers.leafDirs(spark, s"$path/$dir", partitionCols.size)
           .sorted.map(Entry(_, dir))
-      else if (effStats.isEmpty) Seq(Entry("", dir))
+      else if (effStats.isEmpty && effBlooms.isEmpty) Seq(Entry("", dir))
       else {
         // stats-tracked unpartitioned tables get one entry PER FILE —
         // Delta's granularity — so [[readWhere]] skips at file level
@@ -256,7 +318,7 @@ object Manifest {
           .sorted.map(Entry(_, dir))
       }
     val fresh = collectStats(spark, s"$path/$dir", df.schema,
-      partitionCols, effStats, bare)
+      partitionCols, effStats, effBlooms, bare)
     val kept =
       if (replaceAll) Seq.empty
       else prev.map(_.entries.filterNot(e => fresh.exists(_.part == e.part)))
@@ -264,7 +326,7 @@ object Manifest {
     try
       commit(spark, path, State(at.getOrElse(prev.map(_.version + 1).getOrElse(0L)),
         partitionCols, df.schema.toDDL, kept ++ fresh,
-        Some(effStats).filter(_.nonEmpty)))
+        Some(effStats).filter(_.nonEmpty), Some(effBlooms).filter(_.nonEmpty)))
     catch {
       case e: java.util.ConcurrentModificationException =>
         Fs.deleteDir(spark, s"$path/$dir") // unreferenced; don't wait for vacuum
@@ -304,13 +366,17 @@ object Manifest {
     * cannot prune). */
   private def collectStats(spark: SparkSession, dirPath: String,
       schema: StructType, pcols: Seq[String], statsCols: Seq[String],
-      entries: Seq[Entry]): Seq[Entry] = {
-    if (statsCols.isEmpty) return entries
-    import org.apache.spark.sql.functions.{col, element_at, max, min, split}
+      bloomCols: Seq[String], entries: Seq[Entry]): Seq[Entry] = {
+    if (statsCols.isEmpty && bloomCols.isEmpty) return entries
+    import org.apache.spark.sql.functions.{col, element_at, expr, max, min, split}
+    if (bloomCols.nonEmpty) graft.functions.Bloom.register(spark)
     val written = spark.read.schema(schema).parquet(dirPath)
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
+      max(col(c)).cast("string").as(s"__max_$c"))) ++
+      bloomCols.map(c => expr(
+        s"base64(bloom_agg(xxhash64(`$c`), ${BloomItems}L, ${BloomBits}L))")
+        .as(s"__bf_$c"))
     // unpartitioned: per-FILE grouping (entries are file names); else
     // per leaf partition
     val keyed =
@@ -326,10 +392,16 @@ object Manifest {
           case _ => None
         }
       }.toMap
+      val bf = bloomCols.flatMap { c =>
+        Option(r.getAs[String](s"__bf_$c")).map(c -> _)
+      }.toMap
       val key = if (pcols.isEmpty) r.getAs[String]("__file") else renderPart(pcols, r)
-      key -> m
+      key -> (m, bf)
     }.toMap
-    entries.map(e => e.copy(stats = byPart.get(e.part).filter(_.nonEmpty)))
+    entries.map { e =>
+      val (m, bf) = byPart.getOrElse(e.part, (Map.empty[String, Seq[String]], Map.empty[String, String]))
+      e.copy(stats = Some(m).filter(_.nonEmpty), bloom = Some(bf).filter(_.nonEmpty))
+    }
   }
 
   /** Copy-on-write row deletion — Delta `DELETE WHERE` semantics with
@@ -358,12 +430,13 @@ object Manifest {
     val fresh = collectStats(spark, s"$path/$dir",
       StructType.fromDDL(prev.schemaDdl), pcols,
       prev.statsCols.getOrElse(Seq.empty),
+      prev.bloomCols.getOrElse(Seq.empty),
       Layers.leafDirs(spark, s"$path/$dir", pcols.size).sorted.map(Entry(_, dir)))
     // O(affected partitions) driver rows
     val affectedParts = affected.collect().map(renderPart(pcols, _)).toSet
     val kept = prev.entries.filterNot(e => affectedParts.contains(e.part))
     commit(spark, path, State(prev.version + 1, pcols, prev.schemaDdl,
-      kept ++ fresh, prev.statsCols))
+      kept ++ fresh, prev.statsCols, prev.bloomCols))
   }
 
   /** Copy-on-write MERGE (SCD1 upsert) — Delta `MERGE INTO … WHEN
@@ -449,7 +522,8 @@ object Manifest {
       throw new IllegalArgumentException(s"no manifest log at $src"))
     require(state(spark, dst).isEmpty, s"clone target $dst already has a log")
     commit(spark, dst, State(0L, st.partitionCols, st.schemaDdl,
-      st.entries.map(e => e.copy(dir = dirRoot(src, e.dir))), st.statsCols))
+      st.entries.map(e => e.copy(dir = dirRoot(src, e.dir))), st.statsCols,
+      st.bloomCols))
   }
 
   /** Row-level change feed between two committed versions (Delta's

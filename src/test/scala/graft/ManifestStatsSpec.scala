@@ -108,6 +108,35 @@ class ManifestStatsSpec extends SparkSpec {
     assert(got == want && got.size == 51)
   }
 
+  test("bloom skipping: interleaved keys defeat min/max but the per-entry bloom prunes to one partition") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("mbloom").toString
+    // keys INTERLEAVED across partitions: every partition spans the full
+    // range (min/max stats admit everything), but each key lives in
+    // exactly one partition — the shape only a bloom can skip
+    val rows = Seq.tabulate(300)(i => (i % 3 + 1, i.toLong))
+    Manifest.write(rows.toDF("p", "id"), path, Seq("p"),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val st = Manifest.state(spark, path).get
+    val schema = StructType.fromDDL(st.schemaDdl)
+    assert(st.entries.forall(_.bloom.exists(_.contains("id"))))
+    // key 4 lives only in p=2 (4 % 3 + 1): range stats admit all 3
+    // entries, the bloom narrows to p=2 (false positives would only ADD)
+    val ranged = Manifest.overlapping(st, schema, "id", Some(4L), Some(4L))
+    assert(ranged.size == 3)
+    val admitted = Manifest.bloomAdmits(spark, st, schema, "id", 4L, ranged)
+    assert(admitted.map(_.part).contains("p=2"))
+    assert(admitted.size < 3) // bloom pruned at least one full-range entry
+    // poison a partition the bloom excluded: readPoint must not open it
+    val excluded = ranged.filterNot(e => admitted.exists(_.part == e.part)).head
+    poison(s"$path/${excluded.dir}/${excluded.part}")
+    val got = Manifest.readPoint(spark, path, "id", 4L).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((2, 4L)))
+    // an absent key: no false negatives possible, result is empty —
+    // through the bloom path, without touching the poisoned entry
+    assert(Manifest.readPoint(spark, path, "id", 999L).count() == 0)
+  }
+
   test("additive schema evolution: old commit dirs read under the new schema with nulls") {
     import spark.implicits._
     val path = Files.createTempDirectory("mevo").toString
