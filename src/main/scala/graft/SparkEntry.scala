@@ -119,6 +119,7 @@ object SparkEntry {
     "event_transitions"       -> ((s, d) => Events.eventTransitions(s, d)),
     "customers_all_priorities" -> ((s, d) => Extras.customersAllPriorities(s, d)),
     "lateral_top_orders"      -> ((s, d) => Extras.lateralTopOrders(s, d)),
+    "normalize_text"          -> ((s, d) => TextAnalysis.normalizeText(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1586,6 +1587,15 @@ object SparkEntry {
              floor((n_transitions / (sum(n_transitions) OVER (PARTITION BY prev_type))) * 10000 + 0.5) / 10000 AS p_transition
       FROM m
       ORDER BY prev_type, event_type
+    """,
+    "normalize_text" -> """
+      SELECT doc_id, n_chars,
+             length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_norm_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+      ORDER BY doc_id
     """,
     "lateral_top_orders" -> """
       SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

@@ -444,6 +444,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Text canonicalization — the normalization step every dedup/quality
+    * pipeline runs BEFORE hashing (lowercase, strip non-alphanumeric,
+    * collapse whitespace runs), plus the md5 fingerprint of the
+    * normalized form: docs that differ only in case/punctuation/spacing
+    * collapse to one `norm_hash`, which is what [[graft.dedup.Dedup.exact]]
+    * should key on in a real corpus. Pure per-row codegen'd expression
+    * work — embarrassingly parallel, no shuffle before the output sort.
+    * (Oracle note: DuckDB `regexp_replace` needs the 'g' flag to match
+    * Spark's replace-all semantics.) */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("norm")).cast("long").as("n_norm_chars"),
+        md5(col("norm")).as("norm_hash"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic per-stratum sample: the k docs with the SMALLEST
     * content-independent hash in each (lang, source) stratum — the
     * reproducible replacement for reservoir sampling a training-data
