@@ -238,7 +238,10 @@ object TextAnalysis {
     * index build over 100 TB of text feasible (hot terms appear in
     * nearly every document; an uncapped `collect_list` per term is a
     * straggler-task OOM). Document frequency is still exact over ALL
-    * docs (count, not the capped list). */
+    * docs (count, not the capped list). The list is serialized to a
+    * comma-joined string at the output boundary (same pattern as
+    * [[topDocsList]]) so downstream row-hash tooling can treat it as a
+    * scalar; consumers wanting the typed list split on ','. */
   def postingsIndex(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     graft.functions.TopKByAgg.register(spark)
     Tables.documents(spark, dir)
@@ -249,7 +252,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"),
         expr(s"topk_by(CAST(tf AS DOUBLE), doc_id, $k)").as("topk"))
       .select(col("term"), col("df"),
-        expr("transform(topk, x -> x.payload)").as("postings"))
+        expr("array_join(transform(topk, x -> CAST(x.payload AS STRING)), ',')")
+          .as("postings"))
       .orderBy(col("term"))
   }
 
