@@ -27,6 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "top_products"       -> ((s, d) => Marts.topProducts(s, d)),
     "sales_summary"      -> ((s, d) => Marts.salesSummary(s, d)),
+    "sales_summary_calendar" -> ((s, d) => Marts.salesSummaryCalendar(s, d)),
     "fact_sales"         -> ((s, d) => Marts.factSales(s, d)),
     "dim_customer"       -> ((s, d) => Marts.dimCustomer(s, d)),
     "product_enriched"   -> ((s, d) => Marts.productEnriched(s, d)),
@@ -299,7 +300,8 @@ object SparkEntry {
       FROM t GROUP BY 1 ORDER BY 1
     """,
     // capped posting lists: rank per term by (tf DESC, doc_id), keep 20;
-    // df stays exact over all docs
+    // df stays exact over all docs; list serialized to a comma-joined
+    // string at the boundary so the checker can hash the column
     "postings_index" -> """
       WITH tf AS (
         SELECT term, doc_id, count(*) AS tf FROM (
@@ -310,7 +312,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
         FROM tf),
       lists AS (
-        SELECT term, list(doc_id ORDER BY tf DESC, doc_id) AS postings
+        SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY tf DESC, doc_id) AS postings
         FROM ranked WHERE rn <= 20 GROUP BY term),
       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
       SELECT term, df, postings FROM lists JOIN dfreq USING (term) ORDER BY term
@@ -468,6 +470,31 @@ object SparkEntry {
         JOIN region   ON n_regionkey = r_regionkey
       GROUP BY 1, 2, 3, 4, 5, 6
       ORDER BY region_name, nation_name, mktsegment, brand, order_year, order_quarter
+    """,
+    // the reference's 18-key calendar mart: fact joined to the GENERATED
+    // dim_date (same generator SQL as the dim_date oracle, as a CTE)
+    "sales_summary_calendar" -> s"""
+      WITH dim AS (${DimDate.oracleSql("1995-01-01", 2557)})
+      SELECT date_key, full_date, year, quarter, month, month_name,
+             week_of_year, day_of_month, is_weekend, is_holiday,
+             p_brand AS brand, p_type AS part_type, p_size AS part_size,
+             r_name AS region_name, n_name AS nation_name,
+             c_mktsegment AS mktsegment, o_orderpriority AS priority,
+             count(DISTINCT l_orderkey) AS order_count,
+             floor((CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue,
+             floor((CAST(sum(CAST((l_quantity) AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS quantity_sold,
+             floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_unit_price,
+             floor((CAST(sum(CAST((l_extendedprice * l_discount) AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_discount
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN dim      ON CAST(strftime(o_orderdate, '%Y%m%d') AS INT) = date_key
+        JOIN part     ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17
+      ORDER BY date_key, brand, part_type, part_size, region_name,
+               nation_name, mktsegment, priority
     """,
     "fact_sales" -> """
       SELECT l_orderkey AS order_key, l_linenumber AS line_number,

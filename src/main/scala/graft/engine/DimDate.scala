@@ -28,11 +28,15 @@ object DimDate {
         quarter(col("full_date")).as("quarter"),
         month(col("full_date")).as("month"),
         date_format(col("full_date"), "MMMM").as("month_name"),
+        date_format(col("full_date"), "MMM").as("month_abbr"),
         dayofmonth(col("full_date")).as("day_of_month"),
         (weekday(col("full_date")) + 1).as("day_of_week_iso"),
         date_format(col("full_date"), "EEEE").as("day_name"),
+        date_format(col("full_date"), "EEE").as("day_abbr"),
         weekofyear(col("full_date")).as("week_of_year"),
         (weekday(col("full_date")) >= 5).as("is_weekend"),
+        // reference create_dim_date.sql:39 hardcodes false (no holiday feed)
+        lit(false).as("is_holiday"),
         // Fiscal calendar starting July 1 (reference create_dim_date.sql:38-54)
         (year(col("full_date")) + when(month(col("full_date")) >= 7, 1).otherwise(0)).as("fiscal_year"),
         (floor(((month(col("full_date")) + 5) % 12) / 3) + 1).cast("int").as("fiscal_quarter"),
@@ -48,11 +52,14 @@ object DimDate {
            CAST(quarter(full_date) AS INT) AS quarter,
            CAST(month(full_date) AS INT) AS month,
            strftime(full_date, '%B') AS month_name,
+           strftime(full_date, '%b') AS month_abbr,
            CAST(day(full_date) AS INT) AS day_of_month,
            CAST(isodow(full_date) AS INT) AS day_of_week_iso,
            strftime(full_date, '%A') AS day_name,
+           strftime(full_date, '%a') AS day_abbr,
            CAST(week(full_date) AS INT) AS week_of_year,
            isodow(full_date) >= 6 AS is_weekend,
+           false AS is_holiday,
            CAST(year(full_date) + (CASE WHEN month(full_date) >= 7 THEN 1 ELSE 0 END) AS INT) AS fiscal_year,
            CAST(((month(full_date) + 5) % 12) // 3 + 1 AS INT) AS fiscal_quarter,
            CAST((month(full_date) + 5) % 12 + 1 AS INT) AS fiscal_month

@@ -183,6 +183,58 @@ object Marts {
       .orderBy(col("part_key"))
   }
 
+  /** The reference's FULL 18-key calendar mart
+    * (`trino_scripts/business_sales_summary.sql:1-33`): fact ⋈ generated
+    * dim_date on the yyyyMMdd key, grouped by calendar attributes
+    * (month_name, week_of_year, day_of_month, is_weekend, is_holiday …)
+    * plus product- and geography-hierarchy levels. This is the mart
+    * pattern [[salesSummary]] abbreviates: the date dimension is JOINED,
+    * not re-derived per row, so calendar semantics (ISO weeks, fiscal
+    * rules, future holiday feeds) live in ONE generated table.
+    *
+    * Scale shape: dim_date is 7,305 rows — broadcast, like every other
+    * dim here; the fact flows through six broadcast joins with no
+    * shuffle, then one exchange for the final 18-key hash aggregate
+    * (partial map-side combine first). Day×brand×geo grouping keys give
+    * ~|days|×|brands|×|nations| groups — dimension-bounded, not
+    * fact-bounded, so the agg output stays small at any fact scale. */
+  def salesSummaryCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    // calendar generated over the fact's date span (the fixture's orders
+    // run 1995–2001; the reference hardcodes its own 2010–2029 span)
+    val dd = graft.engine.DimDate.generate(spark, "1995-01-01", 2557)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dd),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int") === col("date_key"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(
+        col("date_key"), col("full_date"), col("year"), col("quarter"),
+        col("month"), col("month_name"), col("week_of_year"),
+        col("day_of_month"), col("is_weekend"), col("is_holiday"),
+        col("p_brand").as("brand"), col("p_type").as("part_type"),
+        col("p_size").as("part_size"),
+        col("r_name").as("region_name"), col("n_name").as("nation_name"),
+        col("c_mktsegment").as("mktsegment"),
+        col("o_orderpriority").as("priority"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("order_count"),
+        Fns.money(Fns.sumMoney(revenue)).as("revenue"),
+        Fns.money(Fns.sumMoney(col("l_quantity"))).as("quantity_sold"),
+        Fns.money(Fns.sumMoney(col("l_extendedprice")) / count(lit(1))).as("avg_unit_price"),
+        Fns.money(Fns.sumMoney(col("l_extendedprice") * col("l_discount"))).as("total_discount"))
+      .orderBy(
+        col("date_key"), col("brand"), col("part_type"), col("part_size"),
+        col("region_name"), col("nation_name"), col("mktsegment"), col("priority"))
+  }
+
   /** Latest-partition filter via scalar subquery (reference
     * `business_sales_summary.sql:31` — `WHERE ingestion_date =
     * (SELECT MAX(...))`). Catalyst rewrites the scalar subquery to a

@@ -28,6 +28,15 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5, plan)
   }
 
+  test("sales_summary_calendar: dim_date joins by broadcast — fact unshuffled before the 18-key agg") {
+    val plan = formatted(graft.queries.Marts.salesSummaryCalendar(spark, sf))
+    // six broadcast joins (orders, dim_date, part, customer, nation, region);
+    // no sort-merge join anywhere — the generated calendar must not force
+    // a fact shuffle
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6, plan)
+  }
+
   test("incremental_extract: watermark predicate reaches the parquet scan") {
     val plan = formatted(graft.queries.Events.incrementalExtract(spark, sf))
     // the raw-ns-column translation makes the filter row-group-prunable
