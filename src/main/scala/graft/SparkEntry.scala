@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_embedding_multiprobe" -> ((s, d) => Dedup.embeddingPairsMultiProbe(s, d)),
     "knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "knn_ivf"            -> ((s, d) => Similarity.knnIvf(s, d)),
+    "knn_ivf_served"     -> ((s, d) => Similarity.knnIvfServed(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
@@ -125,7 +126,14 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // the served variant is bit-identical to the in-memory IVF search
+    // (parquet round-trips doubles exactly), so one oracle covers both
+    m + ("knn_ivf_served" -> m("knn_ivf"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     // Spark side goes through the VARIANT type (parse_json → variant_get)
     "variant_props" -> """
       SELECT CAST(k_int % 10 AS INT) AS k_bucket,

@@ -17,6 +17,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Fs {
 
+  /** Per-JVM discriminator for scratch paths. Queries that materialize
+    * intermediate tables under java.io.tmpdir previously keyed the path
+    * only by the input dir's hashCode — two concurrent JVMs over the
+    * same fixture (bench + a correctness replay) would race on
+    * deleteDir/commit of the same directory. A per-process token makes
+    * scratch paths private to the JVM; within one JVM the sequential
+    * delete-then-rebuild contract is unchanged. */
+  val runToken: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Scratch dir under java.io.tmpdir, unique to (prefix, input dir,
+    * this JVM). `& 0x7fffffff` not math.abs: abs(Int.MinValue) < 0. */
+  def scratch(prefix: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${dir.hashCode & 0x7fffffff}_$runToken"
+
   def resolve(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)

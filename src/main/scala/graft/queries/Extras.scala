@@ -377,7 +377,7 @@ object Extras {
     * (the window the rename-publish path documents). Ends with a vacuum
     * so the superseded first commit's files are actually reclaimed. */
   def manifestReload(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_man_${math.abs(dir.hashCode)}"
+    val out = graft.engine.Fs.scratch("graft_man", dir)
     graft.engine.Fs.deleteDir(spark, out)
     val src = Tables.orders(spark, dir)
       .withColumn("ingestion_month",
@@ -495,7 +495,7 @@ object Extras {
     * exactly the oracle's single-copy numbers — the reference's append
     * defect (`dags/sales.py:102-106`) would double every count here. */
   def idempotentReload(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_idem_${math.abs(dir.hashCode)}"
+    val out = graft.engine.Fs.scratch("graft_idem", dir)
     // clean slate: dynamic overwrite only replaces partitions present in
     // the current load, so stale partitions from an older fixture at the
     // same path would otherwise survive and pollute the aggregate
@@ -594,7 +594,7 @@ object Extras {
     * exactly what an incremental MV or replication consumer applies —
     * per-change-type row counts and money totals. */
   def manifestCdf(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_${math.abs(dir.hashCode)}"
+    val out = graft.engine.Fs.scratch("graft_cdf", dir)
     graft.engine.Fs.deleteDir(spark, out)
     val src = Tables.orders(spark, dir)
       .withColumn("ingestion_month",

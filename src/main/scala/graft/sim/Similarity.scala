@@ -277,4 +277,20 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
     probeSearch(corpus, probesFor(queries, centDf, nprobe), k)
   }
+
+  /** Build-then-serve round trip over a scratch index path: the
+    * production serve shape ([[buildIvfIndex]] by the maintenance job,
+    * [[knnIvfFromIndex]] at query time) exercised end-to-end. Results
+    * are bit-identical to [[knnIvf]] — parquet round-trips doubles
+    * exactly — so the in-memory variant's oracle verifies this one too,
+    * while the plan differs where it matters: the lists scan carries
+    * PartitionFilters on `cid`, reading nprobe/nClusters of the corpus
+    * from disk. */
+  def knnIvfServed(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+      nClusters: Int = 10, iters: Int = 3): DataFrame = {
+    val idx = graft.engine.Fs.scratch("graft_ivf", dir)
+    graft.engine.Fs.deleteDir(spark, idx)
+    buildIvfIndex(spark, dir, idx, nClusters, iters)
+    knnIvfFromIndex(spark, dir, idx, k, nprobe)
+  }
 }

@@ -201,6 +201,13 @@ class SimilaritySpec extends SparkSpec {
     val listDirs = graft.engine.Fs.listDirs(spark, s"$idx/lists")
       .map(_.getName).filter(_.startsWith("cid="))
     assert(listDirs.size == 10, s"expected 10 list partitions, got $listDirs")
+    // and the lists scan carries a dynamic-pruning PartitionFilter on cid
+    // — the serve reads nprobe/nClusters of the corpus from disk, which
+    // is the entire point of a persisted IVF index at scale
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+      plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
   test("kmeans quantizer: 10 non-empty clusters, exhaustive cover, no label read") {
