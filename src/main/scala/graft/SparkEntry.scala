@@ -47,6 +47,7 @@ object SparkEntry {
     "events_hourly"      -> ((s, d) => Events.hourly(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_minhash_capped" -> ((s, d) => Dedup.minhashPairs(s, d, maxBucketSize = Some(10))),
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -794,6 +795,53 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY kept_doc_id
+    """,
+    // the 100 TB hot-bucket guard under the oracle: identical pipeline,
+    // but band buckets holding > 10 docs are dropped BEFORE the
+    // self-join (candidate generation only — verification stays exact).
+    // The oracle replays the same window-count cut, proving the cut
+    // semantics — not just the uncapped path — match an independent
+    // engine.
+    "dedup_minhash_capped" -> """
+      WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      th AS (
+        SELECT doc_id, toks,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id, toks,
+               list_transform(range(0, 16), i ->
+                 list_min(list_transform(h, x -> ((2*i+1) * x + 7*i+3) % 1000000007))) AS sig
+        FROM th),
+      bands AS (
+        SELECT doc_id, bs.b AS band,
+               sig[bs.b*4+1] AS k1, sig[bs.b*4+2] AS k2,
+               sig[bs.b*4+3] AS k3, sig[bs.b*4+4] AS k4
+        FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+      capped AS (
+        SELECT doc_id, band, k1, k2, k3, k4
+        FROM (SELECT *, count(*) OVER (PARTITION BY band, k1, k2, k3, k4) AS bsz
+              FROM bands)
+        WHERE bsz <= 10),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id),
+      hsets AS (SELECT doc_id, list_distinct(h) AS hs FROM th),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(ta.hs, tb.hs)) AS inter,
+               len(ta.hs) AS na, len(tb.hs) AS nb
+        FROM cand
+          JOIN hsets ta ON cand.doc_a = ta.doc_id
+          JOIN hsets tb ON cand.doc_b = tb.doc_id)
+      SELECT doc_a, doc_b,
+             floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+      FROM pairs
+      WHERE inter / (na + nb - inter) >= 0.9
+      ORDER BY doc_a, doc_b
     """,
     "dedup_minhash" -> """
       WITH docs AS (
