@@ -33,7 +33,22 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache()
+    // Per-query isolation (round-4 finding: four queries regressed ≥2×
+    // with zero code change once the set hit 91 queries). clearCache()
+    // only empties the CATALOG cache — localCheckpoint blocks (the dedup
+    // CC fixpoints) are persisted RDDs outside it, and they accumulate
+    // across queries until driver GC lets the ContextCleaner reap them,
+    // bleeding storage/execution memory into whichever query runs next.
+    // So between timed units: drop the catalog cache, unpersist EVERY
+    // still-registered RDD (all prior DataFrames are dead by then, so no
+    // live lineage can need the blocks), and force a GC so cleanup work
+    // is charged to the gap, not to the next query's timer.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+    isolate()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -46,10 +61,10 @@ object Bench {
               false
           }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
-        // drop caches BETWEEN passes too: queries that persist() internally
+        // isolate BETWEEN passes too: queries that persist() internally
         // must re-do their real work every timed pass, or the "median"
         // measures pass 1 cold and passes 2..N warm-cache
-        spark.catalog.clearCache()
+        isolate()
         dt
       }.sorted
       name -> times

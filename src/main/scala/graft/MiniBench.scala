@@ -32,6 +32,8 @@ object MiniBench {
       time(s"minhash $d")(graft.dedup.Dedup.minhashPairs(spark, d).count())
       time(s"ngram   $d")(graft.dedup.Dedup.ngramJaccardPairs(spark, d).count())
       time(s"knn_bf  $d")(graft.sim.Similarity.knnBruteForce(spark, d).count())
+      time(s"clusters  $d")(graft.dedup.Dedup.nearDupClusters(spark, d).count())
+      time(s"canonical $d")(graft.dedup.Dedup.canonicalDocs(spark, d).count())
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -576,7 +576,12 @@ object Dedup {
     * -doc_id)` makes max_by deterministic under ties without a second
     * pass. */
   def canonicalDocs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val clusters = nearDupClusters(spark, dir, maxHamming)
+    // one materialization of the cluster relation (one narrow row per
+    // doc) feeds BOTH the election aggregate and the output join —
+    // without it each branch re-runs the whole cluster assembly
+    // (doc scan + label join + size agg) on top of the checkpointed
+    // fixpoint labels
+    val clusters = nearDupClusters(spark, dir, maxHamming).localCheckpoint(true)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val kept = clusters.join(docs, "doc_id")
       .groupBy(col("cluster_id"))

@@ -79,13 +79,21 @@ object Manifest {
     }
   }
 
-  /** Parsed manifest at `version` (default: newest). */
+  /** Parsed manifest at `version` (default: newest). None when the table
+    * has no log OR the explicitly requested version's manifest file is
+    * absent (never written, or vacuumed) — callers get their intended
+    * "no manifest version N" error instead of a raw
+    * FileNotFoundException out of fs.open. */
   def state(spark: SparkSession, path: String,
       version: Option[Long] = None): Option[State] =
-    version.orElse(currentVersion(spark, path)).map { v =>
+    version.orElse(currentVersion(spark, path)).flatMap { v =>
       val (fs, p) = Fs.resolve(spark, s"${logDir(path)}/${fileFor(v)}")
-      val in = fs.open(p)
-      try mapper.readValue(in: java.io.InputStream, classOf[State]) finally in.close()
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(mapper.readValue(in: java.io.InputStream, classOf[State]))
+        finally in.close()
+      }
     }
 
   /** An entry's commit-dir root: relative names resolve under the table
@@ -562,9 +570,12 @@ object Manifest {
       side(added, st1.schemaDdl, "insert").toSeq
     parts match {
       case Nil =>
-        // no structural change: an empty, correctly-shaped feed
-        readEntries(spark, path, StructType.fromDDL(st1.schemaDdl), st1.entries)
-          .withColumn("_change_type", lit("insert")).limit(0)
+        // no structural change: an empty, correctly-shaped feed built
+        // with NO entries — planning a real scan here would eagerly list
+        // every partition's files just to limit(0), making a no-op feed
+        // on a large table pay a full-table listing
+        readEntries(spark, path, StructType.fromDDL(st1.schemaDdl), Seq.empty)
+          .withColumn("_change_type", lit("insert"))
       case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
@@ -600,14 +611,20 @@ object Manifest {
         .withColumn("_change_type", lit("insert"))
     }
     fn(feed)
-    // ack AFTER fn: overwrite via temp + rename (monotonic, one consumer)
+    // ack AFTER fn, via temp + OVERWRITE-rename (FileContext — plain
+    // FileSystem.rename can't overwrite, and delete-then-rename leaves a
+    // crash window where the checkpoint transiently vanishes: recovery
+    // would replay the full head snapshot as insert-only rows and a
+    // stateful keyed-upsert consumer would never see the deletes from
+    // intervening versions). The ack can now never disappear: either the
+    // old version or the new one is always present.
     val tmp = s"$checkpointPath-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
     val (_, tmpP) = Fs.resolve(spark, tmp)
     val out = fs.create(tmpP, true)
     try out.write(head.toString.getBytes) finally out.close()
-    if (fs.exists(ck)) fs.delete(ck, false)
-    if (!fs.rename(tmpP, ck))
-      throw new java.io.IOException(s"could not ack consumer checkpoint $checkpointPath")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ck.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmpP, ck, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     Some((last.getOrElse(-1L), head))
   }
 
@@ -617,10 +634,20 @@ object Manifest {
   def history(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val cur = currentVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no manifest log at $path"))
-    (0L to cur).flatMap { v =>
-      scala.util.Try(state(spark, path, Some(v))).toOption.flatten.map { st =>
+    // one log-dir listing, then parse only the manifests actually
+    // present — writeVersioned tables use epoch/batch-id version numbers,
+    // so probing every id in (0..max) would be O(maxVersionId) remote
+    // calls on a sparse log instead of O(retained manifests)
+    val (fs, lp) = Fs.resolve(spark, logDir(path))
+    if (!fs.exists(lp))
+      throw new IllegalArgumentException(s"no manifest log at $path")
+    val versions = fs.listStatus(lp).toIndexedSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }.sorted
+    if (versions.isEmpty)
+      throw new IllegalArgumentException(s"no manifest log at $path")
+    versions.flatMap { v =>
+      state(spark, path, Some(v)).map { st =>
         (v, st.entries.size.toLong, st.entries.map(_.dir).distinct.size.toLong,
           st.partitionCols.mkString(","), st.schemaDdl)
       }
