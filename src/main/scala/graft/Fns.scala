@@ -47,4 +47,11 @@ object Fns {
   /** DuckDB-dialect rendering of [[h64]]. */
   def h64Sql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
+  /** Driver-side [[h64]] of a literal string (for test expectations). */
+  def h64Literal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
 }

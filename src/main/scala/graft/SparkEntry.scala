@@ -45,6 +45,7 @@ object SparkEntry {
     "json_props"         -> ((s, d) => Events.jsonProps(s, d)),
     "events_by_type"     -> ((s, d) => Events.byType(s, d)),
     "events_hourly"      -> ((s, d) => Events.hourly(s, d)),
+    "events_salted_join" -> ((s, d) => Events.saltedTypeJoin(s, d)),
     "dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_minhash_capped" -> ((s, d) => Dedup.minhashPairs(s, d, maxBucketSize = Some(10))),
@@ -103,6 +104,7 @@ object SparkEntry {
     "customer_ntile_segments" -> ((s, d) => Extras.customerNtileSegments(s, d)),
     "postings_index"          -> ((s, d) => TextAnalysis.postingsIndex(s, d)),
     "pii_redact"              -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "dup_spans"               -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
     "decontaminate_bloom"     -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
     "daily_revenue_filled"    -> ((s, d) => Extras.dailyRevenueFilled(s, d)),
@@ -782,6 +784,36 @@ object SparkEntry {
              floor(CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_k
       FROM events
       GROUP BY event_type
+      ORDER BY event_type
+    """,
+    // duplicated k-token spans (k=8): hash every window, keep hashes in
+    // ≥2 distinct docs — the substring-dedup signal
+    "dup_spans" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      spans AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6), i ->
+                 ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT)) AS span_h
+        FROM toks WHERE len(t) >= 8)
+      SELECT span_h, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+      FROM spans
+      GROUP BY span_h
+      HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY span_h
+    """,
+    // oracle is the UNSALTED join: proves salt+replicate+join is
+    // result-identical to the plain equi-join
+    "events_salted_join" -> """
+      WITH dim AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(event_type), 1, 15))::BIGINT AS type_code
+        FROM events)
+      SELECT e.event_type, d.type_code, count(*) AS n_events,
+             floor(CAST(sum(CAST((floor(value * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_value
+      FROM events e JOIN dim d USING (event_type)
+      GROUP BY 1, 2
       ORDER BY event_type
     """,
     "events_hourly" -> """

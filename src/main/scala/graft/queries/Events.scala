@@ -232,6 +232,34 @@ object Events {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Salted skew join exercised end-to-end
+    * ([[graft.operators.SkewJoin.salted]]): events (the big, potentially
+    * hot-keyed side) join a derived per-type dimension on `event_type`,
+    * spread over 8 salt buckets, then rolled up per type. The oracle
+    * replays the UNSALTED join — proving the salt+replicate+join
+    * composition is result-identical to the plain join, which is the
+    * property that lets an operator swap it in under a skewed key
+    * without a semantics review. The dim side carries a `shuffle_hash`
+    * hint so the join actually exercises the salted SHUFFLE path (a
+    * broadcast join has no per-reducer skew to fix; at real scale the
+    * optimizer makes that call).
+    *
+    * On this fixture event_type is near-uniform — the query pins
+    * correctness and plan shape; the 100 TB rationale is in the
+    * operator's scaladoc. */
+  def saltedTypeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_code", Fns.h64(col("event_type")))
+    graft.operators.SkewJoin.salted(
+      ev.select(col("event_id"), col("event_type"), col("value")),
+      dim.hint("shuffle_hash"), "event_type", col("event_id"), salts = 8)
+      .groupBy(col("event_type"), col("type_code"))
+      .agg(count(lit(1)).as("n_events"),
+        Fns.money(Fns.sumMoney(Fns.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** First-order Markov transition matrix over per-user event timelines:
     * how often does event type A directly precede event type B, and with
     * what conditional probability? The sequence-analytics primitive

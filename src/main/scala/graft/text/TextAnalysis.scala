@@ -257,6 +257,36 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Exact duplicated k-token spans ACROSS documents — the
+    * substring-level dedup signal (cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): document-level
+    * near-dup passes miss boilerplate paragraphs embedded in otherwise
+    * distinct pages, and those memorize badly. Every k-token window is
+    * hashed ([[graft.Fns.h64]] of the joined window); hashes seen in ≥2
+    * distinct docs are reported with occurrence/doc counts.
+    *
+    * Scale shape: the explode yields ~one row per corpus TOKEN (narrow:
+    * doc_id + one 64-bit hash — no window strings leave the map side),
+    * then one hash aggregate keyed on span_h with map-side partials; the
+    * ≥2-docs filter runs on the aggregate, dimension-free. This is the
+    * hashed single-pass variant of the suffix-array approach — O(tokens)
+    * shuffle instead of a global sort, the right trade at 100 TB where
+    * the suffix array itself would be petabyte-scale. */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .filter(expr(s"size(toks) >= $k"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}), i ->
+            CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, $k))), 1, 15), 16, 10) AS BIGINT))"""))
+        .as("span_h"))
+      .groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_h"))
+
   /** Pattern-based sensitive-content redaction — the PII scrub every
     * training-data pipeline runs before anything else. One compiled
     * regex alternation per row (emails, long digit runs, and a

@@ -267,6 +267,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == Tables.documents(spark, sf).count())
     assert(out.filter(col("n_fingerprints") <= 0).count() == 0)
   }
+
+  test("dup_spans: finds a planted shared 8-token span, never reports n_docs < 2") {
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha $boiler tail"),
+      (2L, s"$boiler beta gamma delta"),
+      (3L, "completely different words with no overlap here at all"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dupspans").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.dupSpans(spark, tmp).collect()
+    // the planted boilerplate span is one of the cross-doc hashes
+    assert(out.nonEmpty && out.forall(_.getLong(2) >= 2))
+    val expected = Fns.h64Literal(boiler)
+    assert(out.exists(_.getLong(0) == expected), out.mkString(","))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
