@@ -28,6 +28,7 @@ object SparkEntry {
     "top_products"       -> ((s, d) => Marts.topProducts(s, d)),
     "sales_summary"      -> ((s, d) => Marts.salesSummary(s, d)),
     "sales_summary_calendar" -> ((s, d) => Marts.salesSummaryCalendar(s, d)),
+    "bucketed_join"      -> ((s, d) => Marts.bucketedCustomerJoin(s, d)),
     "fact_sales"         -> ((s, d) => Marts.factSales(s, d)),
     "dim_customer"       -> ((s, d) => Marts.dimCustomer(s, d)),
     "product_enriched"   -> ((s, d) => Marts.productEnriched(s, d)),
@@ -506,6 +507,16 @@ object SparkEntry {
       GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17
       ORDER BY date_key, brand, part_type, part_size, region_name,
                nation_name, mktsegment, priority
+    """,
+    // oracle is the plain (unbucketed) join — bucketing must not change
+    // results, only the shuffle plan
+    "bucketed_join" -> """
+      SELECT o_orderpriority AS priority, c_mktsegment AS mktsegment,
+             count(*) AS n_orders,
+             floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+      ORDER BY priority, mktsegment
     """,
     "fact_sales" -> """
       SELECT l_orderkey AS order_key, l_linenumber AS line_number,

@@ -235,6 +235,48 @@ object Marts {
         col("region_name"), col("nation_name"), col("mktsegment"), col("priority"))
   }
 
+  /** Co-located join via BUCKETED tables — the standing answer to "this
+    * big⋈big join shuffles both sides every night": write both relations
+    * `bucketBy(N, key).sortBy(key)` once, and every subsequent equi-join
+    * on the key is shuffle-free (scans expose the bucket hash
+    * partitioning; sorted buckets make it merge-ready). At 100 TB this
+    * converts the nightly orders⋈customer co-location from a 2-sided
+    * exchange of the full data into zero network movement — the single
+    * biggest repeatable shuffle saving Spark offers for stable join
+    * keys. Bucket counts must match on both sides (Spark also accepts
+    * multiples); pick N so a bucket ≈ one task's worth of data at
+    * target scale.
+    *
+    * The table write happens inside the query (scratch-named per
+    * JVM+fixture) so the query is self-contained for the harness; a
+    * production deployment writes the bucketed tables once in the load
+    * job and amortizes across every downstream join. Plan pin:
+    * [[graft.PlanQualitySpec]] asserts no Exchange feeds the join. */
+  def bucketedCustomerJoin(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val tag = s"${dir.hashCode & 0x7fffffff}_${graft.engine.Fs.runToken}"
+    val (to, tc) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable(to)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable(tc)
+    bucketedJoinPlan(spark, to, tc)
+  }
+
+  /** The join-over-bucketed-tables plan itself (split out so the spec
+    * can pin the no-exchange shape on tables it just wrote). */
+  private[graft] def bucketedJoinPlan(spark: SparkSession, ordersTable: String,
+      customerTable: String): DataFrame =
+    spark.table(ordersTable)
+      .join(spark.table(customerTable), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority").as("priority"), col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("total_price"))
+      .orderBy(col("priority"), col("mktsegment"))
+
   /** Latest-partition filter via scalar subquery (reference
     * `business_sales_summary.sql:31` — `WHERE ingestion_date =
     * (SELECT MAX(...))`). Catalyst rewrites the scalar subquery to a

@@ -37,6 +37,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6, plan)
   }
 
+  test("bucketed_join: co-located scans feed the join with NO exchange on the join key") {
+    val df = graft.queries.Marts.bucketedCustomerJoin(spark, sf)
+    val plan = formatted(df)
+    // both scans read bucketed: the join consumes the bucket hash
+    // partitioning directly — no shuffle of either side
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"), plan)
+  }
+
   test("incremental_extract: watermark predicate reaches the parquet scan") {
     val plan = formatted(graft.queries.Events.incrementalExtract(spark, sf))
     // the raw-ns-column translation makes the filter row-group-prunable
