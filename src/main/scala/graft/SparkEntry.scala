@@ -106,6 +106,7 @@ object SparkEntry {
     "postings_index"          -> ((s, d) => TextAnalysis.postingsIndex(s, d)),
     "pii_redact"              -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "dup_spans"               -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
     "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
     "decontaminate_bloom"     -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
     "daily_revenue_filled"    -> ((s, d) => Extras.dailyRevenueFilled(s, d)),
@@ -1289,6 +1290,29 @@ object SparkEntry {
           CAST(len(list_filter(string_split(text,' '), t -> t IN ('的','是','不','我','了'))) AS INT) AS s_zh
         FROM documents)
       ORDER BY doc_id
+    """,
+    // per-source quality quota: the oracle ranks with a window; Spark
+    // uses the bounded-heap topk_by (same ORDER BY quality DESC, doc_id)
+    "source_quota" -> """
+      WITH q AS (
+        SELECT doc_id, source,
+               floor((least(1.0, n_tokens / 50.0) * (1.0 - n_digits / len_text) *
+                      (0.5 + 0.5 * least(1.0, s_en / n_tokens * 5))) * 10000 + 0.5) / 10000 AS quality_score
+        FROM (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','in'))) AS INT) AS s_en,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+            CAST(length(text) AS INT) AS len_text
+          FROM documents)),
+      ranked AS (
+        SELECT source, doc_id, quality_score,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id) AS INT) AS rank
+        FROM q)
+      SELECT source, rank, doc_id, quality_score
+      FROM ranked WHERE rank <= 10
+      ORDER BY source, rank
     """,
     "text_quality" -> """
       SELECT doc_id, n_tokens,

@@ -257,6 +257,32 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Per-source quota curation: keep the top-`k` documents of each
+    * source by quality score — the domain-balancing step that stops a
+    * handful of crawl domains from dominating a training mix (the
+    * "source mixing" knob every corpus recipe exposes, applied as a
+    * hard per-source cap with quality-ranked survival).
+    *
+    * Scale shape: rides the bounded-heap `topk_by` aggregate
+    * ([[graft.functions.TopKByAgg]]) — O(k) state per source with
+    * map-side partials, so a source with a billion docs forwards at
+    * most k rows per map task through the shuffle. A window
+    * `row_number` over the same partitioning would SORT every source's
+    * full document list; this never sorts more than the k survivors.
+    * Quality is money-rounded (exact in a double), doc_id breaks ties
+    * ascending — deterministic on any engine. */
+  def sourceQuota(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.TopKByAgg.register(spark)
+    quality(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(expr(s"topk_by(quality_score, doc_id, $k)").as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.payload").as("doc_id"), col("t.ord").as("quality_score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Exact duplicated k-token spans ACROSS documents — the
     * substring-level dedup signal (cf. Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): document-level
