@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_minhash_capped" -> ((s, d) => Dedup.minhashPairs(s, d, maxBucketSize = Some(10))),
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, maxShingleFreq = Some(5))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -1004,6 +1005,42 @@ object SparkEntry {
       SELECT c.doc_id, c.cluster_id, s.cluster_size
       FROM comp c JOIN sizes s USING (cluster_id)
       ORDER BY c.doc_id
+    """,
+    // stop-shingle cut under the oracle: shingles indexing > 5 docs are
+    // dropped from the INDEX (candidate generation) only; surviving
+    // pairs re-verify on their FULL shingle sets, so reported jaccard
+    // values stay exact — the oracle replays the same frequency cut
+    "dedup_ngram_capped" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(toks) - 1), i ->
+                          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   END),
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+        FROM t),
+      inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
+      cut AS (
+        SELECT doc_id, n_sh, sh
+        FROM (SELECT *, count(*) OVER (PARTITION BY sh) AS f FROM inv)
+        WHERE f <= 5),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cut a JOIN cut b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.s, sb.s)) AS inter,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM cand
+          JOIN sh sa ON cand.doc_a = sa.doc_id
+          JOIN sh sb ON cand.doc_b = sb.doc_id)
+      SELECT doc_a, doc_b,
+             floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+      FROM pairs
+      WHERE inter / (na + nb - inter) >= 0.5
+      ORDER BY doc_a, doc_b
     """,
     "dedup_ngram" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
