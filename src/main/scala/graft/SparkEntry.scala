@@ -108,6 +108,7 @@ object SparkEntry {
     "pii_redact"              -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "dup_spans"               -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
+    "quality_gate_per_lang"   -> ((s, d) => TextAnalysis.qualityGatePerLang(s, d)),
     "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
     "decontaminate_bloom"     -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
     "daily_revenue_filled"    -> ((s, d) => Extras.dailyRevenueFilled(s, d)),
@@ -1327,6 +1328,32 @@ object SparkEntry {
           CAST(len(list_filter(string_split(text,' '), t -> t IN ('的','是','不','我','了'))) AS INT) AS s_zh
         FROM documents)
       ORDER BY doc_id
+    """,
+    // adaptive per-lang threshold: quantile_cont == Spark's exact
+    // percentile (both linear-interpolated; money-rounded on both sides)
+    "quality_gate_per_lang" -> """
+      WITH q AS (
+        SELECT doc_id, lang,
+               floor((least(1.0, n_tokens / 50.0) * (1.0 - n_digits / len_text) *
+                      (0.5 + 0.5 * least(1.0, s_en / n_tokens * 5))) * 10000 + 0.5) / 10000 AS quality_score
+        FROM (
+          SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','in'))) AS INT) AS s_en,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+            CAST(length(text) AS INT) AS len_text
+          FROM documents)),
+      th AS (
+        SELECT lang,
+               floor(quantile_cont(quality_score, 0.75) * 10000 + 0.5) / 10000 AS q_threshold
+        FROM q GROUP BY lang)
+      SELECT lang, q_threshold, count(*) AS n_kept,
+             min(quality_score) AS min_kept_quality,
+             floor((CAST(sum(CAST((quality_score) AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_kept_quality
+      FROM q JOIN th USING (lang)
+      WHERE quality_score >= q_threshold
+      GROUP BY 1, 2
+      ORDER BY lang
     """,
     // per-source quality quota: the oracle ranks with a window; Spark
     // uses the bounded-heap topk_by (same ORDER BY quality DESC, doc_id)

@@ -283,6 +283,33 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Per-language quality gate with a LEARNED (per-group quantile)
+    * threshold: instead of one global cutoff, each language keeps its
+    * docs at or above its own p75 quality score — the adaptive-threshold
+    * curation pattern (a global cutoff over-prunes low-resource
+    * languages whose score distribution sits lower).
+    *
+    * Scale shape: thresholds are one exact-percentile aggregate over the
+    * (tiny) language key space, attached back by broadcast join — the
+    * corpus scans once for scoring and once for the gate, never
+    * shuffles on doc_id. Exact `percentile` needs per-group sorted
+    * values — fine at |langs| groups; for high-cardinality grouping use
+    * approx_percentile and re-verify the boundary. Threshold and scores
+    * are money-rounded so the ≥ comparison is engine-portable. */
+  def qualityGatePerLang(spark: SparkSession, dir: String, p: Double = 0.75): DataFrame = {
+    val scored = quality(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val thresholds = scored.groupBy(col("lang"))
+      .agg(Fns.money(expr(s"percentile(quality_score, $p)")).as("q_threshold"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality_score") >= col("q_threshold"))
+      .groupBy(col("lang"), col("q_threshold"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("quality_score")).as("min_kept_quality"),
+        Fns.money(Fns.sumMoney(col("quality_score")) / count(lit(1))).as("avg_kept_quality"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact duplicated k-token spans ACROSS documents — the
     * substring-level dedup signal (cf. Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): document-level
