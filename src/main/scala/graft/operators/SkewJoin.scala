@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions._
   *
   * The salt must come from a ROW-UNIQUE left column (not the join key —
   * salting by the key would put the whole hot key back in one bucket).
+  * Sibling: [[graft.engine.Skew.saltedSumCount]] applies the same
+  * two-phase salting to AGGREGATIONS.
   */
 object SkewJoin {
 

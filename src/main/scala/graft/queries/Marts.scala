@@ -255,14 +255,13 @@ object Marts {
   def bucketedCustomerJoin(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
     val tag = s"${dir.hashCode & 0x7fffffff}_${graft.engine.Fs.runToken}"
     val (to, tc) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
-      .write.mode("overwrite").bucketBy(buckets, "o_custkey").sortBy("o_custkey")
-      .format("parquet").saveAsTable(to)
-    Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .write.mode("overwrite").bucketBy(buckets, "c_custkey").sortBy("c_custkey")
-      .format("parquet").saveAsTable(tc)
+    graft.engine.Layers.writeBucketed(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice")),
+      to, "o_custkey", buckets)
+    graft.engine.Layers.writeBucketed(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      tc, "c_custkey", buckets)
     bucketedJoinPlan(spark, to, tc)
   }
 
