@@ -289,13 +289,17 @@ object TextAnalysis {
     * curation pattern (a global cutoff over-prunes low-resource
     * languages whose score distribution sits lower).
     *
-    * Scale shape: thresholds are one exact-percentile aggregate over the
-    * (tiny) language key space, attached back by broadcast join — the
-    * corpus scans once for scoring and once for the gate, never
-    * shuffles on doc_id. Exact `percentile` needs per-group sorted
-    * values — fine at |langs| groups; for high-cardinality grouping use
-    * approx_percentile and re-verify the boundary. Threshold and scores
-    * are money-rounded so the ≥ comparison is engine-portable. */
+    * Scale shape: thresholds aggregate over the (tiny) language key
+    * space and attach back by broadcast join — the corpus scans once for
+    * scoring and once for the gate, never shuffles on doc_id. CAVEAT:
+    * exact `percentile` BUFFERS every group member on its reducer — at
+    * billions of docs per language that one task is the OOM. It is used
+    * here only because the oracle needs bit-equal thresholds; the 100 TB
+    * deployment swaps in `approx_percentile(score, p, accuracy)`
+    * (bounded sketch state, mergeable partials) — same plan shape, same
+    * gate semantics to within the sketch's rank error at the boundary.
+    * Threshold and scores are money-rounded so the ≥ comparison is
+    * engine-portable. */
   def qualityGatePerLang(spark: SparkSession, dir: String, p: Double = 0.75): DataFrame = {
     val scored = quality(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")

@@ -268,6 +268,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(col("n_fingerprints") <= 0).count() == 0)
   }
 
+  test("quality gate: the documented approx_percentile swap tracks the exact thresholds") {
+    // the 100 TB path replaces exact percentile (unbounded per-group
+    // buffer) with approx_percentile (bounded mergeable sketch). The
+    // sketch returns an OBSERVED value with bounded rank error — not the
+    // interpolated exact percentile — so the swap is judged by threshold
+    // drift, which must stay within the score distribution's local step
+    val scored = TextAnalysis.quality(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+    val exact = scored.groupBy(col("lang"))
+      .agg(Fns.money(expr("percentile(quality_score, 0.75)")).as("t"))
+      .orderBy(col("lang")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = scored.groupBy(col("lang"))
+      .agg(Fns.money(expr("approx_percentile(quality_score, 0.75, 10000)")).as("t"))
+      .orderBy(col("lang")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (lang, t) =>
+      assert(math.abs(approx(lang) - t) <= 0.005,
+        s"$lang: approx ${approx(lang)} drifted from exact $t")
+    }
+  }
+
   test("dup_spans: finds a planted shared 8-token span, never reports n_docs < 2") {
     import spark.implicits._
     val boiler = "one two three four five six seven eight"
