@@ -125,6 +125,7 @@ object SparkEntry {
     "group_sample"            -> ((s, d) => TextAnalysis.groupSample(s, d)),
     "top_docs_list"           -> ((s, d) => TextAnalysis.topDocsList(s, d)),
     "manifest_cdf"            -> ((s, d) => Extras.manifestCdf(s, d)),
+    "mart_incremental_refresh" -> ((s, d) => Extras.martIncrementalRefresh(s, d)),
     "event_transitions"       -> ((s, d) => Events.eventTransitions(s, d)),
     "customers_all_priorities" -> ((s, d) => Extras.customersAllPriorities(s, d)),
     "lateral_top_orders"      -> ((s, d) => Extras.lateralTopOrders(s, d)),
@@ -1773,6 +1774,24 @@ object SparkEntry {
     """,
     // the engine restates the latest month's prices at half value; the
     // oracle recomputes the implied delete+insert feed from raw orders
+    // oracle = FULL rebuild of the final state (latest month half-priced)
+    // — equality with the CDF-driven partial refresh IS the proof
+    "mart_incremental_refresh" -> """
+      WITH mo AS (SELECT o_orderpriority AS priority, o_totalprice,
+                         CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ingestion_month
+                  FROM orders),
+      mx AS (SELECT max(ingestion_month) AS mx FROM mo),
+      fin AS (SELECT ingestion_month, priority,
+                     CASE WHEN ingestion_month = (SELECT mx FROM mx)
+                          THEN o_totalprice / 2 ELSE o_totalprice END AS p
+              FROM mo)
+      SELECT ingestion_month, priority, count(*) AS n_rows,
+             floor((CAST(sum(CAST(p AS DECIMAL(38,8))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total,
+             floor((CAST(sum(CAST(p AS DECIMAL(38,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean
+      FROM fin
+      GROUP BY 1, 2
+      ORDER BY ingestion_month, priority
+    """,
     "manifest_cdf" -> """
       WITH mo AS (SELECT o_totalprice,
                          CAST(strftime(o_orderdate, '%Y%m') AS INT) AS im

@@ -612,6 +612,50 @@ object Extras {
       .orderBy(col("_change_type"))
   }
 
+  /** CDF-driven incremental mart refresh — the composite the manifest
+    * layer exists for: a mart over a versioned fact is refreshed by
+    * recomputing ONLY the partitions the change feed names, and the
+    * result must equal a full rebuild.
+    *
+    * Choreography: commit orders by month (v0) → build the mart state
+    * from the TIME-TRAVELED v0 snapshot → restate the latest month at
+    * half price (v1, the late-correction rewrite) → `changeFeed(0,1)`
+    * names the affected month → keep every unaffected mart row as-is,
+    * recompute only the affected month from the head snapshot, and
+    * union the disjoint states ([[graft.engine.Mv]] mergeable partials).
+    *
+    * Scale shape: the refresh scans ONE month of the fact (changeFeed
+    * reads only changed entries — physical pin in ManifestSpec) plus the
+    * mart-sized keep side; a nightly full rebuild scans everything. The
+    * oracle replays the FULL rebuild of the final state — equality IS
+    * the incremental-refresh correctness proof. */
+  def martIncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.engine.Fs.scratch("graft_martinc", dir)
+    graft.engine.Fs.deleteDir(spark, out)
+    val src = Tables.orders(spark, dir)
+      .withColumn("ingestion_month",
+        date_format(col("o_orderdate"), "yyyyMM").cast("int"))
+    graft.engine.Manifest.replacePartitions(src, out, Seq("ingestion_month"))
+    val mx = src.agg(max(col("ingestion_month")).as("mx"))
+    val rewrite = src.join(broadcast(mx), col("ingestion_month") === col("mx"))
+      .drop("mx")
+      .withColumn("o_totalprice", col("o_totalprice") / 2)
+    graft.engine.Manifest.replacePartitions(rewrite, out, Seq("ingestion_month"))
+    val keys = Seq("ingestion_month", "priority")
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.withColumnRenamed("o_orderpriority", "priority")
+    val mart0 = graft.engine.Mv.state(
+      prep(graft.engine.Manifest.read(spark, out, Some(0L))), keys, col("o_totalprice"))
+    val affected = graft.engine.Manifest.changeFeed(spark, out, 0L, 1L)
+      .select(col("ingestion_month")).distinct()
+    val keep = mart0.join(broadcast(affected), Seq("ingestion_month"), "left_anti")
+    val fresh = graft.engine.Mv.state(
+      prep(graft.engine.Manifest.read(spark, out))
+        .join(broadcast(affected), Seq("ingestion_month")), keys, col("o_totalprice"))
+    graft.engine.Mv.serve(keep.unionByName(fresh), keys)
+      .orderBy(col("ingestion_month"), col("priority"))
+  }
+
   /** LATERAL correlated subquery (SQL:2003 lateral derived table — the
     * "top-N per row" idiom BI tools emit): each customer row feeds a
     * correlated ORDER BY … LIMIT 2 subquery over orders. Catalyst
