@@ -47,6 +47,14 @@ object SparkEntry {
     "events_by_type"     -> ((s, d) => Events.byType(s, d)),
     "events_hourly"      -> ((s, d) => Events.hourly(s, d)),
     "events_salted_join" -> ((s, d) => Events.saltedTypeJoin(s, d)),
+    // the BUILT-IN session_window (shared batch/streaming definition)
+    // under the oracle: DuckDB derives sessions independently via
+    // gap-islands, splitting where the inter-event gap >= 30 minutes
+    "session_window_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.EventStream.sessionWindows(Tables.events(s, d))
+        .orderBy(col("user_id"), col("first_ts"))
+    }),
     "dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_minhash_capped" -> ((s, d) => Dedup.minhashPairs(s, d, maxBucketSize = Some(10))),
@@ -817,6 +825,29 @@ object SparkEntry {
       GROUP BY span_h
       HAVING count(DISTINCT doc_id) >= 2
       ORDER BY span_h
+    """,
+    // gap-islands replay of the built-in session_window: a new session
+    // opens where the inter-event gap >= 30 minutes (session windows are
+    // half-open [first, last+gap))
+    "session_window_agg" -> """
+      WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e),
+      islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM islands
+      GROUP BY user_id, sid
+      ORDER BY user_id, first_ts
     """,
     // oracle is the UNSALTED join: proves salt+replicate+join is
     // result-identical to the plain equi-join
