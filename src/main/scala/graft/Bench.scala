@@ -34,20 +34,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Per-query isolation (round-4 finding: four queries regressed ≥2×
-    // with zero code change once the set hit 91 queries). clearCache()
-    // only empties the CATALOG cache — localCheckpoint blocks (the dedup
-    // CC fixpoints) are persisted RDDs outside it, and they accumulate
-    // across queries until driver GC lets the ContextCleaner reap them,
-    // bleeding storage/execution memory into whichever query runs next.
-    // So between timed units: drop the catalog cache, unpersist EVERY
-    // still-registered RDD (all prior DataFrames are dead by then, so no
-    // live lineage can need the blocks), and force a GC so cleanup work
-    // is charged to the gap, not to the next query's timer.
-    def isolate(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
-    }
+    // with zero code change once the set hit 91 queries) — mechanism in
+    // Sessions.releaseAll, pinned by SessionsSpec. Called between timed
+    // units so cleanup is charged to the gap, not the next query's timer.
+    def isolate(): Unit = Sessions.releaseAll(spark)
     isolate()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>

@@ -24,4 +24,19 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Release EVERYTHING a finished query may have pinned in the block
+    * manager. `clearCache()` alone is not enough: `localCheckpoint`
+    * blocks (e.g. the dedup connected-components fixpoints) are
+    * persisted RDDs OUTSIDE the catalog cache and survive it — in a
+    * long-lived session they accumulate until driver GC happens to let
+    * the ContextCleaner reap them, bleeding storage/execution memory
+    * into whatever runs next (the round-4 bench interference). Safe to
+    * call between queries: prior DataFrames are dead, so no live
+    * lineage can need the dropped blocks. */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
+  }
 }
