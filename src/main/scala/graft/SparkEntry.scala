@@ -127,6 +127,7 @@ object SparkEntry {
     "basket_pairs"            -> ((s, d) => Extras.basketPairs(s, d)),
     "doc_chunks"              -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "corpus_mixture"          -> ((s, d) => TextAnalysis.corpusMixture(s, d)),
+    "mixture_sample"          -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "edit_dist_pairs"         -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "compound_index"          -> ((s, d) => Extras.compoundIndex(s, d)),
     "dedup_canonical"         -> ((s, d) => Dedup.canonicalDocs(s, d)),
@@ -1203,6 +1204,39 @@ object SparkEntry {
              floor(((floor((sq / tot_sq) * 10000 + 0.5) / 10000) /
                     (floor((tokens / tot_tokens) * 10000 + 0.5) / 10000)) * 10000 + 0.5) / 10000 AS boost
       FROM s, tot ORDER BY source
+    """,
+    // realized temperature sampling: per-source keep threshold from the
+    // alpha=0.5 weights, doc survival by h64(doc_id) % 10000 < threshold
+    "mixture_sample" -> """
+      WITH docs AS (
+        SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS doc_tokens
+        FROM documents),
+      per AS (SELECT source, sum(doc_tokens) AS tokens FROM docs GROUP BY source),
+      s AS (SELECT *, floor(sqrt(tokens) * 10000 + 0.5) / 10000 AS sq FROM per),
+      tot AS (SELECT CAST(sum(CAST(sq AS DECIMAL(38,8))) AS DOUBLE) AS tot_sq,
+                     sum(tokens) AS tot_tokens FROM s),
+      w1 AS (
+        SELECT source, tokens,
+               floor((sq / tot_sq) * 10000 + 0.5) / 10000 AS weight,
+               floor(tot_tokens * 0.5) AS budget
+        FROM s, tot),
+      w2 AS (
+        SELECT source, tokens,
+               floor((weight * budget) * 10000 + 0.5) / 10000 AS target
+        FROM w1),
+      w3 AS (
+        SELECT source,
+               least(1.0, floor((target / tokens) * 10000 + 0.5) / 10000) AS p
+        FROM w2),
+      th AS (
+        SELECT source, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS thresh
+        FROM w3)
+      SELECT d.source, th.thresh, count(*) AS n_kept,
+             sum(d.doc_tokens) AS kept_tokens
+      FROM docs d JOIN th ON d.source = th.source
+      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) < th.thresh
+      GROUP BY 1, 2
+      ORDER BY d.source
     """,
     // Spark side generates candidates via a (lang, length-band ±1)
     // equi-join with the bounded levenshtein; the oracle's plain non-equi

@@ -511,6 +511,43 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** REALIZED temperature sampling — the step after [[corpusMixture]]'s
+    * weight computation: actually select documents so each source
+    * contributes its α-weighted share of a token budget. Per source,
+    * keep probability p = min(1, weight × budget / source_tokens); a doc
+    * survives iff `h64(doc_id) % 10000 < round(p × 10000)` —
+    * content-independent, engine-reproducible, no RNG state, and
+    * re-running on a grown corpus keeps previously-kept docs with the
+    * same threshold (stable sampling, the property shuffle-based
+    * sampling lacks).
+    *
+    * Scale shape: two corpus scans (weight aggregate, then the gate) and
+    * zero data shuffles — the per-source thresholds attach by broadcast;
+    * the final per-source rollup is a tiny hash aggregate. */
+  def mixtureSample(spark: SparkSession, dir: String, budgetShare: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("doc_tokens"))
+    val per = docs.groupBy(col("source"))
+      .agg(sum(col("doc_tokens")).as("tokens"))
+      .withColumn("sq", Fns.money(sqrt(col("tokens"))))
+    val tot = per.agg(
+      Fns.sumMoney(col("sq")).as("__tot_sq"),
+      sum(col("tokens")).as("__tot_tokens"))
+    val thresh = per.crossJoin(broadcast(tot))
+      .withColumn("weight", Fns.money(col("sq") / col("__tot_sq")))
+      .withColumn("target",
+        Fns.money(col("weight") * floor(col("__tot_tokens") * budgetShare)))
+      .withColumn("p", least(lit(1.0), Fns.money(col("target") / col("tokens"))))
+      .withColumn("thresh", floor(col("p") * 10000 + 0.5).cast("long"))
+      .select(col("source"), col("thresh"))
+    docs.join(broadcast(thresh), "source")
+      .filter(pmod(Fns.h64(col("doc_id").cast("string")), lit(10000)) < col("thresh"))
+      .groupBy(col("source"), col("thresh"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_tokens")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Winnowing fingerprints (local minima of rolling shingle hashes —
     * the standard document-fingerprint scheme): word 3-gram shingles →
     * 60-bit hashes → min per 4-window → distinct mins. Emits a per-doc
