@@ -128,6 +128,7 @@ object SparkEntry {
     "doc_chunks"              -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "corpus_mixture"          -> ((s, d) => TextAnalysis.corpusMixture(s, d)),
     "mixture_sample"          -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    "curation_pipeline"       -> ((s, d) => TextAnalysis.curationPipeline(s, d)),
     "edit_dist_pairs"         -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "compound_index"          -> ((s, d) => Extras.compoundIndex(s, d)),
     "dedup_canonical"         -> ((s, d) => Dedup.canonicalDocs(s, d)),
@@ -1204,6 +1205,40 @@ object SparkEntry {
              floor(((floor((sq / tot_sq) * 10000 + 0.5) / 10000) /
                     (floor((tokens / tot_tokens) * 10000 + 0.5) / 10000)) * 10000 + 0.5) / 10000 AS boost
       FROM s, tot ORDER BY source
+    """,
+    // staged curation composite: dedup -> per-lang p75 gate (thresholds
+    // learned AFTER dedup) -> per-source top-10 quota -> summary
+    "curation_pipeline" -> """
+      WITH kept AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      d AS (SELECT doc.* FROM documents doc JOIN kept USING (doc_id)),
+      q AS (
+        SELECT doc_id, lang, source, n_chars,
+               floor((least(1.0, n_tokens / 50.0) * (1.0 - n_digits / len_text) *
+                      (0.5 + 0.5 * least(1.0, s_en / n_tokens * 5))) * 10000 + 0.5) / 10000 AS quality_score
+        FROM (
+          SELECT doc_id, lang, source, n_chars,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','in'))) AS INT) AS s_en,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+            CAST(length(text) AS INT) AS len_text
+          FROM d)),
+      th AS (
+        SELECT lang,
+               floor(quantile_cont(quality_score, 0.75) * 10000 + 0.5) / 10000 AS t
+        FROM q GROUP BY lang),
+      g AS (SELECT q.* FROM q JOIN th USING (lang) WHERE quality_score >= t),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id) AS rn
+        FROM g),
+      f AS (SELECT * FROM r WHERE rn <= 10)
+      SELECT lang, source, count(*) AS n_docs,
+             sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS tokens,
+             floor((CAST(sum(CAST(quality_score AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_quality
+      FROM f
+      GROUP BY 1, 2
+      ORDER BY lang, source
     """,
     // realized temperature sampling: per-source keep threshold from the
     // alpha=0.5 weights, doc survival by h64(doc_id) % 10000 < threshold

@@ -548,6 +548,41 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The curation pipeline a corpus actually ships through, END TO END:
+    * exact dedup (min doc_id per identical text) → adaptive per-lang
+    * quality gate (p75, computed on the DEDUPED set — thresholds learned
+    * after dedup, or duplicate clusters drag them) → per-source quota
+    * (top-10 by quality, bounded-heap) → per-(lang, source) corpus
+    * summary. Every stage is an already-verified operator; this entry
+    * pins their COMPOSITION against an oracle replaying the identical
+    * staged SQL — stage ORDER is part of the contract.
+    *
+    * Scale shape: each stage is one aggregate or broadcast-joined gate
+    * over the shrinking survivor set; the only full-corpus work is the
+    * dedup hash aggregate and the scoring scan. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKByAgg.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val keptIds = docs.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val deduped = docs.join(keptIds, "doc_id")
+    val scored = quality(spark, dir)
+      .join(deduped.select(col("doc_id"), col("lang"), col("source"), col("n_chars")), "doc_id")
+    val thresholds = scored.groupBy(col("lang"))
+      .agg(Fns.money(expr("percentile(quality_score, 0.75)")).as("q_threshold"))
+    val gated = scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality_score") >= col("q_threshold"))
+    val quota = gated.groupBy(col("source"))
+      .agg(expr("topk_by(quality_score, doc_id, 10)").as("topk"))
+      .select(explode(expr("transform(topk, x -> x.payload)")).as("doc_id"))
+    gated.join(quota, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("tokens"),
+        Fns.money(Fns.sumMoney(col("quality_score")) / count(lit(1))).as("avg_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Winnowing fingerprints (local minima of rolling shingle hashes —
     * the standard document-fingerprint scheme): word 3-gram shingles →
     * 60-bit hashes → min per 4-window → distinct mins. Emits a per-doc
