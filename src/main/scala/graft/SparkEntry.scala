@@ -47,6 +47,7 @@ object SparkEntry {
     "events_by_type"     -> ((s, d) => Events.byType(s, d)),
     "events_hourly"      -> ((s, d) => Events.hourly(s, d)),
     "events_salted_join" -> ((s, d) => Events.saltedTypeJoin(s, d)),
+    "session_overlap"    -> ((s, d) => Events.sessionOverlapCounts(s, d)),
     // the BUILT-IN session_window (shared batch/streaming definition)
     // under the oracle: DuckDB derives sessions independently via
     // gap-islands, splitting where the inter-event gap >= 30 minutes
@@ -827,6 +828,34 @@ object SparkEntry {
       GROUP BY span_h
       HAVING count(DISTINCT doc_id) >= 2
       ORDER BY span_h
+    """,
+    // sessions via gap-islands, then a plain NON-EQUI overlap self-join:
+    // proves the bucketed exactly-once emission loses and duplicates
+    // nothing
+    "session_overlap" -> """
+      WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+      flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e),
+      islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      sess AS (
+        SELECT user_id, epoch_us(min(ts)) AS s_start, epoch_us(max(ts)) AS s_end
+        FROM islands GROUP BY user_id, sid)
+      SELECT a.user_id AS user_id, count(*) AS n_overlaps,
+             count(DISTINCT b.user_id) AS n_peers
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id
+       AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+      GROUP BY 1
+      ORDER BY user_id
     """,
     // gap-islands replay of the built-in session_window: a new session
     // opens where the inter-event gap >= 30 minutes (session windows are

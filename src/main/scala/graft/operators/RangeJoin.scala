@@ -46,4 +46,31 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join (`aStart <= bEnd AND bStart <=
+    * aEnd`) — the two-sided sibling of [[bucketed]]: both sides explode
+    * to the buckets their interval covers, equi-join on the bucket, then
+    * the exact overlap refilter. Because an overlapping pair shares
+    * EVERY bucket of its overlap region, naive emission duplicates;
+    * instead each pair is emitted only in the overlap's FIRST bucket
+    * (`greatest(aStart, bStart) DIV W`) — both sides provably cover that
+    * bucket iff they overlap, so emission is exactly-once with NO
+    * distinct pass (a distinct would shuffle the full pair set again).
+    *
+    * Column names of the two sides must be disjoint (rename before
+    * calling). Bounds must be integral and non-negative, same unit as
+    * `bucketWidth`; pick W near the median interval length. */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val ae = a.filter(col(aEnd) >= col(aStart)).withColumn("__bucket",
+      explode(expr(s"sequence($aStart DIV $bucketWidth, $aEnd DIV $bucketWidth)")))
+    val be = b.filter(col(bEnd) >= col(bStart)).withColumn("__bucket",
+      explode(expr(s"sequence($bStart DIV $bucketWidth, $bEnd DIV $bucketWidth)")))
+    ae.join(be, Seq("__bucket"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bucket") === expr(s"greatest($aStart, $bStart) DIV $bucketWidth"))
+      .drop("__bucket")
+  }
 }

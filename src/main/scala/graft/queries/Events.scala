@@ -260,6 +260,35 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Concurrent-session analysis via the interval-OVERLAP join
+    * ([[graft.operators.RangeJoin.intervalOverlap]]): gap-sessionize
+    * every user, then count, per user, how many OTHER users' sessions
+    * overlapped theirs in time — the concurrency/contention primitive
+    * behind capacity planning and co-presence features. A naive overlap
+    * join is a non-equi nested loop over |sessions|²; the bucketed form
+    * is one hash shuffle on hour buckets with exactly-once first-bucket
+    * emission. Pair orientation is canonical (user_a < user_b) and the
+    * count is grouped on the smaller id — deterministic on any engine. */
+  def sessionOverlapCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.streaming.EventStream
+      .sessionWindows(Tables.events(spark, dir))
+      .select(col("user_id"),
+        unix_micros(col("first_ts")).as("s_start"),
+        unix_micros(col("last_ts")).as("s_end"))
+    val a = sessions.select(col("user_id").as("user_a"),
+      col("s_start").as("a_start"), col("s_end").as("a_end"))
+    val b = sessions.select(col("user_id").as("user_b"),
+      col("s_start").as("b_start"), col("s_end").as("b_end"))
+    graft.operators.RangeJoin
+      .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end",
+        bucketWidth = 3600L * 1000000L)
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a").as("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("user_b")).as("n_peers"))
+      .orderBy(col("user_id"))
+  }
+
   /** First-order Markov transition matrix over per-user event timelines:
     * how often does event type A directly precede event type B, and with
     * what conditional probability? The sequence-analytics primitive

@@ -54,4 +54,25 @@ class RangeJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L), (5L, 1L), (10L, 1L), (10L, 2L)))
   }
+
+  test("intervalOverlap: equals the naive non-equi join, each pair emitted once") {
+    // intervals spanning multiple shared buckets (W=4) — the duplication
+    // trap the first-bucket emission rule exists for
+    val a = Seq((1L, 0L, 11L), (2L, 6L, 7L), (3L, 20L, 21L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 2L, 9L), (11L, 11L, 19L), (12L, 22L, 30L))
+      .toDF("b_id", "b_s", "b_e")
+    val fast = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 4L)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // same multiset: no duplicates from multi-bucket overlaps, no losses
+    assert(fast.sorted == naive.sorted && fast.nonEmpty)
+    // and it stays a hash join, not a nested loop
+    val plan = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
