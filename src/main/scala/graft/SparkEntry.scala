@@ -48,6 +48,7 @@ object SparkEntry {
     "events_hourly"      -> ((s, d) => Events.hourly(s, d)),
     "events_salted_join" -> ((s, d) => Events.saltedTypeJoin(s, d)),
     "session_overlap"    -> ((s, d) => Events.sessionOverlapCounts(s, d)),
+    "null_safe_join"     -> ((s, d) => Events.nullSafeBucketJoin(s, d)),
     // the BUILT-IN session_window (shared batch/streaming definition)
     // under the oracle: DuckDB derives sessions independently via
     // gap-islands, splitting where the inter-event gap >= 30 minutes
@@ -828,6 +829,20 @@ object SparkEntry {
       GROUP BY span_h
       HAVING count(DISTINCT doc_id) >= 2
       ORDER BY span_h
+    """,
+    // null-safe join: IS NOT DISTINCT FROM keeps null-keyed rows that
+    // plain = would silently drop; counts must cover every event
+    "null_safe_join" -> """
+      WITH e AS (
+        SELECT value,
+               nullif(CAST(json_extract(props, '$.k') AS INT) % 5, 0) AS bucket
+        FROM events),
+      dim AS (SELECT bucket, count(*) AS bucket_total FROM e GROUP BY bucket)
+      SELECT e.bucket, d.bucket_total, count(*) AS n_events,
+             floor(CAST(sum(CAST((floor(value * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_value
+      FROM e JOIN dim d ON e.bucket IS NOT DISTINCT FROM d.bucket
+      GROUP BY 1, 2
+      ORDER BY e.bucket ASC NULLS FIRST
     """,
     // sessions via gap-islands, then a plain NON-EQUI overlap self-join:
     // proves the bucketed exactly-once emission loses and duplicates

@@ -260,6 +260,31 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Null-safe equality join (`<=>` / SQL `IS NOT DISTINCT FROM`) — the
+    * join a nullable business key actually needs: plain `=` silently
+    * DROPS every null-keyed row (null = null is null, not true), the
+    * classic silent-data-loss bug in dimension lookups with optional
+    * keys. Here the nullable key is derived (`nullif(k % 5, 0)` — bucket
+    * 0 becomes NULL), a per-key dimension is built over the SAME
+    * null-safe grouping, and the join must route the null-keyed events
+    * to the null dimension row rather than losing them. The count
+    * invariant (every event appears exactly once) is what `=` would
+    * break. Null-safe equality is hash-joinable in Spark — null becomes
+    * an ordinary key value, no plan penalty. */
+  def nullSafeBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("k_int", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("bucket", nullif(pmod(col("k_int"), lit(5)), lit(0)))
+    val dim = ev.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_total"))
+    ev.join(broadcast(dim), ev("bucket") <=> dim("bucket"))
+      .drop(dim("bucket"))
+      .groupBy(col("bucket"), col("bucket_total"))
+      .agg(count(lit(1)).as("n_events"),
+        Fns.money(Fns.sumMoney(Fns.money(col("value")))).as("total_value"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
   /** Concurrent-session analysis via the interval-OVERLAP join
     * ([[graft.operators.RangeJoin.intervalOverlap]]): gap-sessionize
     * every user, then count, per user, how many OTHER users' sessions
