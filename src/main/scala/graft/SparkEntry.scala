@@ -96,6 +96,7 @@ object SparkEntry {
     "customer_order_presence" -> ((s, d) => Extras.customerOrderPresence(s, d)),
     "orders_priority_ordinal" -> ((s, d) => Extras.ordersPriorityOrdinal(s, d)),
     "order_value_histogram" -> ((s, d) => Extras.orderValueHistogram(s, d)),
+    "order_value_histogram_eqdepth" -> ((s, d) => Extras.orderValueHistogramEqDepth(s, d)),
     "lineitem_stats"     -> ((s, d) => Extras.lineitemStats(s, d)),
     "idempotent_reload"       -> ((s, d) => Extras.idempotentReload(s, d)),
     "manifest_reload"         -> ((s, d) => Extras.manifestReload(s, d)),
@@ -250,6 +251,24 @@ object SparkEntry {
       FROM orders
       GROUP BY 1, 2
       ORDER BY 1, 2
+    """,
+    // equi-depth deciles: quantile_cont boundaries (money-rounded), each
+    // row counts boundaries strictly below it — no global sort
+    "order_value_histogram_eqdepth" -> """
+      WITH bs AS (
+        SELECT list_transform(
+                 quantile_cont(o_totalprice,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                 b -> floor(b * 10000 + 0.5) / 10000) AS bs
+        FROM orders)
+      SELECT CAST(list_sum(list_transform(bs, b ->
+               CASE WHEN o_totalprice > b THEN 1 ELSE 0 END)) AS INT) AS bucket,
+             count(*) AS n_orders,
+             floor(min(o_totalprice) * 10000 + 0.5) / 10000 AS lo,
+             floor(max(o_totalprice) * 10000 + 0.5) / 10000 AS hi
+      FROM orders, bs
+      GROUP BY 1
+      ORDER BY bucket
     """,
     "order_value_histogram" -> """
       WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)

@@ -307,6 +307,36 @@ object Extras {
       .orderBy(col("bucket"))
   }
 
+  /** EQUI-DEPTH decile histogram — the distribution-aware sibling of
+    * [[orderValueHistogram]]: bucket boundaries are the value deciles,
+    * so every bucket holds ~10% of rows regardless of skew (an
+    * equal-width histogram piles a long-tailed measure into one bin).
+    *
+    * Scale shape: the textbook `ntile(10)` needs a TOTAL ORDER — a
+    * single-partition window sort over the whole table, the global-sort
+    * anti-pattern. Instead: ONE exact-percentile aggregate produces the
+    * 9 boundaries (money-rounded), they attach as a 1-row broadcast, and
+    * each row counts the boundaries below it with an `aggregate` HOF —
+    * per-row work, no sort, no shuffle beyond the final 10-group agg.
+    * Same percentile-at-scale caveat as the quality gate: swap
+    * `approx_percentile` boundaries in at real scale (spec-proven
+    * drift-bounded). */
+  def orderValueHistogramEqDepth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(expr(
+      """transform(percentile(o_totalprice,
+           array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)),
+         b -> floor(b * 10000 + 0.5) / 10000)""").as("bs"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        "aggregate(bs, 0, (acc, b) -> acc + IF(o_totalprice > b, 1, 0))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(min(col("o_totalprice"))).as("lo"),
+        Fns.money(max(col("o_totalprice"))).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-returnflag correlation + sample stddev of (quantity,
     * extendedprice) computed from DECIMAL(38,8) power sums — the naive
     * `corr()`/`stddev()` aggregates accumulate doubles whose value
