@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.engine.{DimDate, XmlShred}
 import graft.multimodal.Multimodal
-import graft.queries.{EventSequences, Events, Extras, Marts, Scd2Queries}
+import graft.queries.{EventSequences, Events, Extras, Graphs, Marts, Scd2Queries}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -143,6 +143,12 @@ object SparkEntry {
     "customers_all_priorities" -> ((s, d) => Extras.customersAllPriorities(s, d)),
     "lateral_top_orders"      -> ((s, d) => Extras.lateralTopOrders(s, d)),
     "normalize_text"          -> ((s, d) => TextAnalysis.normalizeText(s, d)),
+    "part_pagerank"           -> ((s, d) => Graphs.partPagerank(s, d)),
+    "winsorized_stats"        -> ((s, d) => Extras.winsorizedStats(s, d)),
+    // oracle = the training loop unrolled as a generated DuckDB CTE chain
+    // (Bpe.oracleSql); additionally pinned against a sequential reference
+    // trainer in BpeSpec
+    "bpe_merges"              -> ((s, d) => graft.text.Bpe.trainMerges(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,7 +157,10 @@ object SparkEntry {
     val m = baseOracleSql
     // the served variant is bit-identical to the in-memory IVF search
     // (parquet round-trips doubles exactly), so one oracle covers both
-    m + ("knn_ivf_served" -> m("knn_ivf"))
+    m + ("knn_ivf_served" -> m("knn_ivf")) +
+      // generated SQL: the BPE training loop unrolled k times (argmax +
+      // greedy-remap per round as a CTE chain) — see Bpe.oracleSql
+      ("bpe_merges" -> graft.text.Bpe.oracleSql(10))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -2022,6 +2031,57 @@ object SparkEntry {
       WHERE rn <= 3
       GROUP BY lang, source
       ORDER BY lang, source
+    """,
+    // Fixed-point PageRank (damping 0.85, 5 iterations) over the symmetric
+    // co-purchase part graph — all-integer arithmetic, iterations unrolled
+    // as chained CTEs (no aggregate over a recursive reference). DuckDB's
+    // sum(BIGINT) is HUGEINT, so each iteration casts back to BIGINT.
+    "part_pagerank" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      edges0 AS (
+        SELECT DISTINCT a.part AS src, b.part AS dst
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY 1),
+      e AS (SELECT e0.src, e0.dst, d.outdeg FROM edges0 e0 JOIN deg d ON d.src = e0.src),
+      params AS (SELECT 1000000000000 // count(*) AS r0,
+                        (15 * (1000000000000 // count(*))) // 100 AS base FROM deg),
+      pr0 AS (SELECT src AS node, (SELECT r0 FROM params) AS rank_fx FROM deg),
+      pr1 AS (SELECT e.dst AS node, CAST((SELECT base FROM params)
+                + (85 * sum(p.rank_fx // e.outdeg)) // 100 AS BIGINT) AS rank_fx
+              FROM e JOIN pr0 p ON p.node = e.src GROUP BY e.dst),
+      pr2 AS (SELECT e.dst AS node, CAST((SELECT base FROM params)
+                + (85 * sum(p.rank_fx // e.outdeg)) // 100 AS BIGINT) AS rank_fx
+              FROM e JOIN pr1 p ON p.node = e.src GROUP BY e.dst),
+      pr3 AS (SELECT e.dst AS node, CAST((SELECT base FROM params)
+                + (85 * sum(p.rank_fx // e.outdeg)) // 100 AS BIGINT) AS rank_fx
+              FROM e JOIN pr2 p ON p.node = e.src GROUP BY e.dst),
+      pr4 AS (SELECT e.dst AS node, CAST((SELECT base FROM params)
+                + (85 * sum(p.rank_fx // e.outdeg)) // 100 AS BIGINT) AS rank_fx
+              FROM e JOIN pr3 p ON p.node = e.src GROUP BY e.dst),
+      pr5 AS (SELECT e.dst AS node, CAST((SELECT base FROM params)
+                + (85 * sum(p.rank_fx // e.outdeg)) // 100 AS BIGINT) AS rank_fx
+              FROM e JOIN pr4 p ON p.node = e.src GROUP BY e.dst)
+      SELECT node AS part, rank_fx FROM pr5 ORDER BY rank_fx DESC, part
+    """,
+    // p05/p95 money-rounded BEFORE clipping so clipped values sit on the
+    // 1e-4 grid (decimal-accumulated mean is then order-independent)
+    "winsorized_stats" -> """
+      WITH b AS (
+        SELECT o_orderpriority AS priority,
+               floor(quantile_cont(o_totalprice, 0.05) * 10000 + 0.5) / 10000 AS lo,
+               floor(quantile_cont(o_totalprice, 0.95) * 10000 + 0.5) / 10000 AS hi
+        FROM orders GROUP BY 1)
+      SELECT o.o_orderpriority AS priority,
+             count(*) AS n_orders,
+             CAST(sum(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             CAST(sum(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             floor((CAST(sum(CAST(least(greatest(o.o_totalprice, b.lo), b.hi) AS DECIMAL(38,8))) AS DOUBLE)
+                    / count(*)) * 10000 + 0.5) / 10000 AS winsor_mean,
+             floor((CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                    / count(*)) * 10000 + 0.5) / 10000 AS raw_mean,
+             max(b.lo) AS lo, max(b.hi) AS hi
+      FROM orders o JOIN b ON b.priority = o.o_orderpriority
+      GROUP BY 1 ORDER BY 1
     """,
   )
 }

@@ -728,4 +728,37 @@ object Extras {
       .select(col("o_custkey"), col("n_orders"), col("total_value"))
       .orderBy(col("o_custkey"))
   }
+
+  /** Winsorized (clipped) robust statistics per order priority: exact
+    * p05/p95 bounds, values clamped into [p05, p95], then mean — the
+    * outlier-robust feature-normalization step a training pipeline runs
+    * before z-scoring heavy-tailed columns, with clip counts reported so
+    * the tail mass is auditable.
+    *
+    * Scale shape: two passes over orders — one grouped exact-percentile
+    * agg producing a PRIORITY-CARDINALITY bounds relation (broadcast), one
+    * grouped clip-and-aggregate pass. The bounds are money-rounded BEFORE
+    * clipping so every clipped value sits exactly on the 1e-4 grid, which
+    * makes the decimal-accumulated mean ([[Fns.sumMoney]]) bit-identical
+    * across engines. At 100 TB the exact percentile would be swapped for
+    * `approx_percentile` exactly as in `quality_gate_per_lang` (same
+    * plan shape, documented there). */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), col("o_totalprice"))
+    val bounds = o.groupBy(col("priority"))
+      .agg(Fns.money(expr("percentile(o_totalprice, 0.05)")).as("lo"),
+        Fns.money(expr("percentile(o_totalprice, 0.95)")).as("hi"))
+    o.join(broadcast(bounds), "priority")
+      .withColumn("clipped",
+        least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice") < col("lo")).cast("long")).as("n_clip_lo"),
+        sum((col("o_totalprice") > col("hi")).cast("long")).as("n_clip_hi"),
+        Fns.money(Fns.sumMoney(col("clipped")) / count(lit(1))).as("winsor_mean"),
+        Fns.money(Fns.sumMoney(col("o_totalprice")) / count(lit(1))).as("raw_mean"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .orderBy(col("priority"))
+  }
 }

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph-analytic queries over relations derived from the fixture tables.
+  *
+  * Training-data curation ranks documents/URLs by link-graph centrality
+  * (harmonic or PageRank scores decide what gets crawled and kept); the
+  * same power-iteration shape applies to any co-occurrence graph. Here the
+  * graph is real derived data: parts are nodes, an edge connects two parts
+  * co-purchased in the same order (the `basket_pairs` relation made
+  * symmetric), and the score is PageRank with damping 0.85.
+  *
+  * Scale design:
+  *  - The edge list is built by one self-equi-join of the deduplicated
+  *    (order, part) relation on the order key — hash-bucketed candidate
+  *    generation, never an all-pairs scan over parts.
+  *  - Each power iteration is ONE shuffle: contributions grouped by
+  *    destination. Degrees ride along with the edges (joined once, before
+  *    the loop, then `localCheckpoint`ed) so iterations re-scan a
+  *    materialized narrow relation instead of replaying the joins.
+  *  - Driver state is O(1) (the node count); ranks stay distributed —
+  *    the same pointer-jumping discipline as
+  *    [[graft.dedup.Dedup.nearDupClusters]].
+  *
+  * Cross-engine determinism: ranks are FIXED-POINT BIGINTs (micro-units of
+  * 1e-12), all updates are integer multiply/floor-divide/sum — no double
+  * accumulation order to diverge, so a DuckDB oracle replaying the same
+  * unrolled iterations is hash-identical. Floor division leaks a few
+  * trailing units of rank mass per node per round; that bias is identical
+  * on both engines and irrelevant to the ranking use.
+  */
+object Graphs {
+
+  /** Rank scale: 1.0 of probability mass = 1e12 fixed-point units. */
+  val Scale: Long = 1000000000000L
+
+  /** Co-purchase edge list, both directions, with the source's degree on
+    * every edge: `(src, dst, outdeg)`. */
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
+      .distinct()
+    val edges = items.withColumnRenamed("part", "src")
+      .join(items.withColumnRenamed("part", "dst"), "okey")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(deg, "src")
+  }
+
+  /** PageRank over the co-purchase part graph: `iters` fixed power
+    * iterations, damping 0.85, fixed-point arithmetic (see object doc).
+    * Every part with at least one co-purchase partner is a node; the
+    * graph is symmetric, so every node both emits and receives mass each
+    * round (no dangling-node redistribution needed).
+    *
+    * Output: `(part, rank_fx)` ordered by rank descending — the most
+    * "central" parts in the co-purchase network. */
+  def partPagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    pagerank(coPurchaseEdges(spark, dir), iters)
+
+  /** Power iteration over a symmetric `(src, dst, outdeg)` edge list —
+    * every node must both emit and receive (guaranteed when the edge set
+    * is symmetric), so no dangling-mass redistribution pass is needed. */
+  private[graft] def pagerank(edgeList: DataFrame, iters: Int): DataFrame = {
+    // materialize edges+degrees once: every iteration and the node-count
+    // action below re-read this relation. localCheckpoint (not persist):
+    // the returned plan is lazy, so there is no safe unpersist point; the
+    // context cleaner frees checkpoint blocks when the result is dropped.
+    val edges = edgeList.localCheckpoint(true)
+    val nodes = edges.select(col("src").as("part")).distinct()
+    val n = nodes.count() // O(1) driver scalar, like the k-means centroid count
+    require(n > 0, "pagerank over an empty edge list")
+    val r0 = Scale / n
+    val base = 15L * r0 / 100L
+    var ranks = nodes.select(col("part"), lit(r0).as("rank_fx"))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(ranks, edges("src") === ranks("part"))
+        .select(col("dst"), expr("rank_fx div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("rank_fx"))
+        .select(col("dst").as("part"), col("rank_fx"))
+    }
+    ranks.orderBy(col("rank_fx").desc, col("part"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Extras, Graphs}
+
+/** Fixed-point PageRank ([[graft.queries.Graphs]]) and winsorized stats
+  * ([[graft.queries.Extras.winsorizedStats]]). */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame = {
+    val both = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val e = both.toDF("src", "dst")
+    e.join(e.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+  }
+
+  test("pagerank: symmetric triangle is the uniform fixed point") {
+    val r = Graphs.pagerank(sym((1L, 2L), (2L, 3L), (1L, 3L)), iters = 5).collect()
+    assert(r.length == 3)
+    val ranks = r.map(_.getLong(1)).toSet
+    assert(ranks.size == 1, s"uniform graph must rank uniformly: ${r.toSeq}")
+    val third = Graphs.Scale / 3
+    // floor-division leaks a few units of mass per round, never gains
+    assert(ranks.head <= third && ranks.head >= third - 1000)
+  }
+
+  test("pagerank: path center outranks endpoints, mass is conserved minus floor leakage") {
+    val r = Graphs.pagerank(sym((1L, 2L), (2L, 3L)), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(1L) && r(1L) == r(3L),
+      s"center must dominate symmetric endpoints: $r")
+    val total = r.values.sum
+    assert(total <= Graphs.Scale && total > (Graphs.Scale * 99L) / 100L,
+      s"rank mass off: $total of ${Graphs.Scale}")
+  }
+
+  test("part_pagerank on the fixture: conserved mass, degree-correlated head") {
+    val ranks = Graphs.partPagerank(spark, sf).collect()
+    val total = ranks.map(_.getLong(1)).sum
+    assert(total <= Graphs.Scale && total > (Graphs.Scale * 99L) / 100L)
+    // the top-ranked part must be in the top decile by degree: PageRank on
+    // a near-regular co-purchase graph tracks degree
+    val deg = Graphs.coPurchaseEdges(spark, sf)
+      .groupBy($"src").agg(first($"outdeg").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = deg.values.toSeq.sorted.reverse
+      .apply(math.max(0, deg.size / 10 - 1))
+    assert(deg(ranks.head.getLong(0)) >= cut,
+      s"top-ranked part has degree ${deg(ranks.head.getLong(0))}, decile cut $cut")
+  }
+
+  test("winsorized stats: mean clamped into [lo, hi], clips counted, raw mean off-bounds") {
+    Extras.winsorizedStats(spark, sf).collect().foreach { r =>
+      val (lo, hi) = (r.getDouble(6), r.getDouble(7))
+      val wm = r.getDouble(4)
+      assert(wm >= lo && wm <= hi, s"winsor_mean $wm outside [$lo, $hi]")
+      // p05/p95 clipping must actually clip on 1500+ orders per priority
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, s"no rows clipped: $r")
+      assert(lo < hi)
+    }
+  }
+}
