@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.engine.{DimDate, XmlShred}
 import graft.multimodal.Multimodal
-import graft.queries.{EventSequences, Events, Extras, Graphs, Marts, Scd2Queries}
+import graft.queries.{Analytics, EventSequences, Events, Extras, Graphs, Marts, Scd2Queries}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -149,6 +149,12 @@ object SparkEntry {
     // (Bpe.oracleSql); additionally pinned against a sequential reference
     // trainer in BpeSpec
     "bpe_merges"              -> ((s, d) => graft.text.Bpe.trainMerges(s, d)),
+    "part_skyline"            -> ((s, d) => Analytics.partSkyline(s, d)),
+    "pps_sample"              -> ((s, d) => Analytics.ppsSample(s, d)),
+    "ewma_revenue"            -> ((s, d) => Analytics.ewmaRevenue(s, d)),
+    "mad_outliers"            -> ((s, d) => Analytics.madOutliers(s, d)),
+    "profile_orders"          -> ((s, d) => Analytics.profileOrders(s, d)),
+    "bigram_novelty"          -> ((s, d) => Analytics.bigramNovelty(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2081,6 +2087,121 @@ object SparkEntry {
                     / count(*)) * 10000 + 0.5) / 10000 AS raw_mean,
              max(b.lo) AS lo, max(b.hi) AS hi
       FROM orders o JOIN b ON b.priority = o.o_orderpriority
+      GROUP BY 1 ORDER BY 1
+    """,
+    // frontier = distinct (price, size) pairs where no earlier pair in
+    // (price asc, size desc) order has size >= own — the window replay of
+    // the Spark side's distributed exclusive prefix-max
+    "part_skyline" -> """
+      WITH d AS (
+        SELECT p_retailprice AS price, p_size AS psize, count(*) AS n_parts
+        FROM part GROUP BY 1, 2),
+      s AS (
+        SELECT *, max(psize) OVER (ORDER BY price ASC, psize DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM d)
+      SELECT price, psize, n_parts FROM s
+      WHERE pmax IS NULL OR psize > pmax
+      ORDER BY price
+    """,
+    // all-integer systematic PPS draw: select orders whose cumulative
+    // weight interval crosses a stride boundary (stride = total/100)
+    "pps_sample" -> """
+      WITH w AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS wt
+        FROM orders),
+      c AS (
+        SELECT *, CAST(coalesce(sum(wt) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        FROM w),
+      s AS (SELECT CAST(sum(wt) // 100 AS BIGINT) AS stride FROM w)
+      SELECT o_orderkey, o_totalprice,
+             CAST((cum + wt) // (SELECT stride FROM s) AS BIGINT) AS bucket
+      FROM c
+      WHERE (cum + wt) // (SELECT stride FROM s) > cum // (SELECT stride FROM s)
+      ORDER BY o_orderkey
+    """,
+    "ewma_revenue" -> Analytics.ewmaRevenueOracleSql(30),
+    // median/MAD pre-rounded to the 1e-4 grid before the 3-MAD compare,
+    // so the outlier predicate tests identical doubles on both engines
+    "mad_outliers" -> """
+      WITH med AS (
+        SELECT o_orderpriority AS priority,
+               floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS med
+        FROM orders GROUP BY 1),
+      dev AS (
+        SELECT o.o_orderpriority AS priority, o.o_totalprice, m.med,
+               abs(o.o_totalprice - m.med) AS adev
+        FROM orders o JOIN med m ON m.priority = o.o_orderpriority),
+      mad AS (
+        SELECT priority, floor(quantile_cont(adev, 0.5) * 10000 + 0.5) / 10000 AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.priority, count(*) AS n_orders, max(d.med) AS med, max(m.mad) AS mad,
+             CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad m ON m.priority = d.priority
+      GROUP BY 1 ORDER BY 1
+    """,
+    // numeric min/max only (string-casting doubles/timestamps is
+    // engine-dialect quicksand); one UNION ALL branch per column
+    "profile_orders" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_num
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderstatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*),
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderdate),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderpriority),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders)
+      ORDER BY col_name
+    """,
+    // corpus bigram counts via the zipped-unnest + lead window (same
+    // idiom as the BPE oracle); rare = corpus frequency <= 2
+    "bigram_novelty" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      u AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM t),
+      b AS (
+        SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM u
+        QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+      c AS (SELECT bigram, count(*) AS bg_count FROM b GROUP BY 1)
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN c.bg_count <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             floor(CAST(sum(CASE WHEN c.bg_count <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) * 10000 + 0.5) / 10000 AS rare_ratio
+      FROM b JOIN c USING (bigram)
       GROUP BY 1 ORDER BY 1
     """,
   )

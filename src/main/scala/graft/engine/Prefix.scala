@@ -32,7 +32,23 @@ import org.apache.spark.storage.StorageLevel
 object Prefix {
 
   def exclusiveScan(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    exclusiveScanOp(df, orderCol, valueCol, outCol, 0L, _ + _)
+
+  /** Exclusive prefix MAX — same two-pass scheme with the (Long.MinValue,
+    * max) monoid: `outCol` = max of all values STRICTLY BEFORE the row in
+    * `orderCol` order (`Long.MinValue` for the first row). The building
+    * block for order-dependent dominance tests (e.g. Pareto frontiers)
+    * without an unpartitioned global window. */
+  def exclusiveScanMax(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): DataFrame =
+    exclusiveScanOp(df, orderCol, valueCol, outCol, Long.MinValue, math.max)
+
+  /** The scan core, parameterized by any commutative-enough monoid over
+    * Long — `op` must be associative with identity `zero` (sum and max
+    * here; min/bitwise-or would slot in identically). */
+  private def exclusiveScanOp(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, zero: Long, op: (Long, Long) => Long): DataFrame = {
     val spark = df.sparkSession
     require(df.schema(valueCol).dataType == LongType,
       s"exclusiveScan: valueCol '$valueCol' must be LongType, got " +
@@ -41,23 +57,23 @@ object Prefix {
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
+      var s = zero
       it.foreach { r =>
         // pass 2 walks the same persisted rows, so validating here covers both
         if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
           s"exclusiveScan: null in value column (non-null required; coalesce in the caller's plan)")
-        s += r.getLong(vIdx)
+        s = op(s, r.getLong(vIdx))
       }
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = total before partition i
+    val offsets = partSums.scanLeft(zero)(op) // offsets(i) = fold of all before partition i
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var run = bc.value(i)
       it.map { r =>
         val row = Row.fromSeq(r.toSeq :+ run)
-        run += r.getLong(vIdx)
+        run = op(run, r.getLong(vIdx))
         row
       }
     }

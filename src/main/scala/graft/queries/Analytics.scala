@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Fns, Tables}
+import graft.engine.Prefix
+
+/** Analytic operators over the fixture tables: Pareto frontier,
+  * weighted systematic sampling, exponential smoothing, robust outlier
+  * reporting, column profiling, and a rare-bigram novelty signal.
+  *
+  * Common design rule (see [[graft.Fns]]): every floating aggregate is
+  * decimal-accumulated and money-rounded at the output boundary, and
+  * every order-dependent computation either rides the distributed
+  * two-pass scan ([[graft.engine.Prefix]]) or is deliberately windowed
+  * over a provably small relation (daily aggregates), never an
+  * unpartitioned window over row-scale data.
+  */
+object Analytics {
+
+  /** 2-D Pareto frontier of parts: minimize `p_retailprice`, maximize
+    * `p_size`. A (price, size) pair survives iff no other pair has
+    * price ≤ and size ≥ with at least one strict.
+    *
+    * Scale shape: dedup to DISTINCT (price, size) pairs first (bounded
+    * by the price-grid × size-domain product, far below row count), then
+    * one distributed exclusive prefix-MAX ([[Prefix.exclusiveScanMax]])
+    * over the composite order (price asc, size desc): a pair is
+    * dominated exactly when some earlier pair's size ≥ its own — no
+    * all-pairs join, no single-task global window. The composite order
+    * is encoded as one long key (price on the 1e-4 money grid × 1000 +
+    * inverted size), unique per distinct pair as the scan requires. */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.part(spark, dir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("psize"))
+      .agg(count(lit(1)).as("n_parts"))
+    val keyed = pairs
+      .withColumn("ord",
+        floor(col("price") * 10000 + 0.5).cast("long") * 1000 +
+          (lit(999L) - col("psize")))
+      .withColumn("sz", col("psize").cast("long"))
+    Prefix.exclusiveScanMax(keyed, "ord", "sz", "prior_max_size")
+      .filter(col("sz") > col("prior_max_size"))
+      .select(col("price"), col("psize"), col("n_parts"))
+      .orderBy(col("price"))
+  }
+
+  /** Systematic probability-proportional-to-size (PPS) sampling of
+    * orders weighted by `o_totalprice` — the weighted-sampling step of a
+    * corpus-mixture pipeline (pick documents proportional to a quality
+    * or importance weight), in the all-integer systematic form so the
+    * draw is a pure function of the data (no RNG, no float compare).
+    *
+    * Scheme: weights on the 1e-4 money grid as longs; an EXCLUSIVE
+    * distributed prefix sum assigns each order its cumulative offset;
+    * with stride = total/n, an order is drawn iff its weight interval
+    * [cum, cum+w) crosses a stride boundary. Orders heavier than the
+    * stride are certainty draws (drawn once, `bucket` records the last
+    * boundary crossed). Exactly the classic systematic PPS design, with
+    * the sequential cumulation replaced by [[Prefix.exclusiveScan]] —
+    * one range-shuffle + two narrow passes at any scale. */
+  def ppsSample(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    val w = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        floor(col("o_totalprice") * 10000 + 0.5).cast("long").as("wt"))
+    val cum = Prefix.exclusiveScan(w, "o_orderkey", "wt", "cum")
+    val stride = cum.agg((sum(col("wt")) / lit(n.toLong)).cast("long").as("stride"))
+    cum.crossJoin(broadcast(stride)) // 1-row scalar relation, Catalyst's scalar-subquery shape
+      .filter(expr("(cum + wt) div stride") > expr("cum div stride"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr("(cum + wt) div stride").as("bucket"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Daily revenue with an exponentially-weighted moving average,
+    * α = 1/2, truncated at 30 lags: `ewma_t = Σ_{k=0..29} rev_{t-k} /
+    * 2^(k+1)`. The dyadic weights are EXACT doubles and each product is
+    * an exact binary scaling, so both engines sum the same 30 values in
+    * the same order — deterministic without decimal accumulation.
+    * During the first 29 days the truncated weights sum to < 1 (startup
+    * bias ~2^-lag), documented rather than renormalized to keep the
+    * arithmetic exact.
+    *
+    * The 30-lag window runs over the DAILY aggregate — a few thousand
+    * rows at any corpus size (days, not orders) — the same deliberate
+    * smallness argument as [[Extras.dailyRevenueFilled]]; the heavy
+    * per-order aggregation below it is fully distributed. */
+  def ewmaRevenue(spark: SparkSession, dir: String, lags: Int = 30): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Fns.money(Fns.sumMoney(col("o_totalprice"))).as("day_revenue"))
+    val win = Window.orderBy(col("day"))
+    val ewma = (0 until lags)
+      .map(k => coalesce(lag(col("day_revenue"), k).over(win), lit(0.0)) *
+        lit(math.pow(0.5, k + 1)))
+      .reduce(_ + _)
+    daily
+      .select(col("day"), col("day_revenue"), Fns.money(ewma).as("ewma_revenue"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[ewmaRevenue]] — the same 30 exact dyadic terms
+    * in the same left-to-right order. */
+  def ewmaRevenueOracleSql(lags: Int = 30): String = {
+    val terms = (0 until lags)
+      .map(k => s"coalesce(lag(day_revenue, $k) OVER (ORDER BY day), 0.0) * ${math.pow(0.5, k + 1)}")
+      .mkString(" + ")
+    s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ${Fns.moneySql(Fns.sumMoneySql("o_totalprice"))} AS day_revenue
+        FROM orders GROUP BY 1)
+      SELECT day, day_revenue,
+             ${Fns.moneySql(terms)} AS ewma_revenue
+      FROM daily ORDER BY day
+    """
+  }
+
+  /** Robust outlier report per order priority: exact median, MAD
+    * (median absolute deviation), and the count of orders outside
+    * median ± 3·MAD — the heavy-tail audit a feature pipeline runs
+    * before deciding clipping bounds (compare [[Extras.winsorizedStats]],
+    * which uses percentile bounds instead).
+    *
+    * Two grouped exact-percentile passes (median, then MAD over the
+    * deviations after a broadcast join of the PRIORITY-CARDINALITY
+    * median relation); both cutoffs are money-rounded before the
+    * comparison so the outlier predicate tests 1e-4-grid values — no
+    * engine-ulp sensitivity. At 100 TB the exact percentile swaps for
+    * `approx_percentile` (same plan shape, documented at
+    * `quality_gate_per_lang`). */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), col("o_totalprice"))
+    val med = o.groupBy(col("priority"))
+      .agg(Fns.money(expr("percentile(o_totalprice, 0.5)")).as("med"))
+    val dev = o.join(broadcast(med), "priority")
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy(col("priority"))
+      .agg(Fns.money(expr("percentile(adev, 0.5)")).as("mad"))
+    dev.join(broadcast(mad), "priority")
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum((col("adev") > lit(3.0) * col("mad")).cast("long")).as("n_outliers"))
+      .orderBy(col("priority"))
+  }
+
+  /** Single-pass column profiler over `orders` — the table-health report
+    * (row count, null count, exact distinct count, numeric min/max per
+    * column) that data-quality tooling derives its checks from.
+    *
+    * ONE aggregation computes every metric (multiple exact
+    * count-distincts share a single Expand-based aggregate — no
+    * per-column table scans); the wide 1-row result is then unpivoted to
+    * the long (column, metrics) form with `stack`. Non-numeric columns
+    * report NULL min/max rather than engine-formatted strings (casting
+    * doubles/timestamps to VARCHAR is engine-dialect quicksand). */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val cols = o.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+        else Seq(lit(null).cast("double").as(s"${c}__min"),
+          lit(null).cast("double").as(s"${c}__max")))
+    }
+    val wide = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
+    wide.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_num, max_num)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Rare-bigram novelty per document: the fraction of a document's
+    * adjacent token bigrams whose CORPUS frequency is ≤ `maxFreq` — high
+    * ratios flag boilerplate-free/novel text, low ratios flag templated
+    * text; a standard cheap quality signal next to [[graft.text
+    * .TextAnalysis.quality]].
+    *
+    * Scale shape: one explode to (doc, bigram), one hash agg for corpus
+    * counts, one equi-join back on the bigram key (the inverted-index
+    * join shape shared with `decontaminate`), one per-doc agg. The join
+    * key relation is bigram-vocabulary-scale; hot bigrams are exactly
+    * the non-rare ones, so a `maxShingleFreq`-style cap is unnecessary —
+    * the signal only needs the ≤ maxFreq tail to be exact. */
+  def bigramNovelty(spark: SparkSession, dir: String, maxFreq: Int = 2): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        "explode(zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), " +
+          "(a, b) -> concat(a, ' ', b)))").as("bigram"))
+    val corpus = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("bg_count"))
+    bigrams.join(corpus, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("bg_count") <= maxFreq).cast("long")).as("n_rare"),
+        Fns.money(sum((col("bg_count") <= maxFreq).cast("long")) / count(lit(1)))
+          .as("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+}

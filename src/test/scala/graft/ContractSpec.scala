@@ -33,7 +33,9 @@ class ContractSpec extends SparkSpec {
     // constructing a plan must not launch an unbounded Spark job; the
     // documented exceptions run bounded sizing/fit actions
     val eager = Set("knn_bruteforce", "knn_ivf", "dedup_clusters",
-      "idempotent_reload", "sequence_packing")
+      "idempotent_reload", "sequence_packing",
+      // Prefix two-pass scans run their pass-1 collect at construction
+      "part_skyline", "pps_sample")
     SparkEntry.queries.filterNot(kv => eager(kv._1)).foreach { case (name, fn) =>
       val df = fn(spark, sf) // throws or hangs here = construction is eager
       assert(df.schema.fields.nonEmpty, s"$name: empty schema")

@@ -151,6 +151,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("mad_outliers: both percentile relations attach by broadcast — orders never shuffles") {
+    val plan = formatted(graft.queries.Analytics.madOutliers(spark, sf))
+    // med and mad are priority-cardinality relations; the row-scale side
+    // must join them broadcast, not sort-merge
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // column pruning: only priority + totalprice leave the scan
+    assert(plan.contains("ReadSchema: struct<o_totalprice:double,o_orderpriority:string>") ||
+      plan.contains("ReadSchema: struct<o_orderpriority:string,o_totalprice:double>"), plan)
+  }
+
+  test("part_skyline: no window operator anywhere — dominance rides the distributed scan") {
+    val plan = formatted(graft.queries.Analytics.partSkyline(spark, sf))
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("ewma_revenue: the only window runs over the daily aggregate, after map-side combine") {
+    val df = graft.queries.Analytics.ewmaRevenue(spark, sf)
+    val plan = formatted(df)
+    // the window exists (30-lag EWMA) but its input is the HashAggregate
+    // output — day-cardinality — never the raw orders relation
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    // orders scan reads only the two needed columns
+    assert(plan.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp"), plan)
+  }
+
+  test("profile_orders: every metric comes from ONE aggregation pass (Expand, no scan per column)") {
+    val plan = formatted(graft.queries.Analytics.profileOrders(spark, sf))
+    // multi count-distinct lowers to a single Expand-fed aggregate
+    assert(plan.contains("Expand"), plan)
+    // exactly one parquet scan of orders (detail headers render once per
+    // scan node as "(n) Scan parquet"; the tree line would double-count)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
