@@ -155,6 +155,12 @@ object SparkEntry {
     "mad_outliers"            -> ((s, d) => Analytics.madOutliers(s, d)),
     "profile_orders"          -> ((s, d) => Analytics.profileOrders(s, d)),
     "bigram_novelty"          -> ((s, d) => Analytics.bigramNovelty(s, d)),
+    "bpe_segment"             -> ((s, d) => graft.text.Bpe.segmentedVocab(s, d)),
+    "triangle_counts"         -> ((s, d) => Graphs.triangleCounts(s, d)),
+    "dow_seasonality"         -> ((s, d) => Analytics.dowSeasonality(s, d)),
+    "revenue_trend"           -> ((s, d) => Analytics.revenueTrend(s, d)),
+    "basket_rules"            -> ((s, d) => Analytics.basketRules(s, d)),
+    "lexical_diversity"       -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,7 +172,8 @@ object SparkEntry {
     m + ("knn_ivf_served" -> m("knn_ivf")) +
       // generated SQL: the BPE training loop unrolled k times (argmax +
       // greedy-remap per round as a CTE chain) — see Bpe.oracleSql
-      ("bpe_merges" -> graft.text.Bpe.oracleSql(10))
+      ("bpe_merges" -> graft.text.Bpe.oracleSql(10)) +
+      ("bpe_segment" -> graft.text.Bpe.segmentOracleSql(10))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -2203,6 +2210,106 @@ object SparkEntry {
                    / count(*) * 10000 + 0.5) / 10000 AS rare_ratio
       FROM b JOIN c USING (bigram)
       GROUP BY 1 ORDER BY 1
+    """,
+    // degree-ordered orientation (direct each edge toward the higher
+    // (degree, id) endpoint — an acyclic total order), then a triangle is
+    // an oriented wedge u→v→w closed by u→w: each counted exactly once
+    "triangle_counts" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      und AS (
+        SELECT DISTINCT a.part AS a, b.part AS b
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part),
+      deg AS (
+        SELECT n, count(*) AS d FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY 1),
+      e AS (
+        SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS src,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS dst
+        FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+      t AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM e e1
+        JOIN e e2 ON e2.src = e1.dst
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      corners AS (
+        SELECT u AS part FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t)
+      SELECT part, count(*) AS n_triangles FROM corners
+      GROUP BY 1 ORDER BY n_triangles DESC, part LIMIT 20
+    """,
+    // daily means decimal-accumulated and money-rounded BEFORE the index
+    // division, so the ratio divides identical 1e-4-grid doubles
+    "dow_seasonality" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS rev
+        FROM orders GROUP BY 1),
+      d AS (
+        SELECT CAST(isodow(day) AS INT) AS dow, count(*) AS n_days,
+               floor(CAST(sum(CAST(rev AS DECIMAL(38,8))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS dow_mean
+        FROM daily GROUP BY 1),
+      o AS (
+        SELECT floor(CAST(sum(CAST(rev AS DECIMAL(38,8))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS overall_mean
+        FROM daily)
+      SELECT dow, n_days, dow_mean,
+             floor(dow_mean / (SELECT overall_mean FROM o) * 10000 + 0.5) / 10000 AS seasonal_index
+      FROM d ORDER BY dow
+    """,
+    // OLS via the five power sums; x sums exact as DECIMAL(38,0), y sums
+    // as DECIMAL(38,8); the slope is the same double-op tree as Spark's
+    "revenue_trend" -> """
+      WITH p AS (
+        SELECT o_orderpriority AS priority,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+               o_totalprice AS y
+        FROM orders)
+      SELECT priority, count(*) AS n_orders,
+             floor(CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_price,
+             floor((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(20,8)) * CAST(x AS DECIMAL(10,0))) AS DOUBLE)
+                    - CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE))
+                   / (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0))) AS DOUBLE)
+                      - CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE))
+                   * 365.0 * 10000 + 0.5) / 10000 AS slope_per_year
+      FROM p GROUP BY 1 ORDER BY 1
+    """,
+    // level-2 Apriori: integer support counts, confidence and lift as fixed
+    // double-op trees over exact integers, ranked by integer keys only
+    "basket_rules" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      cnt AS (SELECT part, count(*) AS c FROM items GROUP BY 1),
+      nb AS (SELECT count(DISTINCT okey) AS n_baskets FROM items),
+      pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b, count(*) AS pair_count
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part
+        GROUP BY 1, 2)
+      SELECT p.part_a, p.part_b, p.pair_count,
+             floor(CAST(p.pair_count AS DOUBLE) / CAST(ca.c AS DOUBLE) * 10000 + 0.5) / 10000 AS confidence,
+             floor((CAST(p.pair_count AS DOUBLE) * CAST((SELECT n_baskets FROM nb) AS DOUBLE))
+                   / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) * 10000 + 0.5) / 10000 AS lift
+      FROM pairs p JOIN cnt ca ON ca.part = p.part_a JOIN cnt cb ON cb.part = p.part_b
+      ORDER BY p.pair_count DESC, p.part_a, p.part_b LIMIT 20
+    """,
+    // entropy via log2(n) - (sum tf*log2(tf))/n with each term
+    // money-rounded BEFORE the decimal accumulation (the tfidf_checksum
+    // order-independence discipline)
+    "lexical_diversity" -> """
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2),
+      w AS (
+        SELECT doc_id, tf,
+               floor(tf * log2(CAST(tf AS DOUBLE)) * 10000 + 0.5) / 10000 AS wv
+        FROM tf)
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             floor(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) * 10000 + 0.5) / 10000 AS type_token_ratio,
+             floor((log2(CAST(sum(tf) AS DOUBLE))
+                    - CAST(sum(CAST(wv AS DECIMAL(38,8))) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)) * 10000 + 0.5) / 10000 AS entropy_bits
+      FROM w GROUP BY 1 ORDER BY 1
     """,
   )
 }

@@ -180,6 +180,100 @@ object Analytics {
       .orderBy(col("col_name"))
   }
 
+  /** Day-of-week seasonality profile of revenue: per ISO weekday, the
+    * mean daily revenue and its ratio to the overall daily mean (the
+    * seasonal index a forecasting pipeline divides out before trend
+    * fitting). The heavy per-order aggregation is fully distributed;
+    * everything above it is day- then 7-cardinality. Means are
+    * decimal-accumulated and money-rounded BEFORE the index division so
+    * the ratio divides two 1e-4-grid doubles — identical on any engine. */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Fns.money(Fns.sumMoney(col("o_totalprice"))).as("rev"))
+    val dow = daily
+      .groupBy((weekday(col("day")) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        Fns.money(Fns.sumMoney(col("rev")) / count(lit(1))).as("dow_mean"))
+    val overall = daily
+      .agg(Fns.money(Fns.sumMoney(col("rev")) / count(lit(1))).as("overall_mean"))
+    dow.crossJoin(broadcast(overall)) // 1-row scalar relation
+      .select(col("dow"), col("n_days"), col("dow_mean"),
+        Fns.money(col("dow_mean") / col("overall_mean")).as("seasonal_index"))
+      .orderBy(col("dow"))
+  }
+
+  /** Per-priority ordinary-least-squares revenue trend: slope of
+    * `o_totalprice` against the order's epoch-day, as an annualized
+    * drift — "regression as aggregation": OLS needs only the five power
+    * sums (n, Σx, Σx², Σy, Σxy), each a map-side-combinable aggregate,
+    * so the fit is ONE distributed pass with O(1) state per group (the
+    * same exact-power-sum discipline as `lineitem_stats`).
+    *
+    * Determinism: x is an integer day; Σx/Σx² accumulate as
+    * DECIMAL(38,0) (exact, and immune to the long overflow Σx² would
+    * hit near ~2e10 rows); Σy/Σxy as DECIMAL(38,8) (y is on the money
+    * grid, so products with integer x stay on it). The slope is then a
+    * fixed tree of double ops over identical doubles — engine-identical
+    * — and money-rounded after annualizing. */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("o_totalprice").as("y"))
+    // product operands use BOUNDED decimal precisions (20,8)×(10,0) so
+    // neither engine's result precision exceeds 38 — DuckDB silently
+    // promotes over-precision decimal products to DOUBLE, losing exactness
+    val nD = count(lit(1)).cast("double")
+    val sxD = sum(col("x").cast("decimal(38,0)")).cast("double")
+    val sx2D = sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+    val syD = sum(col("y").cast("decimal(38,8)")).cast("double")
+    val sxyD = sum(col("y").cast("decimal(20,8)") * col("x").cast("decimal(10,0)"))
+      .cast("double")
+    val slope = (nD * sxyD - sxD * syD) / (nD * sx2D - sxD * sxD)
+    p.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.money(syD / nD).as("mean_price"),
+        Fns.money(slope * lit(365.0)).as("slope_per_year"))
+      .orderBy(col("priority"))
+  }
+
+  /** Association rules from co-purchase baskets: for the top directed
+    * part pairs, support (pair count), confidence P(b|a) and lift
+    * P(a,b)/(P(a)P(b)) — the level-2 Apriori output ranked by support.
+    *
+    * Scale shape: pair generation is the per-order self-join (bounded
+    * by basket size², never corpus² — same argument as `basket_pairs`);
+    * the per-item counts and the basket total attach by broadcast.
+    * Ratios divide exact integers under a fixed double-op tree and are
+    * money-rounded; ranking ties break on integer keys only. */
+  def basketRules(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val itemCnt = items.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = items.withColumnRenamed("part", "part_a")
+      .join(items.withColumnRenamed("part", "part_b"), "okey")
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("pair_count"))
+    pairs
+      .join(broadcast(itemCnt.withColumnRenamed("part", "part_a")
+        .withColumnRenamed("cnt", "cnt_a")), "part_a")
+      .join(broadcast(itemCnt.withColumnRenamed("part", "part_b")
+        .withColumnRenamed("cnt", "cnt_b")), "part_b")
+      .crossJoin(broadcast(nBaskets)) // 1-row scalar relation
+      .select(col("part_a"), col("part_b"), col("pair_count"),
+        Fns.money(col("pair_count").cast("double") / col("cnt_a").cast("double"))
+          .as("confidence"),
+        Fns.money((col("pair_count").cast("double") * col("n_baskets").cast("double")) /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double"))).as("lift"))
+      .orderBy(col("pair_count").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Rare-bigram novelty per document: the fraction of a document's
     * adjacent token bigrams whose CORPUS frequency is ≤ `maxFreq` — high
     * ratios flag boilerplate-free/novel text, low ratios flag templated

@@ -117,7 +117,25 @@ object Bpe {
     * (`gprev`) are dropped and merged positions emit `l || r`. Verified
     * shape: `'aaaa' → [aa, aa]`, `'aaa' → [aa, a]` — identical to the
     * sequential trainer and the HOF fold in [[mergeExpr]]. */
-  def oracleSql(k: Int = 10): String = {
+  def oracleSql(k: Int = 10): String =
+    s"""
+      WITH ${chainSql(k)}
+      ${(1 to k).map(i =>
+        s"""SELECT $i AS merge_rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM b$i""")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY merge_rank
+    """
+
+  /** Oracle for [[segmentedVocab]]: the same unrolled chain, selecting
+    * the final symbolization instead of the merge sequence. */
+  def segmentOracleSql(k: Int = 10): String =
+    s"""
+      WITH ${chainSql(k)}
+      SELECT word, cnt, array_to_string(syms, ' ') AS segmentation
+      FROM w$k ORDER BY cnt DESC, word
+    """
+
+  private def chainSql(k: Int): String = {
     def round(i: Int): String = {
       val prev = if (i == 1) "ws0" else s"w${i - 1}"
       s"""u$i AS MATERIALIZED (
@@ -151,19 +169,12 @@ object Bpe {
       FROM h$i WHERE NOT gprev GROUP BY word, cnt)"""
     }
     val rounds = (1 to k).map(round).mkString(",\n    ")
-    val finals = (1 to k).map(i =>
-      s"""SELECT $i AS merge_rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM b$i""")
-      .mkString("\n      UNION ALL ")
-    s"""
-      WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
         SELECT word, count(*) AS cnt FROM (
           SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
         WHERE word <> '' GROUP BY 1),
       ws0 AS MATERIALIZED (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM w0),
-      $rounds
-      $finals
-      ORDER BY merge_rank
-    """
+      $rounds"""
   }
 
   /** The learned symbolization after [[trainMerges]]' rounds — one row per

@@ -369,6 +369,32 @@ object TextAnalysis {
         md5(regexp_replace(col("text"), pattern, "[REDACTED]")).as("clean_md5"))
       .orderBy(col("doc_id"))
 
+  /** Lexical diversity per document: token count, type count,
+    * type/token ratio, and Shannon entropy of the token distribution in
+    * bits — the vocabulary-richness signals (low entropy = repetitive /
+    * templated text) that complement [[quality]]'s surface ratios.
+    *
+    * Entropy uses the rearranged form `log2(n) − (Σ tf·log2(tf))/n` so
+    * the summed term depends only on the integer tf: each term is
+    * money-rounded onto the 1e-4 grid FIRST, then decimal-accumulated —
+    * the same order-independence discipline as [[tfidfChecksum]]
+    * (parallel merge order cannot change a bit; the single libm `log2`
+    * per term is engine-identical after rounding). */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("w", Fns.money(col("tf") * log2(col("tf"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        Fns.money(count(lit(1)).cast("double") / sum(col("tf")).cast("double"))
+          .as("type_token_ratio"),
+        Fns.money(log2(sum(col("tf")).cast("double")) -
+          Fns.sumMoney(col("w")) / sum(col("tf")).cast("double")).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF per document, reduced to a portable checksum: sum over terms
     * of tf(t,d) * ln(N / df(t)), money-rounded. The tf×idf join is keyed
     * on the term — the standard two-pass distributed formulation. The

@@ -91,6 +91,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(p("o_orderstatus").isNullAt(4)) // non-numeric: no min/max
   }
 
+  test("dow seasonality: weighted seasonal indices average to ~1") {
+    val rows = Analytics.dowSeasonality(spark, sf).collect()
+    assert(rows.length === 7)
+    val nTotal = rows.map(_.getLong(1)).sum.toDouble
+    val weighted = rows.map(r => r.getDouble(3) * r.getLong(1) / nTotal).sum
+    assert(math.abs(weighted - 1.0) < 0.01, s"weighted index mean $weighted")
+  }
+
+  test("revenue trend: slope matches a driver-side OLS replay") {
+    val rows = Analytics.revenueTrend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long"),
+        col("o_totalprice"))
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val pts = data(r.getString(0))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._2.toDouble).sum; val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => p._2 * p._3).sum; val sx2 = pts.map(p => p._2.toDouble * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      assert(math.abs(r.getDouble(3) - slope * 365.0) < 1.0,
+        s"priority ${r.getString(0)}: got ${r.getDouble(3)}, replay ${slope * 365.0}")
+    }
+  }
+
+  test("basket rules: confidence and lift agree with exact count ratios") {
+    val rows = Analytics.basketRules(spark, sf, k = 10).collect()
+    assert(rows.nonEmpty)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val byBasket = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemCnt = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val nB = byBasket.size.toDouble
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val pair = byBasket.valuesIterator.count(s => s(a) && s(b))
+      assert(r.getLong(2) === pair.toLong)
+      assert(math.abs(r.getDouble(3) - pair.toDouble / itemCnt(a)) < 1e-3)
+      assert(math.abs(r.getDouble(4) - pair * nB / (itemCnt(a).toDouble * itemCnt(b))) < 1e-3)
+    }
+  }
+
   test("bigram novelty: ratio bounds and an all-unique-corpus degenerate case") {
     val rows = Analytics.bigramNovelty(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -49,6 +49,33 @@ class GraphsSpec extends SparkSpec {
       s"top-ranked part has degree ${deg(ranks.head.getLong(0))}, decile cut $cut")
   }
 
+  test("triangle counts: per-node counts match a brute-force enumeration") {
+    val got = Graphs.triangleCounts(spark, sf, k = 1000).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the same undirected edge set
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+      .as[(Long, Long)].collect()
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b)(c)) {
+      expected(a) += 1; expected(b) += 1; expected(c) += 1
+    }
+    assert(got.nonEmpty)
+    // k=1000 exceeds the node count at sf0.001, so the result is complete
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (node, n) =>
+      assert(n === expected(node), s"node $node: got $n, brute ${expected(node)}")
+    }
+    // totals agree too (each triangle contributes 3 corners)
+    assert(expected.values.sum % 3 === 0L)
+  }
+
   test("winsorized stats: mean clamped into [lo, hi], clips counted, raw mean off-bounds") {
     Extras.winsorizedStats(spark, sf).collect().foreach { r =>
       val (lo, hi) = (r.getDouble(6), r.getDouble(7))

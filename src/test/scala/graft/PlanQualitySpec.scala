@@ -187,6 +187,26 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("triangle_counts: all equi-joins — no cartesian product or nested loop anywhere") {
+    val plan = formatted(graft.queries.Graphs.triangleCounts(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("basket_rules: item counts and basket total attach by broadcast") {
+    val plan = formatted(graft.queries.Analytics.basketRules(spark, sf))
+    // two item-count joins broadcast; the only nested loop is the 1-row
+    // basket-total scalar attach
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("revenue_trend: one aggregation pass, no join, no window") {
+    val plan = formatted(graft.queries.Analytics.revenueTrend(spark, sf))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
