@@ -20,6 +20,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    // optional comma-separated name filter for targeted probes while
+    // iterating (the driver never sets it — full set by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    def selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,7 +35,7 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables.read(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Per-query isolation (round-4 finding: four queries regressed ≥2×
@@ -39,7 +44,7 @@ object Bench {
     // units so cleanup is charged to the gap, not the next query's timer.
     def isolate(): Unit = Sessions.releaseAll(spark)
     isolate()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         // a failing query must be LOUD — a NaN pass poisons the median

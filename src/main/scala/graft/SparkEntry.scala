@@ -161,6 +161,7 @@ object SparkEntry {
     "revenue_trend"           -> ((s, d) => Analytics.revenueTrend(s, d)),
     "basket_rules"            -> ((s, d) => Analytics.basketRules(s, d)),
     "lexical_diversity"       -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
+    "partkey_skew"            -> ((s, d) => Analytics.partkeySkew(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2310,6 +2311,21 @@ object SparkEntry {
              floor((log2(CAST(sum(tf) AS DOUBLE))
                     - CAST(sum(CAST(wv AS DECIMAL(38,8))) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)) * 10000 + 0.5) / 10000 AS entropy_bits
       FROM w GROUP BY 1 ORDER BY 1
+    """,
+    // HHI in the integer form sum(cnt^2)/total^2 (exact decimal sums),
+    // never a float sum of per-key shares
+    "partkey_skew" -> """
+      WITH cnt AS (
+        SELECT l_partkey AS part, count(*) AS cnt FROM lineitem GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))) AS sumsq
+        FROM cnt)
+      SELECT part, cnt,
+             floor(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE) * 100 * 10000 + 0.5) / 10000 AS share_pct,
+             floor(CAST((SELECT sumsq FROM tot) AS DOUBLE)
+                   / (CAST((SELECT total FROM tot) AS DOUBLE) * CAST((SELECT total FROM tot) AS DOUBLE)) * 10000 * 10000 + 0.5) / 10000 AS hhi_x10k
+      FROM cnt ORDER BY cnt DESC, part LIMIT 20
     """,
   )
 }

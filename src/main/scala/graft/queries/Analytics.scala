@@ -274,6 +274,32 @@ object Analytics {
       .limit(k)
   }
 
+  /** Join-key skew diagnosis for `lineitem.l_partkey`: the top-20
+    * heaviest keys with their share of all rows, plus the
+    * Herfindahl–Hirschman concentration index (×10⁴, the standard
+    * scaling) — the report that decides whether a key needs salting
+    * ([[graft.operators.SkewJoin]]) before a shuffle join.
+    *
+    * Determinism: HHI is computed in the integer form Σcnt² / total²
+    * (Σcnt² decimal-accumulated exactly), NOT as a float sum of
+    * per-key share² — so partial-aggregation order cannot change a
+    * bit. One shuffle (the key count) + a 1-row scalar attach. */
+  def partkeySkew(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val cnt = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("part")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"),
+      sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).as("sumsq"))
+    cnt.crossJoin(broadcast(tot)) // 1-row scalar relation
+      .select(col("part"), col("cnt"),
+        Fns.money(col("cnt").cast("double") / col("total").cast("double") * 100)
+          .as("share_pct"),
+        Fns.money(col("sumsq").cast("double") /
+          (col("total").cast("double") * col("total").cast("double")) * 10000)
+          .as("hhi_x10k"))
+      .orderBy(col("cnt").desc, col("part"))
+      .limit(k)
+  }
+
   /** Rare-bigram novelty per document: the fraction of a document's
     * adjacent token bigrams whose CORPUS frequency is ≤ `maxFreq` — high
     * ratios flag boilerplate-free/novel text, low ratios flag templated

@@ -136,6 +136,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("partkey skew: shares bounded, HHI matches the integer-form replay") {
+    val rows = Analytics.partkeySkew(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).count().as[(Long, Long)].collect().map(_._2)
+    val total = counts.sum.toDouble
+    val hhi = counts.map(c => c * c).sum / (total * total) * 10000
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 100.0)
+      assert(math.abs(r.getDouble(3) - hhi) < 0.001, s"hhi ${r.getDouble(3)} vs $hhi")
+    }
+  }
+
   test("bigram novelty: ratio bounds and an all-unique-corpus degenerate case") {
     val rows = Analytics.bigramNovelty(spark, sf).collect()
     assert(rows.nonEmpty)
