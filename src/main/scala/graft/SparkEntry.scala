@@ -162,6 +162,7 @@ object SparkEntry {
     "basket_rules"            -> ((s, d) => Analytics.basketRules(s, d)),
     "lexical_diversity"       -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "partkey_skew"            -> ((s, d) => Analytics.partkeySkew(s, d)),
+    "part_similarity"         -> ((s, d) => Graphs.partSimilarity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2326,6 +2327,32 @@ object SparkEntry {
              floor(CAST((SELECT sumsq FROM tot) AS DOUBLE)
                    / (CAST((SELECT total FROM tot) AS DOUBLE) * CAST((SELECT total FROM tot) AS DOUBLE)) * 10000 * 10000 + 0.5) / 10000 AS hhi_x10k
       FROM cnt ORDER BY cnt DESC, part LIMIT 20
+    """,
+    // neighborhood Jaccard on existing edges only; the intersection is
+    // replayed as common-neighbor join counting (oracle-side wedge
+    // enumeration is fine at verify scale)
+    "part_similarity" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      und AS (
+        SELECT DISTINCT a.part AS a, b.part AS b
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part),
+      adj AS (
+        SELECT a AS n, b AS nb FROM und UNION ALL SELECT b AS n, a AS nb FROM und),
+      deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+      inter AS (
+        SELECT u.a, u.b, count(*) AS n_common
+        FROM und u
+        JOIN adj x ON x.n = u.a
+        JOIN adj y ON y.n = u.b AND y.nb = x.nb
+        GROUP BY 1, 2)
+      SELECT i.a AS part_a, i.b AS part_b, i.n_common,
+             da.d AS deg_a, db.d AS deg_b,
+             floor(CAST(i.n_common AS DOUBLE)
+                   / CAST(da.d + db.d - i.n_common AS DOUBLE) * 10000 + 0.5) / 10000 AS jaccard
+      FROM inter i JOIN deg da ON da.n = i.a JOIN deg db ON db.n = i.b
+      WHERE i.n_common >= 20
+      ORDER BY i.a, i.b
     """,
   )
 }

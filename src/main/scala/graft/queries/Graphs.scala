@@ -131,6 +131,53 @@ object Graphs {
       .limit(k)
   }
 
+  /** "Customers who bought X also bought Y"-style part similarity:
+    * Jaccard overlap of co-purchase NEIGHBORHOODS for each co-purchased
+    * pair — two parts are similar when they are bought alongside the
+    * same other parts, a structural signal strictly stronger than the
+    * raw co-purchase count ([[graft.queries.Analytics.basketRules]]).
+    *
+    * Scale shape: full adjacency lists per node (collect sorted once),
+    * two node-keyed joins onto the edge relation, and the codegen'd
+    * `sorted_intersect_size` merge scan per edge — similarity is only
+    * evaluated on EXISTING edges, never all pairs. Hub nodes make
+    * O(deg) list state; at corpus scale the standard move is to replace
+    * the exact lists with MinHash signatures ([[graft.dedup.Dedup]]'s
+    * machinery applies verbatim to neighbor sets) — documented rather
+    * than done, because the exact form is the oracle-checkable one.
+    *
+    * Determinism: output ordered by integer keys only (jaccard is a
+    * money-rounded VALUE, never a sort key), inner threshold on the
+    * integer intersection size. */
+  def partSimilarity(spark: SparkSession, dir: String, minCommon: Int = 20): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
+      .distinct()
+    val und = items.withColumnRenamed("part", "a")
+      .join(items.withColumnRenamed("part", "b"), "okey")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .localCheckpoint(true) // adjacency build + probe joins re-read it
+    val adj = und.select(col("a").as("n"), col("b").as("nb"))
+      .union(und.select(col("b").as("n"), col("a").as("nb")))
+      .groupBy(col("n"))
+      .agg(sort_array(collect_list(col("nb"))).as("nbrs"), count(lit(1)).as("deg"))
+    und
+      .join(adj.select(col("n").as("__a"), col("nbrs").as("na"), col("deg").as("deg_a")),
+        col("a") === col("__a"))
+      .join(adj.select(col("n").as("__b"), col("nbrs").as("nb_"), col("deg").as("deg_b")),
+        col("b") === col("__b"))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        expr("sorted_intersect_size(na, nb_)").cast("long").as("n_common"),
+        col("deg_a"), col("deg_b"))
+      .filter(col("n_common") >= minCommon)
+      .withColumn("jaccard", graft.Fns.money(col("n_common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("n_common")).cast("double")))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   /** Power iteration over a symmetric `(src, dst, outdeg)` edge list —
     * every node must both emit and receive (guaranteed when the edge set
     * is symmetric), so no dangling-mass redistribution pass is needed. */

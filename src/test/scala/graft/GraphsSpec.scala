@@ -76,6 +76,28 @@ class GraphsSpec extends SparkSpec {
     assert(expected.values.sum % 3 === 0L)
   }
 
+  test("part similarity: common-neighbor counts match brute force, jaccard in (0,1]") {
+    val got = Graphs.partSimilarity(spark, sf, minCommon = 2).collect()
+    assert(got.nonEmpty)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+      .as[(Long, Long)].collect()
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val common = (adj(a) intersect adj(b)).size
+      assert(r.getLong(2) === common.toLong, s"($a,$b)")
+      assert(r.getLong(3) === adj(a).size.toLong && r.getLong(4) === adj(b).size.toLong)
+      val j = r.getDouble(5)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("winsorized stats: mean clamped into [lo, hi], clips counted, raw mean off-bounds") {
     Extras.winsorizedStats(spark, sf).collect().foreach { r =>
       val (lo, hi) = (r.getDouble(6), r.getDouble(7))

@@ -72,6 +72,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("distributed scans: exclusiveScan and exclusiveScanMax equal the " +
+      "sequential fold for arbitrary data and any partitioning") {
+    import spark.implicits._
+    import graft.engine.Prefix
+    val data = draw(Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(0L, 500L)), 60)
+      .map(_._1).distinct.zip(draw(Gen.choose(0L, 500L), 60)).take(40)
+    val df = data.toDF("ord", "v").repartition(7) // deliberately odd partitioning
+    val sortedSeq = data.sortBy(_._1)
+    val expSum = sortedSeq.map(_._2).scanLeft(0L)(_ + _).init
+    val expMax = sortedSeq.map(_._2).scanLeft(Long.MinValue)(math.max).init
+    val gotSum = Prefix.exclusiveScan(df, "ord", "v", "s")
+      .orderBy("ord").select("s").as[Long].collect().toSeq
+    val gotMax = Prefix.exclusiveScanMax(df, "ord", "v", "m")
+      .orderBy("ord").select("m").as[Long].collect().toSeq
+    assert(gotSum === expSum)
+    assert(gotMax === expMax)
+  }
+
+  test("skyline dominance is antisymmetric and complete for random pairs") {
+    import spark.implicits._
+    import graft.engine.Prefix
+    // random (price-grid, size) pairs, deduplicated — replay the
+    // part_skyline kernel and check the frontier definition directly
+    val pairs = draw(Gen.zip(Gen.choose(1, 300), Gen.choose(1, 50)), 80)
+      .distinct.take(60)
+    val df = pairs.toDF("p", "s")
+      .withColumn("ord", col("p").cast("long") * 1000 + (lit(999L) - col("s")))
+      .withColumn("sz", col("s").cast("long"))
+    val sky = Prefix.exclusiveScanMax(df, "ord", "sz", "pm")
+      .filter(col("sz") > col("pm"))
+      .select("p", "s").as[(Int, Int)].collect().toSet
+    def dominated(x: (Int, Int)) = pairs.exists(q =>
+      q._1 <= x._1 && q._2 >= x._2 && (q._1 < x._1 || q._2 > x._2))
+    pairs.foreach { x =>
+      assert(sky(x) === !dominated(x), s"$x frontier=${sky(x)} dominated=${dominated(x)}")
+    }
+  }
+
   test("watermark monotonicity: incremental never re-emits rows ≤ watermark " +
       "and full = incremental ∪ excluded") {
     val ev = Tables.events(spark, sf)
