@@ -163,6 +163,7 @@ object SparkEntry {
     "lexical_diversity"       -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "partkey_skew"            -> ((s, d) => Analytics.partkeySkew(s, d)),
     "part_similarity"         -> ((s, d) => Graphs.partSimilarity(s, d)),
+    "rfm_segments"            -> ((s, d) => Analytics.rfmSegments(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2353,6 +2354,44 @@ object SparkEntry {
       FROM inter i JOIN deg da ON da.n = i.a JOIN deg db ON db.n = i.b
       WHERE i.n_common >= 20
       ORDER BY i.a, i.b
+    """,
+    // RFM: exact quartile cutoffs money-rounded before the comparisons,
+    // scores 1-4 per axis (recency inverted: recent = 4)
+    "rfm_segments" -> """
+      WITH pc AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE)) AS lastday,
+               count(*) AS frequency,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS monetary
+        FROM orders GROUP BY 1),
+      rc AS (
+        SELECT *, CAST((SELECT max(lastday) FROM pc) - lastday AS BIGINT) AS recency FROM pc),
+      cuts AS (
+        SELECT floor(quantile_cont(CAST(recency AS DOUBLE), 0.25) * 10000 + 0.5) / 10000 AS r25,
+               floor(quantile_cont(CAST(recency AS DOUBLE), 0.5)  * 10000 + 0.5) / 10000 AS r50,
+               floor(quantile_cont(CAST(recency AS DOUBLE), 0.75) * 10000 + 0.5) / 10000 AS r75,
+               floor(quantile_cont(CAST(frequency AS DOUBLE), 0.25) * 10000 + 0.5) / 10000 AS f25,
+               floor(quantile_cont(CAST(frequency AS DOUBLE), 0.5)  * 10000 + 0.5) / 10000 AS f50,
+               floor(quantile_cont(CAST(frequency AS DOUBLE), 0.75) * 10000 + 0.5) / 10000 AS f75,
+               floor(quantile_cont(monetary, 0.25) * 10000 + 0.5) / 10000 AS m25,
+               floor(quantile_cont(monetary, 0.5)  * 10000 + 0.5) / 10000 AS m50,
+               floor(quantile_cont(monetary, 0.75) * 10000 + 0.5) / 10000 AS m75
+        FROM rc),
+      s AS (
+        SELECT custkey, monetary,
+               5 - (1 + CAST(CAST(recency AS DOUBLE) > (SELECT r25 FROM cuts) AS INT)
+                      + CAST(CAST(recency AS DOUBLE) > (SELECT r50 FROM cuts) AS INT)
+                      + CAST(CAST(recency AS DOUBLE) > (SELECT r75 FROM cuts) AS INT)) AS r_score,
+               1 + CAST(CAST(frequency AS DOUBLE) > (SELECT f25 FROM cuts) AS INT)
+                 + CAST(CAST(frequency AS DOUBLE) > (SELECT f50 FROM cuts) AS INT)
+                 + CAST(CAST(frequency AS DOUBLE) > (SELECT f75 FROM cuts) AS INT) AS f_score,
+               1 + CAST(monetary > (SELECT m25 FROM cuts) AS INT)
+                 + CAST(monetary > (SELECT m50 FROM cuts) AS INT)
+                 + CAST(monetary > (SELECT m75 FROM cuts) AS INT) AS m_score
+        FROM rc)
+      SELECT r_score, f_score, m_score, count(*) AS n_customers,
+             floor(CAST(sum(CAST(monetary AS DECIMAL(38,8))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_monetary
+      FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
   )
 }

@@ -274,6 +274,54 @@ object Analytics {
       .limit(k)
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation: each
+    * customer scored 1–4 on each axis against the EXACT quartile
+    * cutoffs of the axis distribution, then segments aggregated — the
+    * classic marketing-analytics mart, built without a single window:
+    * cutoffs are a 1-row broadcast relation and scoring is three
+    * comparisons per customer (vs an ntile window's global sort).
+    *
+    * Determinism: recency is an integer day count, frequency an
+    * integer, monetary decimal-accumulated then money-rounded; all nine
+    * quartile cutoffs are money-rounded before comparison so both
+    * engines compare identical doubles. Score = 1 + (x > q25) +
+    * (x > q50) + (x > q75) — monotone, total, and engine-identical. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(datediff(max(to_date(col("o_orderdate"))), lit("1970-01-01").cast("date"))
+        .as("lastday"),
+        count(lit(1)).as("frequency"),
+        Fns.money(Fns.sumMoney(col("o_totalprice"))).as("monetary"))
+    val maxDay = perCust.agg(max(col("lastday")).as("corpus_max"))
+    val scored0 = perCust.crossJoin(broadcast(maxDay)) // 1-row scalar relation
+      .withColumn("recency", (col("corpus_max") - col("lastday")).cast("long"))
+    val cuts = scored0.agg(
+      Fns.money(expr("percentile(recency, 0.25)")).as("r25"),
+      Fns.money(expr("percentile(recency, 0.5)")).as("r50"),
+      Fns.money(expr("percentile(recency, 0.75)")).as("r75"),
+      Fns.money(expr("percentile(frequency, 0.25)")).as("f25"),
+      Fns.money(expr("percentile(frequency, 0.5)")).as("f50"),
+      Fns.money(expr("percentile(frequency, 0.75)")).as("f75"),
+      Fns.money(expr("percentile(monetary, 0.25)")).as("m25"),
+      Fns.money(expr("percentile(monetary, 0.5)")).as("m50"),
+      Fns.money(expr("percentile(monetary, 0.75)")).as("m75"))
+    def score(c: Column, q25: Column, q50: Column, q75: Column): Column =
+      (lit(1) + (c > q25).cast("int") + (c > q50).cast("int") + (c > q75).cast("int"))
+    scored0.crossJoin(broadcast(cuts)) // 1-row scalar relation
+      .select(col("custkey"), col("monetary"),
+        // recency scores INVERT: recent (small) = best (4)
+        (lit(5) - score(col("recency").cast("double"), col("r25"), col("r50"), col("r75")))
+          .as("r_score"),
+        score(col("frequency").cast("double"), col("f25"), col("f50"), col("f75"))
+          .as("f_score"),
+        score(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        Fns.money(Fns.sumMoney(col("monetary")) / count(lit(1))).as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** Join-key skew diagnosis for `lineitem.l_partkey`: the top-20
     * heaviest keys with their share of all rows, plus the
     * Herfindahl–Hirschman concentration index (×10⁴, the standard

@@ -136,6 +136,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rfm segments: scores in 1..4, customer total conserved, monotone monetary") {
+    val rows = Analytics.rfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(0, 1, 2).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 4))
+      assert(r.getDouble(4) > 0)
+    }
+    val total = rows.map(_.getLong(3)).sum
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(total === nCust) // every customer lands in exactly one segment
+    // higher m_score buckets have higher mean monetary on average
+    val byM = rows.groupBy(_.getInt(2)).view
+      .mapValues(rs => rs.map(r => r.getDouble(4) * r.getLong(3)).sum / rs.map(_.getLong(3)).sum)
+      .toMap
+    assert(byM(4) > byM(1))
+  }
+
   test("partkey skew: shares bounded, HHI matches the integer-form replay") {
     val rows = Analytics.partkeySkew(spark, sf).collect()
     assert(rows.nonEmpty)
