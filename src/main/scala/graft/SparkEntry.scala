@@ -179,6 +179,13 @@ object SparkEntry {
       ("bpe_segment" -> graft.text.Bpe.segmentOracleSql(10))
   }
 
+  // ORACLE TYPING RULE: DuckDB returns sum(<any integer type>) as
+  // HUGEINT, which pandas renders as float64 — the driver's hash is
+  // dtype-sensitive, so any FINAL projected column that is a sum over an
+  // integer column MUST carry an outer CAST(sum(...) AS BIGINT) to match
+  // Spark's int64. Sums consumed only as division operands or grouping
+  // keys are exempt (they become DOUBLE / never surface). Three strikes
+  // taught this: r4 postings_index, r5 curation_pipeline + mixture_sample.
   private def baseOracleSql: Map[String, String] = Map(
     // Spark side goes through the VARIANT type (parse_json → variant_get)
     "variant_props" -> """
@@ -1322,7 +1329,7 @@ object SparkEntry {
         FROM g),
       f AS (SELECT * FROM r WHERE rn <= 10)
       SELECT lang, source, count(*) AS n_docs,
-             sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS tokens,
+             CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tokens,
              floor((CAST(sum(CAST(quality_score AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_quality
       FROM f
       GROUP BY 1, 2
@@ -1355,7 +1362,7 @@ object SparkEntry {
         SELECT source, CAST(floor(p * 10000 + 0.5) AS BIGINT) AS thresh
         FROM w3)
       SELECT d.source, th.thresh, count(*) AS n_kept,
-             sum(d.doc_tokens) AS kept_tokens
+             CAST(sum(d.doc_tokens) AS BIGINT) AS kept_tokens
       FROM docs d JOIN th ON d.source = th.source
       WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) < th.thresh
       GROUP BY 1, 2

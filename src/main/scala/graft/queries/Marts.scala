@@ -18,24 +18,33 @@ import graft.{Fns, Tables}
   *  - latest-partition scalar subquery: reference
   *    `trino_scripts/business_sales_summary.sql:31`
   *
-  * Scale notes (100 TB): every dim side of a join here (part, customer,
-  * supplier, nation, region) is orders of magnitude smaller than the fact
-  * (lineitem/orders), so all fact⋈dim joins are explicitly `broadcast()` —
-  * no shuffle of the fact table for joins; the only shuffles are the final
-  * hash aggregations on the (small) grouped key space, which Catalyst runs
-  * as partial (map-side) + final. Double-valued aggregates are rounded at
-  * the output boundary so results are stable across partition orderings.
+  * Scale notes (100 TB): `broadcast()` hints appear ONLY on relations
+  * whose size is bounded by the domain, not the scale factor — nation
+  * (25 rows), region (5), and the generated dim_date (~7.3k). The
+  * SF-scaled relations (orders, part, customer, supplier) carry NO hint:
+  * an explicit `broadcast()` hint overrides `autoBroadcastJoinThreshold`
+  * unconditionally — the driver would collect the relation whatever its
+  * size — so hinting them would be a scale-killer at 100 TB (orders alone
+  * is ~¼ of the fact). Un-hinted, Catalyst/AQE picks broadcast-hash at
+  * fixture scale (they fit under the threshold) and sort-merge — or the
+  * bucketed-table co-location below — at cluster scale. The only
+  * guaranteed shuffles are the final hash aggregations on the (small)
+  * grouped key space, which Catalyst runs as partial (map-side) + final.
+  * Double-valued aggregates are rounded at the output boundary so results
+  * are stable across partition orderings.
   */
 object Marts {
 
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** Top-K products by revenue — flagship query (SURVEY.md §7.4).
-    * lineitem ⋈ part (broadcast) → hash agg → TakeOrderedAndProject. */
+    * lineitem ⋈ part (un-hinted: part grows with SF — AQE broadcasts it
+    * while it fits, sort-merges past the threshold) → hash agg →
+    * TakeOrderedAndProject. */
   def topProducts(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_name"), col("p_brand"))
       .agg(
         Fns.money(Fns.sumMoney(revenue)).as("total_revenue"),
@@ -46,8 +55,10 @@ object Marts {
   }
 
   /** Star join + multi-key grouped aggregates — the reference's
-    * business_sales_summary mart. Fact stays shuffle-free through the five
-    * broadcast dim joins; one exchange for the final group-by. */
+    * business_sales_summary mart. Bounded dims (nation, region) are
+    * hint-broadcast; the SF-scaled sides (orders, part, customer) are
+    * left to Catalyst/AQE — broadcast while small, sort-merge (or the
+    * bucketed co-location, [[bucketedCustomerJoin]]) at cluster scale. */
   def salesSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
@@ -55,9 +66,9 @@ object Marts {
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(
@@ -79,14 +90,16 @@ object Marts {
   }
 
   /** Fact assembly: detail LEFT JOIN header + yyyyMMdd int date keys
-    * (reference `dags/sales.py:82-97`). Header side is broadcast — at
-    * 100 TB orders is ~4× smaller than lineitem, so if it outgrows the
-    * broadcast threshold Catalyst falls back to a shuffle join on the
-    * already-co-partitioned orderkey; no code change needed. */
+    * (reference `dags/sales.py:82-97`). The header side carries NO
+    * broadcast hint: orders grows with the scale factor (~¼ of the fact
+    * at 100 TB), and a forced hint never size-falls-back — Catalyst
+    * collects the relation unconditionally. Un-hinted, AQE broadcasts it
+    * while it fits and shuffle-joins on the co-partitioned orderkey past
+    * the threshold. */
   def factSales(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"), "left")
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
       .select(
         col("l_orderkey").as("order_key"),
         col("l_linenumber").as("line_number"),
@@ -127,8 +140,8 @@ object Marts {
     val p  = Tables.part(spark, dir)
     val s  = Tables.supplier(spark, dir)
     val n  = Tables.nation(spark, dir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(
         col("p_partkey").as("part_key"),
@@ -192,12 +205,14 @@ object Marts {
     * not re-derived per row, so calendar semantics (ISO weeks, fiscal
     * rules, future holiday feeds) live in ONE generated table.
     *
-    * Scale shape: dim_date is 7,305 rows — broadcast, like every other
-    * dim here; the fact flows through six broadcast joins with no
-    * shuffle, then one exchange for the final 18-key hash aggregate
-    * (partial map-side combine first). Day×brand×geo grouping keys give
-    * ~|days|×|brands|×|nations| groups — dimension-bounded, not
-    * fact-bounded, so the agg output stays small at any fact scale. */
+    * Scale shape: the bounded dims — generated dim_date (7,305 rows),
+    * nation, region — are hint-broadcast; orders/part/customer are
+    * SF-scaled, so they carry no hint and Catalyst/AQE picks broadcast
+    * at fixture scale, sort-merge at cluster scale. One exchange for the
+    * final 18-key hash aggregate (partial map-side combine first).
+    * Day×brand×geo grouping keys give ~|days|×|brands|×|nations|
+    * groups — dimension-bounded, not fact-bounded, so the agg output
+    * stays small at any fact scale. */
   def salesSummaryCalendar(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
@@ -208,11 +223,11 @@ object Marts {
     // calendar generated over the fact's date span (the fixture's orders
     // run 1995–2001; the reference hardcodes its own 2010–2029 span)
     val dd = graft.engine.DimDate.generate(spark, "1995-01-01", 2557)
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(dd),
         date_format(col("o_orderdate"), "yyyyMMdd").cast("int") === col("date_key"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(

@@ -22,19 +22,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string>"), plan)
   }
 
-  test("sales_summary: fact joins all dims by broadcast — no fact shuffle") {
-    val plan = formatted(graft.queries.Marts.salesSummary(spark, sf))
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5, plan)
+  // The mart pins assert the BOUNDED dims (nation, region, generated
+  // dim_date) arrive by broadcast, and that no explicit broadcast hint
+  // rides an SF-scaled relation (orders/part/customer/supplier) — a
+  // forced hint never size-falls-back, so it would collect the relation
+  // at any scale. At fixture scale Catalyst may ALSO choose broadcast
+  // for the un-hinted sides (they fit under autoBroadcastJoinThreshold);
+  // that choice is AQE's to revisit at 100×, so it is deliberately NOT
+  // pinned (no !SortMergeJoin assertions here).
+
+  /** Broadcast hints present in the analyzed logical plan (each renders
+    * as a ResolvedHint node) — counts the FORCED broadcasts only. */
+  private def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        if h.hints.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }.size
+
+  test("sales_summary: bounded dims broadcast; no forced hint on SF-scaled sides") {
+    val df = graft.queries.Marts.salesSummary(spark, sf)
+    val plan = formatted(df)
+    // nation + region arrive by broadcast-hash
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // exactly the 2 bounded-dim hints — orders/part/customer un-hinted
+    assert(hintCount(df) == 2, s"expected 2 broadcast hints, got ${hintCount(df)}")
   }
 
-  test("sales_summary_calendar: dim_date joins by broadcast — fact unshuffled before the 18-key agg") {
-    val plan = formatted(graft.queries.Marts.salesSummaryCalendar(spark, sf))
-    // six broadcast joins (orders, dim_date, part, customer, nation, region);
-    // no sort-merge join anywhere — the generated calendar must not force
-    // a fact shuffle
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6, plan)
+  test("sales_summary_calendar: dim_date + nation + region broadcast; no forced hint on SF-scaled sides") {
+    val df = graft.queries.Marts.salesSummaryCalendar(spark, sf)
+    val plan = formatted(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    // dim_date, nation, region — and nothing else — carry the hint
+    assert(hintCount(df) == 3, s"expected 3 broadcast hints, got ${hintCount(df)}")
+  }
+
+  test("top_products / fact_sales / product_enriched: zero forced broadcasts of SF-scaled relations") {
+    assert(hintCount(graft.queries.Marts.topProducts(spark, sf)) == 0)
+    assert(hintCount(graft.queries.Marts.factSales(spark, sf)) == 0)
+    // productEnriched hints only nation
+    assert(hintCount(graft.queries.Marts.productEnriched(spark, sf)) == 1)
   }
 
   test("bucketed_join: co-located scans feed the join with NO exchange on the join key") {
