@@ -318,4 +318,88 @@ class ManifestSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.schema.fieldNames.toSeq == Seq("id", "version"))
   }
+
+  test("consumeChanges ack is atomic: a crash mid-ack never loses the position or replays the head as a full snapshot") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manAck").toString
+    val ck = s"$path/_consumer/state"
+    Manifest.write(mk(0), path, Seq("p"))                              // v0
+    assert(Manifest.consumeChanges(spark, path, ck)(_.count()) ==
+      Some((-1L, 0L)))                                                 // initial full load
+    Manifest.replacePartitions(Seq((2, 999L, 1)).toDF("p", "id", "version"),
+      path, Seq("p"))                                                  // v1
+    // CRASH SIMULATION — the ack protocol is: write tmp → rename(OVERWRITE)
+    // onto the checkpoint. Kill it between the two steps: the new-value
+    // tmp file exists but the rename never ran. The old delete-then-rename
+    // protocol at this point had DELETED the checkpoint — recovery then
+    // replayed the head as insert-only and a keyed-upsert consumer missed
+    // the deletes. With the atomic protocol the old ack must still be
+    // intact and the next run must redeliver the (0 -> 1] DELTA feed.
+    val (fs, ckP) = Fs.resolve(spark, ck)
+    val debris = Fs.resolve(spark, s"$ck-tmp-deadbeef")._2
+    val out = fs.create(debris, true)
+    try out.write("1".getBytes) finally out.close()
+    assert(fs.exists(ckP), "checkpoint vanished during the ack window")
+    assert(new String({ val in = fs.open(ckP); try in.readAllBytes() finally in.close() })
+      .trim.toLong == 0L, "checkpoint regressed or advanced without the rename")
+    // recovery consumes the DELTA (0 -> 1], not a (-1 -> 1] snapshot replay
+    var sawDeletes = -1L
+    assert(Manifest.consumeChanges(spark, path, ck) { feed =>
+      sawDeletes = feed.filter(col("_change_type") === "delete").count()
+    } == Some((0L, 1L)))
+    assert(sawDeletes == 20L, "delta feed lost its deletes — consumer replayed a snapshot")
+    // after a SUCCESSFUL ack the checkpoint holds the new head and a
+    // re-run does nothing (exactly-once resumes)
+    assert(new String({ val in = fs.open(ckP); try in.readAllBytes() finally in.close() })
+      .trim.toLong == 1L)
+    assert(Manifest.consumeChanges(spark, path, ck)(_ => fail("should not run")) == None)
+  }
+
+  test("no-change changeFeed is planned from the manifest alone — zero data files referenced") {
+    val path = Files.createTempDirectory("manNoc").toString
+    Manifest.write(mk(0), path, Seq("p"))
+    Manifest.replacePartitions(mk(0), path, Seq("p")) // v1 rewrites all parts
+    // v1 -> v1: no structural change; the feed must be built WITHOUT
+    // planning a scan (a limit(0) over the snapshot would list every
+    // partition's files — the full-table listing a no-op feed must not pay)
+    val feed = Manifest.changeFeed(spark, path, 1L, 1L)
+    assert(feed.inputFiles.isEmpty, "no-change feed referenced data files")
+    assert(feed.count() == 0)
+    assert(feed.columns.contains("_change_type") && feed.columns.contains("p"))
+  }
+
+  test("history is O(retained manifests): sparse epoch-numbered logs list without probing the id space") {
+    val path = Files.createTempDirectory("manSparse").toString
+    // writeVersioned names versions by epoch id — the log is SPARSE:
+    // {7, 2_000_000_011}. An O(maxVersionId) probe loop would issue two
+    // billion existence checks here; one directory listing returns both.
+    assert(Manifest.writeVersioned(mk(0), path, Seq("p"), 7L))
+    assert(Manifest.writeVersioned(mk(1), path, Seq("p"), 2000000011L))
+    val t0 = System.nanoTime()
+    val h = Manifest.history(spark, path).collect()
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(h.map(_.getLong(0)).toSeq == Seq(7L, 2000000011L))
+    assert(ms < 30000, s"history took ${ms}ms on a 2-manifest sparse log")
+  }
+
+  test("requesting a missing version fails with the intended error, not a raw stream exception") {
+    val path = Files.createTempDirectory("manMiss").toString
+    Manifest.write(mk(0), path, Seq("p"))                              // v0
+    Manifest.replacePartitions(mk(1), path, Seq("p"))                  // v1
+    // never-written version
+    val e1 = intercept[IllegalArgumentException] {
+      Manifest.changeFeed(spark, path, 0L, 99L)
+    }
+    assert(e1.getMessage.contains("no manifest version 99"))
+    // vacuumed-away version: state file is gone but the id is < head
+    Manifest.vacuum(spark, path, keepVersions = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      Manifest.changeFeed(spark, path, 0L, 1L)
+    }
+    assert(e2.getMessage.contains("no manifest version 0"))
+    val e3 = intercept[IllegalArgumentException] {
+      Manifest.read(spark, path, Some(0L))
+    }
+    assert(e3.getMessage.contains("no manifest"))
+  }
 }
