@@ -54,4 +54,27 @@ object Fns {
       .digest(s.getBytes("UTF-8"))
     java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
   }
+
+  // ---- portable-HLL building blocks (shared SQL text, both dialects) ----
+  // The h64 hash leaves a 54-bit sub-hash after the 64-way bucket split
+  // (60 bits − 6). Register math is ALL-INTEGER so Spark and DuckDB agree
+  // bit-for-bit: rank via an unrolled threshold ladder (no log2 — not
+  // correctly rounded cross-engine), register weight 2^(55−rank) via a
+  // literal ladder (no pow — same reason). Plain decimal literals parse
+  // as BIGINT-compatible integers in both dialects.
+
+  /** Rank (position of the highest set bit from the top of the 54-bit
+    * field, 1-based; 55 for w=0) as a dialect-neutral CASE ladder. */
+  def hllRankSql(w: String): String =
+    (53 to 0 by -1).map(b => s"WHEN $w >= ${1L << b} THEN ${54 - b}")
+      .mkString("CASE ", " ", " ELSE 55 END")
+
+  /** 2^(55−rank) as a dialect-neutral literal ladder — the register's
+    * contribution to the harmonic sum, scaled by 2^55 to stay integer. */
+  def hllWeightSql(r: String): String =
+    (1 to 55).map(rv => s"WHEN $rv THEN ${1L << (55 - rv)}")
+      .mkString(s"CASE $r ", " ", " ELSE 0 END")
+
+  /** 2^55 — the scaled weight of an EMPTY register (rank 0, 2^-0 = 1). */
+  val HllEmptyWeight: Long = 1L << 55
 }

@@ -49,6 +49,8 @@ object SparkEntry {
     "events_salted_join" -> ((s, d) => Events.saltedTypeJoin(s, d)),
     "session_overlap"    -> ((s, d) => Events.sessionOverlapCounts(s, d)),
     "null_safe_join"     -> ((s, d) => Events.nullSafeBucketJoin(s, d)),
+    "daily_user_sketch_est" -> ((s, d) => Events.dailyUserSketchEst(s, d)),
+    "cm_heavy_hitters"   -> ((s, d) => Events.cmHeavyHitters(s, d)),
     // the BUILT-IN session_window (shared batch/streaming definition)
     // under the oracle: DuckDB derives sessions independently via
     // gap-islands, splitting where the inter-event gap >= 30 minutes
@@ -176,7 +178,50 @@ object SparkEntry {
       // generated SQL: the BPE training loop unrolled k times (argmax +
       // greedy-remap per round as a CTE chain) — see Bpe.oracleSql
       ("bpe_merges" -> graft.text.Bpe.oracleSql(10)) +
-      ("bpe_segment" -> graft.text.Bpe.segmentOracleSql(10))
+      ("bpe_segment" -> graft.text.Bpe.segmentOracleSql(10)) +
+      // generated SQL: portable-HLL register math replayed one-level (the
+      // Spark side merges per-day sketches; equality proves mergeability)
+      ("daily_user_sketch_est" -> s"""
+        WITH h AS (
+          SELECT event_type, ${graft.Fns.h64Sql("CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h),
+        regs AS (
+          SELECT event_type, bucket, max(${graft.Fns.hllRankSql("w")}) AS r
+          FROM b GROUP BY 1, 2),
+        s AS (
+          SELECT event_type,
+                 sum(${graft.Fns.hllWeightSql("r")}) AS s_present,
+                 count(*) AS m_present
+          FROM regs GROUP BY 1),
+        est AS (
+          SELECT event_type,
+                 CAST(s_present + (64 - m_present) * ${graft.Fns.HllEmptyWeight} AS BIGINT) AS s_total
+          FROM s),
+        ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+               FROM events GROUP BY 1)
+        SELECT event_type,
+               floor((CAST(0.70934 AS DOUBLE) * 4096 * ${graft.Fns.HllEmptyWeight}
+                      / CAST(s_total AS DOUBLE)) * 10000 + 0.5) / 10000 AS approx_users,
+               exact_users
+        FROM est JOIN ex USING (event_type)
+        ORDER BY event_type
+      """) +
+      // generated SQL: count-min counter build + min-probe with the same
+      // salted h64 hashes the Spark side uses
+      ("cm_heavy_hitters" -> s"""
+        WITH rows_ AS (
+          SELECT user_id, i,
+                 ${graft.Fns.h64Sql("CAST(user_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)")} % 512 AS bucket
+          FROM events, unnest([1, 2, 3]) AS t(i)),
+        counters AS (SELECT i, bucket, count(*) AS cnt FROM rows_ GROUP BY 1, 2),
+        keyb AS (SELECT DISTINCT user_id, i, bucket FROM rows_),
+        est AS (SELECT k.user_id, min(c.cnt) AS est_count
+                FROM keyb k JOIN counters c ON k.i = c.i AND k.bucket = c.bucket
+                GROUP BY 1)
+        SELECT user_id, CAST(est_count AS BIGINT) AS est_count
+        FROM est ORDER BY est_count DESC, user_id LIMIT 20
+      """)
   }
 
   // ORACLE TYPING RULE: DuckDB returns sum(<any integer type>) as

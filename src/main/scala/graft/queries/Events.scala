@@ -218,6 +218,84 @@ object Events {
         sum(col("n_events")).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** ORACLE-VERIFIABLE twin of the [[dailyUserSketches]] →
+    * [[sketchEstimate]] rollup: a 64-register HLL whose every step —
+    * h64 hash, bucket split, rank ladder, register max, scaled harmonic
+    * sum, alpha correction — is replayed verbatim by the DuckDB oracle
+    * ([[graft.Fns.hllRankSql]]/[[Fns.hllWeightSql]] emit the SAME SQL
+    * text to both engines; no log2/pow, which aren't correctly rounded
+    * cross-engine). The DataSketches pair above stays the production
+    * path (bias-corrected, dense/sparse switching); this one puts the
+    * sketch ALGEBRA under the correctness gate.
+    *
+    * Mergeability is the property on trial: Spark builds per-DAY
+    * register sets first ([[dailyUserSketches]]'s shape) and unions them
+    * by per-register max, while the oracle aggregates the whole range in
+    * one level — equal outputs prove max-of-maxes ≡ single-pass, i.e.
+    * the rollup answers any ad-hoc day range without rescanning raw
+    * events. Raw HLL estimate only (no small-range linear counting — its
+    * ln() isn't portable); `exact_users` sits alongside for the error.
+    *
+    * Scale shape: two map-side-combinable aggs over (day,type,bucket)
+    * then (type,bucket) — ≤ 64 registers per group survive each combine;
+    * no shuffle grows with the fact. */
+  def dailyUserSketchEst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val regs = ev.select(col("event_type"), to_date(col("ts")).as("day"),
+        Fns.h64(col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", col("h") % 64)
+      .withColumn("w", expr("h div 64"))
+      .withColumn("r", expr(Fns.hllRankSql("w")))
+      // the mergeable rollup: one 64-register sketch per (day, type)
+      .groupBy(col("day"), col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      // serve: union across days = per-register max of maxes
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val est = regs.groupBy(col("event_type"))
+      .agg(sum(expr(Fns.hllWeightSql("r"))).as("s_present"),
+        count(lit(1)).as("m_present"))
+      .withColumn("s_total",
+        col("s_present") + (lit(64L) - col("m_present")) * lit(Fns.HllEmptyWeight))
+      .select(col("event_type"),
+        Fns.money(lit(0.70934) * lit(4096) * lit(Fns.HllEmptyWeight)
+          / col("s_total").cast("double")).as("approx_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  /** Count-min heavy hitters with ORACLE-REPLAYABLE hash math: a
+    * depth×width counter matrix from salted h64 hashes (`user_id#i` per
+    * row i — the d pairwise-independent hash functions), probed for every
+    * candidate key by min-over-rows, top-k by estimate. The built-in
+    * `count_min_sketch` spec ([[graft.CountMinSpec]]) keeps covering the
+    * production codec; this puts the CMS ALGEBRA (counter build, min
+    * probe, one-sided error) under the correctness gate — the oracle
+    * replays the identical salted hashes in SQL.
+    *
+    * Scale shape: the counter matrix is depth×width rows — bounded by
+    * SKETCH DIMENSIONS, not data, so its broadcast is scale-safe (unlike
+    * the fact-table hints removed from the marts). Candidates here are
+    * all distinct keys (fixture-sized); at 100 TB the serve path probes
+    * a specific key list against the same broadcast counters. */
+  def cmHeavyHitters(spark: SparkSession, dir: String,
+      depth: Int = 3, width: Int = 512, k: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val rows = ev.select(col("user_id"),
+        explode(array((1 to depth).map(i => struct(lit(i).as("i"),
+          (Fns.h64(concat(col("user_id").cast("string"), lit(s"#$i"))) % width)
+            .as("bucket"))): _*)).as("hb"))
+      .select(col("user_id"), col("hb.i").as("i"), col("hb.bucket").as("bucket"))
+    val counters = rows.groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    rows.distinct()
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("user_id")).agg(min(col("cnt")).as("est_count"))
+      .orderBy(col("est_count").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** Tumbling 1-hour window aggregation — batch twin of the streaming
     * windowed count. Emits the window start as a plain timestamp column
     * for the oracle. */
