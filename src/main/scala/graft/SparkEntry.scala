@@ -165,6 +165,7 @@ object SparkEntry {
     "lexical_diversity"       -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "partkey_skew"            -> ((s, d) => Analytics.partkeySkew(s, d)),
     "part_similarity"         -> ((s, d) => Graphs.partSimilarity(s, d)),
+    "part_similarity_capped"  -> ((s, d) => Graphs.partSimilarityCapped(s, d)),
     "rfm_segments"            -> ((s, d) => Analytics.rfmSegments(s, d)),
   )
 
@@ -2406,6 +2407,54 @@ object SparkEntry {
       FROM inter i JOIN deg da ON da.n = i.a JOIN deg db ON db.n = i.b
       WHERE i.n_common >= 20
       ORDER BY i.a, i.b
+    """,
+    // MinHash+LSH over co-purchase neighbor sets (node→doc,
+    // neighbor-id→token): the oracle replays signature, 8×2 banding,
+    // the bucket-size window cut, AND the exact verify — proving the
+    // cap is candidate-gen-only, like dedup_minhash_capped
+    "part_similarity_capped" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      und AS (
+        SELECT DISTINCT a.part AS a, b.part AS b
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part),
+      adj AS (
+        SELECT n, list(nb) AS nbrs FROM (
+          SELECT a AS n, b AS nb FROM und UNION ALL SELECT b AS n, a AS nb FROM und)
+        GROUP BY n),
+      th AS (
+        SELECT n, list_sort(list_distinct(list_transform(nbrs, t ->
+          ('0x' || substr(md5(CAST(t AS VARCHAR)), 1, 15))::BIGINT % 1000000007))) AS hs
+        FROM adj),
+      sig AS (
+        SELECT n, hs,
+               list_transform(range(0, 16), i ->
+                 list_min(list_transform(hs, x -> ((2*i+1) * x + 7*i+3) % 1000000007))) AS sig
+        FROM th),
+      bands AS (
+        SELECT n, bs.b AS band, sig[bs.b*2+1] AS k1, sig[bs.b*2+2] AS k2
+        FROM sig CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS b) bs),
+      capped AS (
+        SELECT n, band, k1, k2
+        FROM (SELECT *, count(*) OVER (PARTITION BY band, k1, k2) AS bsz
+              FROM bands)
+        WHERE bsz <= 10),
+      cand AS (
+        SELECT DISTINCT x.n AS part_a, y.n AS part_b
+        FROM capped x JOIN capped y
+          ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.n < y.n),
+      pairs AS (
+        SELECT part_a, part_b,
+               len(list_intersect(ta.hs, tb.hs)) AS inter,
+               len(ta.hs) AS na, len(tb.hs) AS nb
+        FROM cand
+          JOIN th ta ON cand.part_a = ta.n
+          JOIN th tb ON cand.part_b = tb.n)
+      SELECT part_a, part_b,
+             floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+      FROM pairs
+      WHERE inter / (na + nb - inter) >= 0.1
+      ORDER BY part_a, part_b
     """,
     // RFM: exact quartile cutoffs money-rounded before the comparisons,
     // scores 1-4 per axis (recency inverted: recent = 4)

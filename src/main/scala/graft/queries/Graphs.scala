@@ -142,9 +142,8 @@ object Graphs {
     * `sorted_intersect_size` merge scan per edge — similarity is only
     * evaluated on EXISTING edges, never all pairs. Hub nodes make
     * O(deg) list state; at corpus scale the standard move is to replace
-    * the exact lists with MinHash signatures ([[graft.dedup.Dedup]]'s
-    * machinery applies verbatim to neighbor sets) — documented rather
-    * than done, because the exact form is the oracle-checkable one.
+    * the exact lists with MinHash signatures over the neighbor sets —
+    * built and oracle-checked as [[partSimilarityCapped]].
     *
     * Determinism: output ordered by integer keys only (jaccard is a
     * money-rounded VALUE, never a sort key), inner threshold on the
@@ -175,6 +174,68 @@ object Graphs {
       .filter(col("n_common") >= minCommon)
       .withColumn("jaccard", graft.Fns.money(col("n_common").cast("double") /
         (col("deg_a") + col("deg_b") - col("n_common")).cast("double")))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** The 100 TB-shaped variant of [[partSimilarity]]: MinHash+LSH over
+    * co-purchase NEIGHBOR SETS — [[graft.dedup.Dedup]]'s document
+    * machinery applied verbatim with node → doc and neighbor-id → token.
+    * Hub nodes stop being a problem twice over: candidate generation
+    * compares fixed 16-long signatures instead of O(deg) adjacency
+    * lists, and the band-bucket cap (`maxBucketSize`, the
+    * [[graft.dedup.Dedup.minhashPairs]] hot-bucket cut) drops
+    * pathological buckets before the self-join.
+    *
+    * The cap and the banding are CANDIDATE-GEN ONLY: every surviving
+    * pair is verified by the exact codegen'd intersection of the true
+    * neighbor-hash sets — the same split as `dedup_minhash_capped`, and
+    * the oracle replays signature, banding, window cut, and exact verify
+    * alike, so the green row proves the cut semantics, not just the
+    * happy path. 8 bands × 2 rows targets the lower-similarity regime of
+    * co-purchase neighborhoods (s-curve midpoint ≈ 0.35) vs the 4×4
+    * near-dup banding. */
+  def partSimilarityCapped(spark: SparkSession, dir: String,
+      threshold: Double = 0.1, maxBucketSize: Int = 10): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
+    val P = graft.dedup.Dedup.P
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
+      .distinct()
+    val und = items.withColumnRenamed("part", "a")
+      .join(items.withColumnRenamed("part", "b"), "okey")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val nodes = und.select(col("a").as("n"), col("b").as("nb"))
+      .union(und.select(col("b").as("n"), col("a").as("nb")))
+      .groupBy(col("n"))
+      .agg(expr(s"""array_sort(array_distinct(transform(collect_list(nb),
+        t -> CAST(conv(substr(md5(CAST(t AS STRING)), 1, 15), 16, 10) AS BIGINT) % $P)))""")
+        .as("hs"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, 15), i ->
+            array_min(transform(hs, x -> ((2 * i + 1) * x + 7 * i + 3) % $P)))"""))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = nodes.select(col("n"),
+        explode(expr("""transform(sequence(0, 7), b -> named_struct(
+          'band', b, 'k1', element_at(sig, b * 2 + 1), 'k2', element_at(sig, b * 2 + 2)))"""))
+          .as("bb"))
+      .select(col("n"), col("bb.band").as("band"), col("bb.k1").as("k1"), col("bb.k2").as("k2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("k1"), col("k2"))
+    val capped = bands.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val cand = capped.as("x")
+      .join(capped.as("y"), Seq("band", "k1", "k2"))
+      .filter(col("x.n") < col("y.n"))
+      .select(col("x.n").as("part_a"), col("y.n").as("part_b"))
+      .distinct()
+    val verified = graft.dedup.Dedup.jaccardAtLeast(
+      cand.join(nodes.select(col("n").as("part_a"), col("hs").as("th_a")), "part_a")
+        .join(nodes.select(col("n").as("part_b"), col("hs").as("th_b")), "part_b"),
+      "th_a", "th_b", threshold)
+    verified.select(col("part_a"), col("part_b"),
+        graft.Fns.money(col("jaccard_raw")).as("jaccard"))
       .orderBy(col("part_a"), col("part_b"))
   }
 

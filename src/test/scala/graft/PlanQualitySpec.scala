@@ -214,6 +214,12 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("part_similarity_capped: candidates via (band,k1,k2) equi-join — never a cross product") {
+    val plan = formatted(graft.queries.Graphs.partSimilarityCapped(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("triangle_counts: all equi-joins — no cartesian product or nested loop anywhere") {
     val plan = formatted(graft.queries.Graphs.triangleCounts(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
