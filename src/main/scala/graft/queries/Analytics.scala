@@ -35,10 +35,18 @@ object Analytics {
     val pairs = Tables.part(spark, dir)
       .groupBy(col("p_retailprice").as("price"), col("p_size").as("psize"))
       .agg(count(lit(1)).as("n_parts"))
+    // the packed key assumes 0 <= p_size <= 999 and price >= 0; a domain
+    // change outside that range must fail LOUDLY, not scan in a corrupted
+    // order and return a silently wrong frontier
     val keyed = pairs
       .withColumn("ord",
-        floor(col("price") * 10000 + 0.5).cast("long") * 1000 +
-          (lit(999L) - col("psize")))
+        when(col("psize").between(0, 999) && col("price") >= 0,
+          floor(col("price") * 10000 + 0.5).cast("long") * 1000 +
+            (lit(999L) - col("psize")))
+          .otherwise(raise_error(concat(
+            lit("partSkyline: composite key out of range (p_size="),
+            col("psize"), lit(", price="), col("price"),
+            lit(") — the packed order assumes 0<=p_size<=999, price>=0")))))
       .withColumn("sz", col("psize").cast("long"))
     Prefix.exclusiveScanMax(keyed, "ord", "sz", "prior_max_size")
       .filter(col("sz") > col("prior_max_size"))
@@ -65,7 +73,9 @@ object Analytics {
       .select(col("o_orderkey"), col("o_totalprice"),
         floor(col("o_totalprice") * 10000 + 0.5).cast("long").as("wt"))
     val cum = Prefix.exclusiveScan(w, "o_orderkey", "wt", "cum")
-    val stride = cum.agg((sum(col("wt")) / lit(n.toLong)).cast("long").as("stride"))
+    // integral floor-division on the LONG sum — the double-division form
+    // agrees with the oracle's // only while total weight < 2^53
+    val stride = cum.agg(expr(s"sum(wt) div $n").as("stride"))
     cum.crossJoin(broadcast(stride)) // 1-row scalar relation, Catalyst's scalar-subquery shape
       .filter(expr("(cum + wt) div stride") > expr("cum div stride"))
       .select(col("o_orderkey"), col("o_totalprice"),
@@ -227,7 +237,11 @@ object Analytics {
     // promotes over-precision decimal products to DOUBLE, losing exactness
     val nD = count(lit(1)).cast("double")
     val sxD = sum(col("x").cast("decimal(38,0)")).cast("double")
-    val sx2D = sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+    // operands cast to decimal BEFORE the product (the long x*x would
+    // silently wrap — or throw under ANSI — past ~3e9, unlike the oracle's
+    // DECIMAL(10,0) operands)
+    val sx2D = sum(col("x").cast("decimal(10,0)") * col("x").cast("decimal(10,0)"))
+      .cast("double")
     val syD = sum(col("y").cast("decimal(38,8)")).cast("double")
     val sxyD = sum(col("y").cast("decimal(20,8)") * col("x").cast("decimal(10,0)"))
       .cast("double")
@@ -335,8 +349,11 @@ object Analytics {
   def partkeySkew(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val cnt = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey").as("part")).agg(count(lit(1)).as("cnt"))
+    // per-row product in DECIMAL operands (19,0)×(19,0) like the oracle —
+    // the long cnt*cnt form wraps (or throws under ANSI) past cnt ~3e9
     val tot = cnt.agg(sum(col("cnt")).as("total"),
-      sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).as("sumsq"))
+      sum(col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+        .as("sumsq"))
     cnt.crossJoin(broadcast(tot)) // 1-row scalar relation
       .select(col("part"), col("cnt"),
         Fns.money(col("cnt").cast("double") / col("total").cast("double") * 100)

@@ -83,7 +83,8 @@ object Graphs {
     * `N⁺(u) ∩ N⁺(v)` per edge. Orientation caps every out-list at O(√m), so the
     * adjacency relation is node-cardinality with bounded rows, and the
     * only shuffles are two node-keyed joins of edge-scale rows
-    * (measured 3.0 s at sf0.1 — 4× over the wedge join). Each triangle
+    * (recorded 4.9 s at sf0.1, BASELINE.md round-5 run — 2.5× over the
+    * wedge join's 12.3 s). Each triangle
     * is found ONCE, at its base edge (u,v) with the sink w in both
     * out-lists; corner attribution is u,v weighted by the intersection
     * SIZE plus one exploded row per sink w — the explode emits exactly
