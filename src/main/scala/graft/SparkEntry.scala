@@ -72,6 +72,7 @@ object SparkEntry {
     "knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "knn_ivf"            -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_ivf_served"     -> ((s, d) => Similarity.knnIvfServed(s, d)),
+    "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
@@ -176,6 +177,41 @@ object SparkEntry {
     // the served variant is bit-identical to the in-memory IVF search
     // (parquet round-trips doubles exactly), so one oracle covers both
     m + ("knn_ivf_served" -> m("knn_ivf")) +
+      // generated SQL: SemDeDup shares knn_ivf's unrolled-Lloyd prefix
+      // (identical fit ⟹ identical clusters), then replays the
+      // within-cluster pair scoring and the farther-from-centroid drop
+      // rule. The prefix is cut at the serving CTE (`q AS (`), which is
+      // the first CTE knn_ivf defines past the shared quantizer.
+      ("semantic_dedup" -> {
+        val src = m("knn_ivf")
+        val cut = src.indexOf("q AS (")
+        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+        src.substring(0, cut) + """bf AS (
+        SELECT p.vec_id, p.v, p.norm2, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN centn c),
+      scored AS (
+        SELECT vec_id, v, norm2, cid, cos AS ccos FROM bf
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      cand AS (
+        SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib, a.ccos AS ca, b.ccos AS cb,
+               floor((list_reduce(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j]), (x, y) -> x + y)
+                 / sqrt(a.norm2 * b.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM scored a JOIN scored b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT cid,
+               CASE WHEN ca > cb THEN ia WHEN ca < cb THEN ib ELSE least(ia, ib) END AS vec_keep,
+               CASE WHEN ca > cb THEN ib WHEN ca < cb THEN ia ELSE greatest(ia, ib) END AS vec_drop,
+               cosine
+        FROM cand WHERE cosine >= 0.35)
+      SELECT vec_drop, vec_keep, cid, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_drop ORDER BY cosine DESC, vec_keep) AS rn
+        FROM pairs)
+      WHERE rn = 1
+      ORDER BY vec_drop
+    """
+      }) +
       // generated SQL: the BPE training loop unrolled k times (argmax +
       // greedy-remap per round as a CTE chain) — see Bpe.oracleSql
       ("bpe_merges" -> graft.text.Bpe.oracleSql(10)) +

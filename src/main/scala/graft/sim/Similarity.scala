@@ -278,6 +278,60 @@ object Similarity {
     probeSearch(corpus, probesFor(queries, centDf, nprobe), k)
   }
 
+  /** SEMANTIC deduplication (the SemDeDup pipeline shape: Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the embedding corpus with the
+    * deterministic k-means above, then compare vectors only WITHIN their
+    * cluster — pairwise cosine ≥ `threshold` marks a semantic duplicate,
+    * and the pair member FARTHER from the cluster centroid is dropped
+    * (ties: the larger id), keeping the most-representative copy. Each
+    * dropped vector reports its strongest keeper (highest pair cosine,
+    * then smallest keeper id).
+    *
+    * Scale shape: clustering reduces the all-pairs problem to
+    * within-cluster pairs — with balanced clusters, corpus²/k instead of
+    * corpus² comparisons, and the self-join is an equi-join on `cid`
+    * (never a cross product; plan-pinned). A pathologically hot cluster
+    * re-raises the hub problem like any bucketed method — the fix is
+    * raising k (more, smaller lists), which also sharpens the
+    * within-cluster "semantically same" claim. All candidate scoring is
+    * money-rounded doubles over the DECIMAL-accumulated centroids, so
+    * the DuckDB oracle replays the entire pipeline — fit, assignment,
+    * centroid distances, drop rule — exactly (the oracle shares the
+    * unrolled-Lloyd SQL with `knn_ivf`). */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      nClusters: Int = 10, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = prepared(spark, dir)
+    val cents = kmeansFit(spark, dir, nClusters, iters)
+    val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
+    // localCheckpoint (not persist): feeds both sides of the self-join;
+    // the lazy return plan has no safe unpersist point
+    val scored = assignCid(e, cents, "v", "norm2")
+      .join(broadcast(centDf), "cid")
+      .withColumn("ccos",
+        Fns.money(dotCol(col("v"), col("centroid")) / sqrt(col("norm2") * col("cnorm2"))))
+      .select(col("vec_id"), col("v"), col("norm2"), col("cid"), col("ccos"))
+      .localCheckpoint(true)
+    val a = scored.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"),
+      col("norm2").as("na2"), col("ccos").as("ca"))
+    val b = scored.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"),
+      col("norm2").as("nb2"), col("ccos").as("cb"))
+    val pairs = a.join(b, "cid").filter(col("ia") < col("ib"))
+      .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("cid"),
+        when(col("ca") > col("cb"), col("ia")).when(col("ca") < col("cb"), col("ib"))
+          .otherwise(least(col("ia"), col("ib"))).as("vec_keep"),
+        when(col("ca") > col("cb"), col("ib")).when(col("ca") < col("cb"), col("ia"))
+          .otherwise(greatest(col("ia"), col("ib"))).as("vec_drop"),
+        col("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_drop")).orderBy(col("cosine").desc, col("vec_keep"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_drop"), col("vec_keep"), col("cid"), col("cosine"))
+      .orderBy(col("vec_drop"))
+  }
+
   /** Build-then-serve round trip over a scratch index path: the
     * production serve shape ([[buildIvfIndex]] by the maintenance job,
     * [[knnIvfFromIndex]] at query time) exercised end-to-end. Results

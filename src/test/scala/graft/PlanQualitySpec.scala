@@ -214,6 +214,15 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("semantic_dedup: within-cluster pairs via cid equi-join — no cartesian product") {
+    val plan = formatted(graft.sim.Similarity.semanticDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pair self-join must be a hash join keyed on the cluster id
+    // (the only nested-loop is the 1-row broadcast centroid attach)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("part_similarity_capped: candidates via (band,k1,k2) equi-join — never a cross product") {
     val plan = formatted(graft.queries.Graphs.partSimilarityCapped(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
