@@ -76,6 +76,7 @@ object SparkEntry {
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
+    "repetition_signals" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "decontaminate"      -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "stratified_sample"  -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "sequence_packing"   -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
@@ -1699,6 +1700,42 @@ object SparkEntry {
                AND n_distinct / n_tokens >= 0.45) AS passes
       FROM m JOIN top USING (doc_id)
       ORDER BY doc_id
+    """,
+    // count-weighted repetition coverage: modal-bigram tie breaks
+    // lexicographically; coverage = gram count × gram length over
+    // n_tokens, overlap-blind, capped at 1
+    "repetition_signals" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, toks FROM t),
+      bgc AS (
+        SELECT doc_id, g, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+            toks[i] || ' ' || toks[i+1])) AS g
+          FROM base) GROUP BY 1, 2),
+      topbg AS (
+        SELECT doc_id, g AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_n
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+              FROM bgc)
+        WHERE rn = 1),
+      tgc AS (
+        SELECT doc_id, g, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+            ELSE list_transform(range(1, len(toks) - 1), i ->
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g
+          FROM base) GROUP BY 1, 2),
+      dupt AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN cnt >= 2 THEN cnt * 3 ELSE 0 END) AS BIGINT) AS dup_tok
+        FROM tgc GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens, tb.top_bigram, tb.top_bigram_n,
+             floor(least(CAST(1.0 AS DOUBLE),
+               (tb.top_bigram_n * 2) / CAST(b.n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000
+               AS top_bigram_frac,
+             floor(least(CAST(1.0 AS DOUBLE),
+               coalesce(dp.dup_tok, 0) / CAST(b.n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000
+               AS dup_trigram_frac
+      FROM base b JOIN topbg tb USING (doc_id) LEFT JOIN dupt dp USING (doc_id)
+      ORDER BY b.doc_id
     """,
     // inverted-index decontamination: shared 3-gram hashes vs the
     // doc_id % 97 = 0 benchmark stand-in

@@ -146,6 +146,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1, the
+    * "repetitious text" filters) — the count-weighted complements of
+    * [[gopherQuality]]'s distinct-ratio signals: what fraction of the
+    * document is COVERED by its most common bigram, and by trigrams that
+    * occur more than once. A looping generator or boilerplate-stuffed
+    * page scores high here while still passing distinct-ratio checks
+    * (one repeated phrase in a long doc barely dents the distinct
+    * ratio). Coverage counts overlap-blind token occurrences (gram
+    * count × gram length), capped at 1.0 — deterministic, and the
+    * standard cheap proxy for the paper's character-coverage
+    * computation. Modal-bigram ties break lexicographically.
+    *
+    * Scale shape: explode + two doc-keyed aggregations (the
+    * vocab/postings shape); the only window runs per-doc over the
+    * already-aggregated bigram counts. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .withColumn("n_tokens", expr("size(toks)"))
+    val bgc = base.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1), i ->
+           concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g"))
+    val top = bgc.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_bigram"), col("cnt").as("top_bigram_n"))
+    val dupt = base.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2), i ->
+             concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+                    element_at(toks, i + 2))) END""")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * 3).otherwise(lit(0L))).as("dup_tok"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(top, "doc_id")
+      .join(dupt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram"), col("top_bigram_n"),
+        Fns.money(least(lit(1.0),
+          (col("top_bigram_n") * 2).cast("double") / col("n_tokens").cast("double")))
+          .as("top_bigram_frac"),
+        Fns.money(least(lit(1.0),
+          coalesce(col("dup_tok"), lit(0L)).cast("double") / col("n_tokens").cast("double")))
+          .as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 3-gram with the benchmark/eval set (here the deterministic
     * `doc_id % 97 = 0` subset stands in for held-out eval data) — the

@@ -61,6 +61,30 @@ class TextPrepSpec extends SparkSpec {
     assert(nonAscii == 0)
   }
 
+  test("repetitionSignals: coverage fractions match a per-doc brute force") {
+    val got = TextAnalysis.repetitionSignals(spark, dir).collect()
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.map(_.getLong(0)).toSet == texts.keySet)
+    for (r <- got) {
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      assert(r.getInt(1) == toks.length)
+      val bg = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size)
+      val (topG, topN) = bg.toSeq.minBy { case (g, n) => (-n, g) }
+      assert(r.getString(2) == topG && r.getLong(3) == topN.toLong)
+      val bigFrac = math.min(1.0, topN * 2.0 / toks.length)
+      assert(math.abs(r.getDouble(4) - bigFrac) < 1e-4)
+      val dupTok = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).valuesIterator.map(_.size).filter(_ >= 2).map(_ * 3).sum
+      val triFrac = math.min(1.0, dupTok.toDouble / toks.length)
+      assert(math.abs(r.getDouble(5) - triFrac) < 1e-4)
+    }
+    // the signal discriminates: the fixture's looping docs score high
+    assert(got.exists(_.getDouble(4) > 0.2) && got.exists(_.getDouble(4) < 0.05))
+  }
+
   test("corpusMixture: weights normalize and temperature-flattening favors small sources") {
     val rows = TextAnalysis.corpusMixture(spark, dir).collect()
     val weightSum = rows.map(_.getDouble(4)).sum
