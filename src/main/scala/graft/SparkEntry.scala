@@ -77,6 +77,7 @@ object SparkEntry {
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
     "repetition_signals" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
+    "lm_perplexity"      -> ((s, d) => TextAnalysis.lmPerplexity(s, d)),
     "decontaminate"      -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "stratified_sample"  -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "sequence_packing"   -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
@@ -1736,6 +1737,40 @@ object SparkEntry {
                AS dup_trigram_frac
       FROM base b JOIN topbg tb USING (doc_id) LEFT JOIN dupt dp USING (doc_id)
       ORDER BY b.doc_id
+    """,
+    // add-one bigram LM self-perplexity: per-term money rounding before
+    // the decimal-accumulated sum, pow(2, ·) on already-rounded bits
+    "lm_perplexity" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      docbg AS (
+        SELECT doc_id, g, count(*) AS k FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+            toks[i] || ' ' || toks[i+1])) AS g
+          FROM t) GROUP BY 1, 2),
+      model AS (SELECT g, sum(k) AS c12 FROM docbg GROUP BY 1),
+      prefix AS (
+        SELECT string_split(g, ' ')[1] AS w1, sum(c12) AS c1
+        FROM model GROUP BY 1),
+      vocab AS (
+        SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+      w AS (
+        SELECT d.doc_id, d.k,
+               floor(d.k * log2(CAST(m.c12 + 1 AS DOUBLE)
+                                / (CAST(p.c1 AS DOUBLE) + vocab.v)) * 10000 + 0.5)
+                 / 10000 AS wv
+        FROM docbg d
+        JOIN model m USING (g)
+        JOIN prefix p ON p.w1 = string_split(d.g, ' ')[1]
+        CROSS JOIN vocab),
+      doc AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+               floor(-CAST(sum(CAST(wv AS DECIMAL(38,8))) AS DOUBLE)
+                     / CAST(sum(k) AS DOUBLE) * 10000 + 0.5) / 10000 AS bits_per_token
+        FROM w GROUP BY 1)
+      SELECT doc_id, n_bigrams, bits_per_token,
+             floor(pow(2.0, bits_per_token) * 10000 + 0.5) / 10000 AS ppl
+      FROM doc ORDER BY doc_id
     """,
     // inverted-index decontamination: shared 3-gram hashes vs the
     // doc_id % 97 = 0 benchmark stand-in

@@ -470,6 +470,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style language-model perplexity scoring (Wenzek et al. 2019
+    * §4.3): train an add-one-smoothed bigram LM on the corpus, then
+    * score every document by its average negative log2 conditional
+    * probability — bits per predicted token. High bits = text the
+    * corpus LM finds surprising (noise, boilerplate soup, wrong
+    * language); low bits = fluent-for-this-corpus text. The classic
+    * head/middle/tail perplexity gate composes this with the existing
+    * per-group quantile machinery ([[perLangQualityGate]]).
+    *
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)` with V = corpus
+    * vocabulary size. Each doc-bigram term `k·log2(p)` is money-rounded
+    * FIRST then decimal-accumulated — the [[lexicalDiversity]]
+    * order-independence discipline — and `ppl = 2^bits` is applied to
+    * the already-rounded bits, so both engines exponentiate the same
+    * 4-dp double.
+    *
+    * Scale shape: one explode; the model is a partial-agg chain OVER the
+    * doc-level counts (doc-bigram → corpus-bigram → prefix — each a
+    * map-side-combining shuffle strictly smaller than the last), so the
+    * corpus is never re-read. Scoring is one shuffle join keyed on the
+    * bigram plus one on the prefix token; vocab size rides along as a
+    * 1-row broadcast scalar. No windows, no driver state. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docBg = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1), i ->
+           concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("k"))
+    val model = docBg.groupBy(col("g")).agg(sum(col("k")).as("c12"))
+    val prefix = model
+      .withColumn("w1", expr("element_at(split(g, ' '), 1)"))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(expr("split(text, ' ')")).as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("__v"))
+    docBg
+      .join(model, "g")
+      .withColumn("w1", expr("element_at(split(g, ' '), 1)"))
+      .join(prefix, "w1")
+      // INTENTIONAL 1-row broadcast nested loop (scalar attach, as in
+      // tfidfChecksum): the build side is a single row
+      .crossJoin(broadcast(vocab))
+      .withColumn("w", Fns.money(col("k") * log2(
+        (col("c12") + lit(1)).cast("double") / (col("c1").cast("double") + col("__v")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        Fns.money(-Fns.sumMoney(col("w")) / sum(col("k")).cast("double"))
+          .as("bits_per_token"))
+      .withColumn("ppl", Fns.money(pow(lit(2.0), col("bits_per_token"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic hash-based train/test split (90/10 by md5 of content
     * — reproducible across engines, runs, and cluster sizes; never
     * random). */

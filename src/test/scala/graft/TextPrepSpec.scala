@@ -85,6 +85,37 @@ class TextPrepSpec extends SparkSpec {
     assert(got.exists(_.getDouble(4) > 0.2) && got.exists(_.getDouble(4) < 0.05))
   }
 
+  test("lmPerplexity: bits-per-token matches a driver-side replay of the bigram LM") {
+    def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val bigrams = texts.view.mapValues(
+      _.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq).toMap
+    val c12 = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1.split(" ", -1).head).view.mapValues(_.values.sum).toMap
+    val v = texts.values.flatten.toSet.size.toDouble
+    val got = TextAnalysis.lmPerplexity(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == texts.keySet)
+    for (r <- got) {
+      val bg = bigrams(r.getLong(0))
+      assert(r.getLong(1) == bg.length)
+      val wSum = bg.groupBy(identity).map { case (g, occ) =>
+        BigDecimal(money(occ.size * (math.log((c12(g) + 1.0) /
+          (c1(g.split(" ", -1).head) + v)) / math.log(2.0))))
+      }.sum
+      val bits = money(-(wSum.toDouble) / bg.length)
+      assert(r.getDouble(2) == bits)
+      assert(r.getDouble(3) == money(math.pow(2.0, bits)))
+    }
+    // the LM discriminates: scores spread (the fixture's templated docs
+    // differ by ~0.5 bits) and the best-scored doc beats the uniform
+    // model's log2(V) bits
+    val bits = got.map(_.getDouble(2))
+    assert(bits.max > bits.min + 0.1)
+    assert(bits.min < math.log(v) / math.log(2.0))
+  }
+
   test("corpusMixture: weights normalize and temperature-flattening favors small sources") {
     val rows = TextAnalysis.corpusMixture(spark, dir).collect()
     val weightSum = rows.map(_.getDouble(4)).sum
