@@ -78,6 +78,8 @@ object SparkEntry {
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
     "repetition_signals" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "lm_perplexity"      -> ((s, d) => TextAnalysis.lmPerplexity(s, d)),
+    "perplexity_gate"    -> ((s, d) => TextAnalysis.perplexityGate(s, d)),
+    "dsir_weights"       -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "decontaminate"      -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "stratified_sample"  -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "sequence_packing"   -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
@@ -212,6 +214,25 @@ object SparkEntry {
         FROM pairs)
       WHERE rn = 1
       ORDER BY vec_drop
+    """
+      }) +
+      // generated SQL: the CCNet tercile gate extends lm_perplexity's
+      // bigram-LM chain — the prefix is cut at the final projection
+      // (`SELECT doc_id, n_bigrams`), keeping the whole scoring CTE
+      // chain; ntile(3) is a rank cut, identical in both engines
+      ("perplexity_gate" -> {
+        val src = m("lm_perplexity")
+        val cut = src.indexOf("SELECT doc_id, n_bigrams")
+        require(cut > 0, "lm_perplexity oracle lost its final-projection marker")
+        src.substring(0, cut) + """, scored AS (
+        SELECT d.doc_id, x.lang, d.bits_per_token,
+               ntile(3) OVER (PARTITION BY x.lang
+                              ORDER BY d.bits_per_token, d.doc_id) AS tercile
+        FROM doc d JOIN documents x USING (doc_id))
+      SELECT doc_id, lang, bits_per_token,
+             CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+             tercile <= 2 AS keep
+      FROM scored ORDER BY doc_id
     """
       }) +
       // generated SQL: the BPE training loop unrolled k times (argmax +
@@ -1771,6 +1792,48 @@ object SparkEntry {
       SELECT doc_id, n_bigrams, bits_per_token,
              floor(pow(2.0, bits_per_token) * 10000 + 0.5) / 10000 AS ppl
       FROM doc ORDER BY doc_id
+    """,
+    // DSIR importance weights: per-bucket log-ratio money-rounded first,
+    // per-doc terms money-rounded, decimal-accumulated; ntile(4) is a
+    // rank cut (identical in both engines)
+    "dsir_weights" -> """
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      fb AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+        FROM (
+          SELECT doc_id, lang, unnest(list_concat(toks,
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS f
+          FROM t)),
+      perdoc AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+      corpus AS (
+        SELECT b, count(*) AS cq,
+               count(*) FILTER (WHERE lang = 'en') AS ct
+        FROM fb GROUP BY 1),
+      tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS q,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS t
+        FROM fb),
+      r AS (
+        SELECT c.b,
+               floor(log2(((CAST(c.ct + 1 AS DOUBLE)) / (tot.t + 4096.0))
+                          / ((CAST(c.cq + 1 AS DOUBLE)) / (tot.q + 4096.0))) * 10000 + 0.5)
+                 / 10000 AS rb
+        FROM corpus c CROSS JOIN tot),
+      w AS (
+        SELECT p.doc_id, p.c,
+               floor((p.c * r.rb) * 10000 + 0.5) / 10000 AS wv
+        FROM perdoc p JOIN r USING (b)),
+      doc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+               floor(CAST(sum(CAST(wv AS DECIMAL(38,8))) AS DOUBLE) * 10000 + 0.5) / 10000 AS log_w
+        FROM w GROUP BY 1),
+      sel AS (
+        SELECT d.doc_id, x.lang, d.n_feats, d.log_w,
+               ntile(4) OVER (ORDER BY d.log_w DESC, d.doc_id) AS q4
+        FROM doc d JOIN documents x USING (doc_id))
+      SELECT doc_id, lang, n_feats, log_w, q4 = 1 AS selected
+      FROM sel ORDER BY doc_id
     """,
     // inverted-index decontamination: shared 3-gram hashes vs the
     // doc_id % 97 = 0 benchmark stand-in

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Fns, Tables}
 
@@ -520,6 +521,104 @@ object TextAnalysis {
         Fns.money(-Fns.sumMoney(col("w")) / sum(col("k")).cast("double"))
           .as("bits_per_token"))
       .withColumn("ppl", Fns.money(pow(lit(2.0), col("bits_per_token"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet's head/middle/tail perplexity gate (Wenzek et al. 2019 §4.3,
+    * the step AFTER [[lmPerplexity]] scoring): within each language,
+    * rank documents by bits-per-token and cut the ranking into terciles
+    * — `head` (most fluent third), `middle`, `tail` (most surprising
+    * third, usually dropped or down-weighted). Per-language terciles,
+    * not a global cutoff, because perplexity distributions are not
+    * comparable across languages. `keep` mirrors CCNet's default
+    * head+middle selection.
+    *
+    * Terciles are `ntile(3)` over `(bits_per_token, doc_id)` — a rank
+    * cut, not an interpolated quantile, so the boundary is exact and
+    * engine-portable (no float-interpolation agreement needed; doc_id
+    * breaks score ties deterministically). CAVEAT: the per-language
+    * window SORTS each language's full scored list on one reducer —
+    * fine here (the oracle needs the exact cut), but at billions of
+    * docs per language the 100 TB deployment swaps the ntile for
+    * `approx_percentile(bits, array(1/3, 2/3))` thresholds attached by
+    * broadcast — same gate semantics to within sketch rank error at the
+    * two boundaries, no per-language sort (the
+    * [[qualityGatePerLang]] pattern). */
+  def perplexityGate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bits_per_token"), col("doc_id"))
+    lmPerplexity(spark, dir)
+      .select(col("doc_id"), col("bits_per_token"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("bits_per_token"),
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        (col("tercile") <= 2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-style importance weighting for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): fit two bag-of-hashed-ngram models — `p` over a
+    * TARGET distribution (here the `en` slice, standing in for the
+    * paper's Wikipedia/books target) and `q` over the full raw corpus —
+    * and score every document by its log importance weight
+    * `log p(doc)/q(doc) = Σ_b c_b · log2(p_b/q_b)` over hashed
+    * unigram+bigram buckets (add-one smoothing on both sides). High
+    * weight = looks like the target; `selected` keeps the top quartile,
+    * the resampling step collapsed to its deterministic top-k variant.
+    *
+    * Portability: the per-bucket log-ratio is money-rounded FIRST, each
+    * doc term `c_b·r_b` money-rounded, then decimal-accumulated (the
+    * [[lmPerplexity]] discipline), so both engines sum identical 4-dp
+    * terms in any order. Bucket counts stay exact longs; the ratio is
+    * computed in double (exact for counts < 2^53 — beyond that, swap
+    * the doubles for decimals; documented, not hit at any tested SF).
+    *
+    * Scale shape: one explode to (doc, bucket) rows (narrow — 64-bit
+    * hash, no feature strings past the map side), then three hash
+    * aggregates that shrink in sequence (doc×bucket → bucket ×2) and a
+    * broadcast-joined 4096-row ratio table; totals ride as a 1-row
+    * broadcast scalar. The final global `ntile(4)` sorts the doc-level
+    * score list on one reducer — exact for the oracle; the 100 TB
+    * deployment swaps it for an `approx_percentile(log_w, 0.75)`
+    * threshold attached by broadcast (the [[qualityGatePerLang]]
+    * pattern), which keeps selection shuffle-free. */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """concat(toks, CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1), i ->
+             concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END)"""))
+        .as("f"))
+      .withColumn("b", Fns.h64(col("f")) % buckets)
+    val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val corpus = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("cq"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val totals = feats.agg(
+      count(lit(1)).cast("double").as("__q"),
+      count(when(col("lang") === "en", 1)).cast("double").as("__t"))
+    val ratio = corpus
+      // INTENTIONAL 1-row broadcast nested loop (scalar attach)
+      .crossJoin(broadcast(totals))
+      .select(col("b"), Fns.money(log2(
+        ((col("ct") + lit(1)).cast("double") / (col("__t") + lit(buckets.toDouble))) /
+          ((col("cq") + lit(1)).cast("double") / (col("__q") + lit(buckets.toDouble)))))
+        .as("rb"))
+    val scored = perDoc.join(broadcast(ratio), "b")
+      .withColumn("wv", Fns.money(col("c") * col("rb")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), Fns.money(Fns.sumMoney(col("wv"))).as("log_w"))
+    val w = Window.orderBy(col("log_w").desc, col("doc_id"))
+    scored
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("q4", ntile(4).over(w))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("log_w"),
+        (col("q4") === 1).as("selected"))
       .orderBy(col("doc_id"))
   }
 

@@ -116,6 +116,61 @@ class TextPrepSpec extends SparkSpec {
     assert(bits.min < math.log(v) / math.log(2.0))
   }
 
+  test("perplexityGate: per-lang terciles are balanced, ordered, and keep = not tail") {
+    val rows = TextAnalysis.perplexityGate(spark, dir).collect()
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.length == total)
+    for ((_, g) <- rows.groupBy(_.getString(1))) {
+      val byBucket = g.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      // ntile(3): bucket sizes differ by at most 1, head gets the remainder first
+      val sizes = Seq("head", "middle", "tail").map(byBucket.getOrElse(_, 0))
+      assert(sizes.max - sizes.min <= 1 && sizes.sum == g.length)
+      assert(sizes(0) >= sizes(1) && sizes(1) >= sizes(2))
+      // the cut is ordered: every head score <= every middle <= every tail
+      def bits(b: String) = g.filter(_.getString(3) == b).map(_.getDouble(2))
+      if (bits("head").nonEmpty && bits("middle").nonEmpty)
+        assert(bits("head").max <= bits("middle").min)
+      if (bits("middle").nonEmpty && bits("tail").nonEmpty)
+        assert(bits("middle").max <= bits("tail").min)
+    }
+    assert(rows.forall(r => r.getBoolean(4) == (r.getString(3) != "tail")))
+  }
+
+  test("dsirWeights: log importance weights match a driver-side replay and favor the target slice") {
+    def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    def feats(toks: Seq[String]) = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    val buckets = docs.map { case (id, lang, toks) =>
+      (id, lang, feats(toks).map(f => Fns.h64Literal(f) % 4096)) }
+    val all = buckets.flatMap(_._3)
+    val cq = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val enFeats = buckets.filter(_._2 == "en").flatMap(_._3)
+    val ct = enFeats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (qTot, tTot) = (all.size.toDouble, enFeats.size.toDouble)
+    val rb = cq.map { case (b, q) =>
+      b -> money(math.log(((ct.getOrElse(b, 0L) + 1.0) / (tTot + 4096.0)) /
+        ((q + 1.0) / (qTot + 4096.0))) / math.log(2.0)) }
+    val expected = buckets.map { case (id, _, bs) =>
+      val perB = bs.groupBy(identity).view.mapValues(_.size.toLong)
+      id -> money(perB.map { case (b, c) => BigDecimal(money(c * rb(b))) }.sum.toDouble)
+    }.toMap
+    val got = TextAnalysis.dsirWeights(spark, dir).collect()
+    assert(got.length == docs.length)
+    for (r <- got) assert(r.getDouble(3) == expected(r.getLong(0)),
+      s"doc ${r.getLong(0)}: got ${r.getDouble(3)} want ${expected(r.getLong(0))}")
+    // ntile(4) head bucket: exactly the top-quarter by (log_w DESC, doc_id)
+    val n = got.length
+    val headSize = n / 4 + (if (n % 4 >= 1) 1 else 0)
+    val sorted = got.sortBy(r => (-r.getDouble(3), r.getLong(0))).map(_.getLong(0))
+    val selIds = got.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(selIds == sorted.take(headSize).toSet)
+    // the weights discriminate: target-language docs average higher
+    val (en, rest) = got.partition(_.getString(1) == "en")
+    assert(en.map(_.getDouble(3)).sum / en.length > rest.map(_.getDouble(3)).sum / rest.length)
+  }
+
   test("corpusMixture: weights normalize and temperature-flattening favors small sources") {
     val rows = TextAnalysis.corpusMixture(spark, dir).collect()
     val weightSum = rows.map(_.getDouble(4)).sum
