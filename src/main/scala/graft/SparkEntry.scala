@@ -151,6 +151,7 @@ object SparkEntry {
     "lateral_top_orders"      -> ((s, d) => Extras.lateralTopOrders(s, d)),
     "normalize_text"          -> ((s, d) => TextAnalysis.normalizeText(s, d)),
     "part_pagerank"           -> ((s, d) => Graphs.partPagerank(s, d)),
+    "part_communities"        -> ((s, d) => Graphs.partCommunities(s, d)),
     "winsorized_stats"        -> ((s, d) => Extras.winsorizedStats(s, d)),
     // oracle = the training loop unrolled as a generated DuckDB CTE chain
     // (Bpe.oracleSql); additionally pinned against a sequential reference
@@ -233,6 +234,34 @@ object SparkEntry {
              CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
              tercile <= 2 AS keep
       FROM scored ORDER BY doc_id
+    """
+      }) +
+      // generated SQL: synchronous label propagation unrolled 4 rounds —
+      // per round a (node, label) count + deterministic argmax QUALIFY;
+      // the edge CTE is MATERIALIZED (referenced once per round)
+      ("part_communities" -> {
+        val rounds = (1 to 4).map { i =>
+          s"""r$i AS (
+        SELECT e.src AS part, l.label, count(*) AS c
+        FROM e JOIN l${i - 1} l ON l.part = e.dst
+        GROUP BY 1, 2),
+      l$i AS (
+        SELECT part, label FROM r$i
+        QUALIFY row_number() OVER (PARTITION BY part ORDER BY c DESC, label) = 1)"""
+        }.mkString(",\n      ")
+        s"""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
+        FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT DISTINCT a.part AS src, b.part AS dst
+        FROM items a JOIN items b USING (okey)
+        WHERE a.part <> b.part),
+      l0 AS (SELECT DISTINCT src AS part, src AS label FROM e),
+      $rounds
+      SELECT part, label AS community,
+             count(*) OVER (PARTITION BY label) AS community_size
+      FROM l4 ORDER BY part
     """
       }) +
       // generated SQL: the BPE training loop unrolled k times (argmax +

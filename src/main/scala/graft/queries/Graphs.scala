@@ -240,6 +240,58 @@ object Graphs {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Community detection on the co-purchase graph by SYNCHRONOUS label
+    * propagation (Raghavan et al. 2007), the linear-time alternative to
+    * modularity optimization: every node starts labeled with its own id;
+    * each round every node simultaneously adopts the most frequent label
+    * among its neighbors, ties broken by smallest label. Product
+    * communities = substitute/complement clusters in the co-purchase
+    * network; on a document link graph the identical operator yields the
+    * site/topic clusters crawl curation samples from.
+    *
+    * Determinism (the reason for SYNCHRONOUS rounds): asynchronous LPA
+    * depends on visit order, which no distributed engine reproduces.
+    * Synchronous rounds with integer counts and the (count DESC, label
+    * ASC) argmax are a pure function of the edge set, so a DuckDB
+    * oracle unrolling the same `iters` rounds is hash-identical.
+    * `iters` is FIXED (no convergence test) — label oscillation between
+    * rounds is possible in bipartite-ish regions by construction, and a
+    * fixed horizon keeps the oracle finite; 4 rounds reaches stable
+    * cores on every tested fixture.
+    *
+    * Scale shape: per round exactly one shuffle join (labels onto the
+    * edge list, keyed by node) and one two-level hash aggregate — the
+    * (node, label) count then the per-node argmax via `min(struct(-c,
+    * label))`, both with map-side partials; labels never leave the
+    * cluster, driver state is O(1). Edges are `localCheckpoint`ed once
+    * and re-scanned per round (the [[pagerank]] discipline). Final
+    * community sizes ride a window over the node-cardinality result. */
+  def partCommunities(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
+      .distinct()
+    val edges = items.withColumnRenamed("part", "src")
+      .join(items.withColumnRenamed("part", "dst"), "okey")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+      .localCheckpoint(true) // every round re-scans the edge relation
+    var labels = edges.select(col("src").as("part")).distinct()
+      .withColumn("label", col("part"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels, edges("dst") === labels("part"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("src").as("part"), col("m.l").as("label"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("community"))
+    labels.select(col("part"), col("label").as("community"))
+      .withColumn("community_size", count(lit(1)).over(w))
+      .orderBy(col("part"))
+  }
+
   /** Power iteration over a symmetric `(src, dst, outdeg)` edge list —
     * every node must both emit and receive (guaranteed when the edge set
     * is symmetric), so no dangling-mass redistribution pass is needed. */

@@ -98,6 +98,34 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: labels match a driver-side synchronous replay; sizes consistent") {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+      .as[(Long, Long)].collect()
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graphs.partCommunities(spark, sf).collect()
+    assert(got.length == labels.size)
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { r =>
+      assert(r.getLong(1) == labels(r.getLong(0)), s"part ${r.getLong(0)}")
+      assert(r.getLong(2) == sizes(r.getLong(1)))
+    }
+    // propagation actually merged: strictly fewer communities than nodes
+    assert(sizes.size < labels.size)
+  }
+
   test("winsorized stats: mean clamped into [lo, hi], clips counted, raw mean off-bounds") {
     Extras.winsorizedStats(spark, sf).collect().foreach { r =>
       val (lo, hi) = (r.getDouble(6), r.getDouble(7))
