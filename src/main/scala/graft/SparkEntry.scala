@@ -73,6 +73,7 @@ object SparkEntry {
     "knn_ivf"            -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_ivf_served"     -> ((s, d) => Similarity.knnIvfServed(s, d)),
     "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "knn_pq"             -> ((s, d) => Similarity.knnPq(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
@@ -236,6 +237,9 @@ object SparkEntry {
       FROM scored ORDER BY doc_id
     """
       }) +
+      // generated SQL: per-subspace PQ training/encoding/ADC/re-rank
+      // unrolled — see Similarity.pqOracleSql
+      ("knn_pq" -> graft.sim.Similarity.pqOracleSql()) +
       // generated SQL: synchronous label propagation unrolled 4 rounds —
       // per round a (node, label) count + deterministic argmax QUALIFY;
       // the edge CTE is MATERIALIZED (referenced once per round)
