@@ -74,6 +74,7 @@ object SparkEntry {
     "knn_ivf_served"     -> ((s, d) => Similarity.knnIvfServed(s, d)),
     "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
     "knn_pq"             -> ((s, d) => Similarity.knnPq(s, d)),
+    "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
     "gopher_quality"     -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
@@ -1560,6 +1561,28 @@ object SparkEntry {
       FROM s
       QUALIFY rank <= 3
       ORDER BY query_id, rank
+    """,
+    // hard-negative mining: the label-DISequality dual of knn_filtered
+    "hard_negatives" -> """
+      WITH p AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      q AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS va, norm2 AS na2
+            FROM p WHERE vec_id % 100 = 0),
+      s AS (
+        SELECT q.anchor_id, p.vec_id AS negative_id, q.anchor_label,
+               p.label AS negative_label,
+               floor((list_reduce(list_transform(range(1, len(q.va) + 1), i -> q.va[i] * p.v[i]),
+                 (x, y) -> x + y) / sqrt(q.na2 * p.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM q JOIN p ON p.label <> q.anchor_label)
+      SELECT anchor_id,
+             CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS INT) AS rank,
+             negative_id, anchor_label, negative_label, cosine
+      FROM s
+      QUALIFY rank <= 3
+      ORDER BY anchor_id, rank
     """,
     // IVF with a LEARNED coarse quantizer: Lloyd's k-means (k=10, 3
     // iterations) unrolled as CTEs — deterministic seed = smallest

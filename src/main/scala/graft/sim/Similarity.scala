@@ -107,6 +107,41 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the batch-mining
+    * step behind every embedding-model recipe, e.g. SimCSE/DPR-style
+    * training sets): for each anchor vector, the top-`k` OTHER-labeled
+    * corpus vectors by cosine — the negatives the current embedding
+    * space finds most confusable, which is exactly what the next
+    * training round should see. The dual of [[knnFilteredByLabel]]
+    * (same-label neighbors): here `label` is an ANTI-join predicate.
+    *
+    * Scale shape: other-label is a cross of the (tiny) label key space,
+    * so the join enumerates (anchor-label, corpus-label) pairs via the
+    * label-disequality condition on a broadcast of the anchor set —
+    * each corpus row meets only the anchors of other labels; with L
+    * balanced labels that is (L-1)/L of the pair workload, and at IVF
+    * scale the same predicate composes with the list id. Candidate
+    * scoring never shuffles the corpus; the per-anchor top-k is one
+    * window over candidate rows. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = prepared(spark, dir)
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("v").as("va"), col("norm2").as("na2"))
+    val corpus = e.select(col("vec_id").as("negative_id"), col("label"),
+      col("v").as("vb"), col("norm2").as("nb2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id"))
+    corpus.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        col("anchor_label"), col("label").as("negative_label"), col("cosine"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** Centroid state between Lloyd iterations: O(nClusters·dim) doubles on
     * the driver — the same driver-resident footprint spark-ml's KMeans
     * keeps, broadcast back into each iteration's single corpus scan. */

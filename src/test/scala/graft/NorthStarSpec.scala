@@ -217,6 +217,29 @@ class SimilaritySpec extends SparkSpec {
     assert(coarseRecall < recall, s"coarse $coarseRecall !< default $recall")
   }
 
+  test("hard negatives: top other-label cosines, never the anchor's own label") {
+    def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = Similarity.hardNegatives(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Int]("anchor_label") != r.getAs[Int]("negative_label")))
+    // brute-force replay: for each anchor the true top-3 other-label cosines
+    val all = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    def n2(v: Seq[Double]) = v.foldLeft(0.0)((a, x) => a + x * x)
+    for ((aid, rows) <- got.groupBy(_.getAs[Long]("anchor_id"))) {
+      val (_, albl, av) = all.find(_._1 == aid).get
+      val expected = all.filter(_._2 != albl).map { case (id, _, v) =>
+        (money(av.zip(v).foldLeft(0.0) { case (s, (x, y)) => s + x * y } /
+          math.sqrt(n2(av) * n2(v))), id)
+      }.sortBy { case (c, id) => (-c, id) }.take(3).map(_._2)
+      assert(rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("negative_id")).toSeq
+        == expected.toSeq, s"anchor $aid")
+    }
+  }
+
   test("knn brute force: chunked broadcast equals single-broadcast result") {
     // VERDICT r2 #7: a query set bigger than one broadcast must split
     // into bounded chunks without changing the answer
