@@ -578,16 +578,20 @@ object TextAnalysis {
     * the doubles for decimals; documented, not hit at any tested SF).
     *
     * Scale shape: one explode to (doc, bucket) rows (narrow — 64-bit
-    * hash, no feature strings past the map side), then three hash
-    * aggregates that shrink in sequence (doc×bucket → bucket ×2) and a
-    * broadcast-joined 4096-row ratio table; totals ride as a 1-row
-    * broadcast scalar. The final global `ntile(4)` sorts the doc-level
-    * score list on one reducer — exact for the oracle; the 100 TB
-    * deployment swaps it for an `approx_percentile(log_w, 0.75)`
-    * threshold attached by broadcast (the [[qualityGatePerLang]]
-    * pattern), which keeps selection shuffle-free. */
+    * hash, no feature strings past the map side), aggregated ONCE to
+    * per-(doc, bucket) counts; the whole model chain — per-bucket
+    * corpus/target counts and the grand totals — re-aggregates THOSE
+    * counts, never the corpus (plan-pinned: exactly two document scans,
+    * the model pass and the scoring pass; a deployment that persists
+    * the count relation collapses them to one). The 4096-row ratio
+    * table attaches back by broadcast; totals ride as a 1-row broadcast
+    * scalar. The final global `ntile(4)` sorts the doc-level score list
+    * on one reducer — exact for the oracle; the 100 TB deployment swaps
+    * it for an `approx_percentile(log_w, 0.75)` threshold attached by
+    * broadcast (the [[qualityGatePerLang]] pattern), which keeps
+    * selection shuffle-free. */
   def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096): DataFrame = {
-    val feats = Tables.documents(spark, dir)
+    val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("toks"))
       .select(col("doc_id"), col("lang"), explode(expr(
         """concat(toks, CASE WHEN size(toks) < 2 THEN array()
@@ -595,27 +599,27 @@ object TextAnalysis {
              concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END)"""))
         .as("f"))
       .withColumn("b", Fns.h64(col("f")) % buckets)
-    val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    val corpus = feats.groupBy(col("b")).agg(
-      count(lit(1)).as("cq"),
-      count(when(col("lang") === "en", 1)).as("ct"))
-    val totals = feats.agg(
-      count(lit(1)).cast("double").as("__q"),
-      count(when(col("lang") === "en", 1)).cast("double").as("__t"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    val corpus = perDoc.groupBy(col("b")).agg(
+      sum(col("c")).as("cq"),
+      sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))
+    // grand totals ride an unpartitioned window over the BUCKET relation
+    // (4096 rows by construction — bounded, never corpus-sized), which
+    // keeps the whole model chain one subtree: a separate totals
+    // aggregate would make Spark recompute the corpus counts twice
+    val wAll = Window.partitionBy()
     val ratio = corpus
-      // INTENTIONAL 1-row broadcast nested loop (scalar attach)
-      .crossJoin(broadcast(totals))
+      .withColumn("__q", sum(col("cq")).over(wAll).cast("double"))
+      .withColumn("__t", sum(col("ct")).over(wAll).cast("double"))
       .select(col("b"), Fns.money(log2(
         ((col("ct") + lit(1)).cast("double") / (col("__t") + lit(buckets.toDouble))) /
           ((col("cq") + lit(1)).cast("double") / (col("__q") + lit(buckets.toDouble)))))
         .as("rb"))
-    val scored = perDoc.join(broadcast(ratio), "b")
-      .withColumn("wv", Fns.money(col("c") * col("rb")))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_feats"), Fns.money(Fns.sumMoney(col("wv"))).as("log_w"))
     val w = Window.orderBy(col("log_w").desc, col("doc_id"))
-    scored
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    perDoc.join(broadcast(ratio), "b")
+      .withColumn("wv", Fns.money(col("c") * col("rb")))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_feats"), Fns.money(Fns.sumMoney(col("wv"))).as("log_w"))
       .withColumn("q4", ntile(4).over(w))
       .select(col("doc_id"), col("lang"), col("n_feats"), col("log_w"),
         (col("q4") === 1).as("selected"))

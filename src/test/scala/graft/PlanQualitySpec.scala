@@ -249,6 +249,43 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("part_communities: propagation rounds are equi-joins — no cross product, pruned edge scan") {
+    val plan = formatted(graft.queries.Graphs.partCommunities(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("dsir_weights: ratio broadcasts back; model derives from counts — exactly 2 corpus scans") {
+    val plan = formatted(graft.text.TextAnalysis.dsirWeights(spark, sf))
+    // the 4096-row bucket-ratio relation must broadcast onto the
+    // (doc, bucket) counts — never shuffle the counts by bucket alone
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // one scan feeds the model chain (per-doc → per-bucket → totals all
+    // re-aggregate counts), one feeds the scoring join — never more
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("lm_perplexity: model/prefix joins stay equi-joins; only the 1-row vocab scalar nests") {
+    val plan = formatted(graft.text.TextAnalysis.lmPerplexity(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // doc-bigram ⋈ model ⋈ prefix are hash joins on g / w1
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).nonEmpty, plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("knn_pq: the scored scan is the CODED corpus — no full-vector column past encoding") {
+    val df = graft.sim.Similarity.knnPq(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // scoring = coded corpus × broadcast query LUTs (intentional 1-row-ish
+    // nested loop); the re-rank joins vectors back by id as a hash join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
