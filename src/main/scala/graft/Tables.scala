@@ -34,6 +34,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         // integer division — ns-since-epoch exceeds double's 2^53 mantissa
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // fixture vintages without parquet tz metadata arrive as NTZ;
+        // session_window / unix_micros / withWatermark require LTZ
+        // TIMESTAMP — with the session pinned to UTC the cast is
+        // instant-preserving
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -149,8 +149,17 @@ object EventStream {
   /** File-source streaming read of the events table (parquet directory →
     * micro-batches), for tests and as the deployment template. */
   def readEventsStream(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    // normalize NTZ fixture vintages like Tables.events — watermarks and
+    // session windows require LTZ TIMESTAMP (session tz is UTC, so the
+    // cast is instant-preserving)
+    if (raw.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      raw.withColumn("ts", col("ts").cast("timestamp"))
+    else raw
+  }
 
   /** Start a memory-sink query over the windowed aggregation. */
   def startMemorySink(df: DataFrame, name: String): StreamingQuery =
