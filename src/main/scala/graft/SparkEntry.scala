@@ -127,6 +127,10 @@ object SparkEntry {
     "postings_index"          -> ((s, d) => TextAnalysis.postingsIndex(s, d)),
     "pii_redact"              -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "dup_spans"               -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "span_dedup"              -> ((s, d) => TextAnalysis.spanDedup(s, d)),
+    "k_anonymity"             -> ((s, d) => Analytics.kAnonymity(s, d)),
+    "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
+    "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
     "quality_gate_per_lang"   -> ((s, d) => TextAnalysis.qualityGatePerLang(s, d)),
     "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
@@ -1019,6 +1023,100 @@ object SparkEntry {
       GROUP BY span_h
       HAVING count(DISTINCT doc_id) >= 2
       ORDER BY span_h
+    """,
+    // C4-style global chunk dedup + reassembly: first occurrence =
+    // lowest (doc_id, chunk_no) per chunk hash, replayed here as a
+    // row_number window; reassembled text compared as md5
+    "span_dedup" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n_toks,
+               len(string_split(text, ' ')) // 8 AS n_chunks
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_no, t
+        FROM toks WHERE n_chunks >= 1),
+      hashed AS (
+        SELECT doc_id, chunk_no,
+               array_to_string(t[(chunk_no*8+1):(chunk_no*8+8)], ' ') AS chunk_text,
+               ('0x' || substr(md5(array_to_string(t[(chunk_no*8+1):(chunk_no*8+8)], ' ')), 1, 15))::BIGINT AS chunk_h
+        FROM chunks),
+      marked AS (
+        SELECT doc_id, chunk_no, chunk_text,
+               row_number() OVER (PARTITION BY chunk_h ORDER BY doc_id, chunk_no) = 1 AS kept
+        FROM hashed),
+      perdoc AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_no) FILTER (WHERE kept), '') AS kept_text
+        FROM marked GROUP BY doc_id)
+      SELECT tk.doc_id,
+             CAST(tk.n_chunks AS BIGINT) AS n_chunks,
+             CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(p.n_kept, 0) * 8 + (tk.n_toks - tk.n_chunks * 8) AS BIGINT) AS n_tokens_kept,
+             md5(coalesce(array_to_string(list_filter(
+               [coalesce(p.kept_text, ''),
+                coalesce(array_to_string(tk.t[(tk.n_chunks*8+1):tk.n_toks], ' '), '')],
+               s -> s <> ''), ' '), '')) AS clean_md5
+      FROM toks tk LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY tk.doc_id
+    """,
+    // k-anonymity / l-diversity audit: QI = (nation, segment, balance
+    // band), sensitive = order priority; equivalence classes with size
+    // and diversity flags
+    "k_anonymity" -> """
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
+             count(DISTINCT c.c_custkey) >= 5 AS k_anonymous,
+             count(DISTINCT o.o_orderpriority) >= 2 AS l_diverse
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """,
+    // curriculum ordering: exact global rank by (quality desc, doc_id) —
+    // Spark side computes it with range-partition + zipWithIndex, never
+    // a single-partition window
+    "curriculum_order" -> """
+      WITH q AS (
+        SELECT doc_id,
+               floor((least(1.0, n_tokens / 50.0) * (1.0 - n_digits / len_text) *
+                      (0.5 + 0.5 * least(1.0, s_en / n_tokens * 5))) * 10000 + 0.5) / 10000 AS quality_score
+        FROM (
+          SELECT doc_id, n_chars,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','to','in'))) AS INT) AS s_en,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+            CAST(length(text) AS INT) AS len_text
+          FROM documents))
+      SELECT doc_id, quality_score,
+             CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)
+               AS curriculum_pos
+      FROM q
+      ORDER BY curriculum_pos
+    """,
+    // length-bucketed batching plan: next-pow2 token buckets, per-bucket
+    // batch counts and padding overhead — aggregates only on both sides
+    "length_buckets" -> """
+      WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),
+      b AS (
+        SELECT CAST(power(2, ceil(log2(greatest(n_toks, 2)))) AS BIGINT) AS bucket_width,
+               n_toks
+        FROM d),
+      agg AS (
+        SELECT bucket_width,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS real_tokens
+        FROM b GROUP BY bucket_width)
+      SELECT bucket_width, n_docs, real_tokens,
+             CAST(greatest(2048 // bucket_width, 1) AS BIGINT) AS docs_per_batch,
+             CAST(ceil(CAST(n_docs AS DOUBLE) / greatest(2048 // bucket_width, 1)) AS BIGINT) AS n_batches,
+             CAST(n_docs * bucket_width AS BIGINT) AS padded_tokens,
+             floor((1.0 - CAST(real_tokens AS DOUBLE) / (n_docs * bucket_width)) * 10000 + 0.5) / 10000 AS pad_ratio
+      FROM agg
+      ORDER BY bucket_width
     """,
     // null-safe join: IS NOT DISTINCT FROM keeps null-keyed rows that
     // plain = would silently drop; counts must cover every event

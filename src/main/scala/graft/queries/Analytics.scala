@@ -392,4 +392,31 @@ object Analytics {
           .as("rare_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007 — public papers, re-expressed) over the customer table:
+    * quasi-identifiers are (nation, market segment, account-balance
+    * band); the sensitive attribute is the customer's order priority.
+    * Each QI equivalence class reports its size, its sensitive-value
+    * diversity, and whether it meets k-anonymity (size ≥ k) and
+    * l-diversity (≥ l distinct sensitive values) — the audit a privacy
+    * review runs before releasing a training extract.
+    *
+    * Scale shape: one equi-join keyed on custkey, then one grouped
+    * aggregate on the QI key with two DISTINCT aggregates (Catalyst's
+    * Expand rewrite — shuffle keyed on (QI, value), map-side partials,
+    * no windows). The equivalence-class relation is bounded by the QI
+    * domain product, not row count. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5, l: Int = 2): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+      .agg(
+        countDistinct(col("c_custkey")).as("group_size"),
+        countDistinct(col("o_orderpriority")).as("n_sensitive"))
+      .withColumn("k_anonymous", col("group_size") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
 }

@@ -399,6 +399,126 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
       .orderBy(col("span_h"))
 
+  /** Curriculum ordering: every document gets its exact global position
+    * in a quality-descending curriculum (cleanest data first — the
+    * ordering a curriculum-learning loader consumes). The interesting
+    * part at scale is the GLOBAL rank without a single-partition window:
+    * the money-rounded quality score is packed with the doc_id tiebreak
+    * into one long (score fits 14 bits on the 1e-4 grid; doc_id gets the
+    * low 44), and [[graft.engine.Scd2.assignIds]] range-partitions on
+    * that key and offsets per-partition `zipWithIndex` — identical
+    * result to `row_number() OVER (ORDER BY score DESC, doc_id)`, no
+    * stage ever sees more than one partition's rows.
+    *
+    * Precondition (checked): doc_id < 2^44 — the packed-key layout; a
+    * corpus with wider ids must widen the pack, and fails loudly here
+    * rather than silently mis-ranking. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val scored = quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("ord",
+        when(col("doc_id").between(0, (1L << 44) - 1),
+          ((lit(10000L) - floor(col("quality_score") * 10000 + 0.5).cast("long"))
+            .multiply(lit(1L << 44))) + col("doc_id"))
+          .otherwise(raise_error(concat(lit(
+            "curriculumOrder: doc_id out of packed-key range (doc_id="),
+            col("doc_id"), lit(") — widen the (score, id) pack")))))
+    graft.engine.Scd2.assignIds(scored, "ord", "curriculum_pos")
+      .select(col("doc_id"), col("quality_score"), col("curriculum_pos"))
+      .orderBy(col("curriculum_pos"))
+  }
+
+  /** Length-bucketed batching planner: documents are bucketed by
+    * next-power-of-two token count (the standard padding-efficiency
+    * trick — batching same-length-band sequences so pad tokens don't
+    * dominate), and each bucket reports its batch plan for a
+    * `budget`-token batch: docs per batch, number of batches, real vs
+    * padded token counts and the padding overhead ratio.
+    *
+    * Scale shape: pure aggregates — one per-row bucket computation and
+    * ONE grouped agg on ~log2(max_len) bucket keys with map-side
+    * partials; no windows, no per-bucket sequence numbers (the plan
+    * needs only counts, so the within-bucket order is left to the
+    * loader). */
+  def lengthBuckets(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("size(split(text, ' '))").as("n_toks"))
+      .withColumn("bucket_width",
+        expr("CAST(power(2, ceil(log2(greatest(n_toks, 2)))) AS BIGINT)"))
+      .groupBy(col("bucket_width"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("real_tokens"))
+      // a bucket wider than the budget still fits one (truncated) doc
+      // per batch — never 0 (which would poison n_batches)
+      .withColumn("docs_per_batch",
+        expr(s"CAST(greatest($budget DIV bucket_width, 1) AS BIGINT)"))
+      .withColumn("n_batches",
+        expr("CAST(ceil(CAST(n_docs AS DOUBLE) / docs_per_batch) AS BIGINT)"))
+      .withColumn("padded_tokens", (col("n_docs") * col("bucket_width")).cast("long"))
+      .withColumn("pad_ratio",
+        Fns.money(lit(1.0) - col("real_tokens") / col("padded_tokens")))
+      .orderBy(col("bucket_width"))
+
+  /** C4-style GLOBAL span dedup with document reassembly (Raffel et al.
+    * 2020 §2.2 deduplicate "three-sentence spans"; here fixed k-token
+    * chunks since the fixture has no sentence boundaries): the corpus is
+    * cut into non-overlapping k-token chunks, every chunk that already
+    * occurred anywhere earlier in the corpus (first occurrence = lowest
+    * (doc_id, chunk_no)) is REMOVED, and each document is re-assembled
+    * from its surviving chunks plus the <k-token tail remainder. Unlike
+    * [[dupSpans]] (which only REPORTS duplicated windows) this operator
+    * rewrites the corpus — the form a training pipeline actually ships.
+    *
+    * Scale shape: explode is ~tokens/k rows, each a narrow (doc_id,
+    * chunk_no, hash, text) tuple; first-occurrence election is ONE hash
+    * aggregate (`min(struct(doc_id, chunk_no))` — map-side partial, no
+    * window over the corpus), the mark-back join is co-partitioned on
+    * the same chunk_h key so AQE plans shuffle-hash without a second
+    * exchange, and reassembly is one doc_id aggregate whose state is
+    * bounded by a single document's chunks. No all-pairs stage, no
+    * global sort — O(tokens/k) shuffled bytes end to end, so the 100 TB
+    * path is "more partitions". Reassembled text leaves the operator as
+    * an md5 so the diff never hauls document bodies. */
+  def spanDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .withColumn("n_toks", expr("size(toks)"))
+      .withColumn("n_chunks", expr(s"CAST(floor(n_toks / $k) AS BIGINT)"))
+    val chunks = toks.filter(col("n_chunks") >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(n_chunks AS INT) - 1),
+            i -> concat_ws(' ', slice(toks, i * $k + 1, $k)))"""))
+        .as(Seq("chunk_no", "chunk_text")))
+      .withColumn("chunk_h",
+        expr("CAST(conv(substr(md5(chunk_text), 1, 15), 16, 10) AS BIGINT)"))
+    val keepers = chunks.groupBy(col("chunk_h"))
+      .agg(min(struct(col("doc_id"), col("chunk_no"))).as("keeper"))
+    val perDoc = chunks.join(keepers, "chunk_h")
+      .withColumn("kept", struct(col("doc_id"), col("chunk_no")) === col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          """transform(
+               array_sort(collect_list(CASE WHEN kept
+                 THEN struct(chunk_no, chunk_text) END)),
+               s -> s.chunk_text)"""), " ").as("kept_text"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)) * k +
+          (col("n_toks") - col("n_chunks") * k)).cast("long").as("n_tokens_kept"),
+        md5(concat_ws(" ", expr(s"""filter(
+            array(coalesce(kept_text, ''),
+                  concat_ws(' ', slice(toks, CAST(n_chunks * $k AS INT) + 1,
+                                       CAST(n_toks - n_chunks * $k AS INT)))),
+            s -> s <> '')"""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pattern-based sensitive-content redaction — the PII scrub every
     * training-data pipeline runs before anything else. One compiled
     * regex alternation per row (emails, long digit runs, and a

@@ -177,4 +177,21 @@ class AnalyticsSpec extends SparkSpec {
     val allRare = rows.filter(r => r.getLong(2) == r.getLong(1))
     allRare.foreach(r => assert(r.getDouble(3) === 1.0))
   }
+
+  test("kAnonymity: classes partition customers; flags match their definitions") {
+    val rows = Analytics.kAnonymity(spark, sf).collect()
+    val nCustomers = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum == nCustomers) // QI classes partition the table
+    rows.foreach { r =>
+      val (size, lDist, kFlag, lFlag) =
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))
+      assert(kFlag == (size >= 5) && lFlag == (lDist >= 2))
+      assert(lDist <= 5) // at most the 5 distinct order priorities
+      assert(size >= 1)
+    }
+    // violating classes must exist at any fixture scale (singletons are
+    // inevitable); both outcomes only once classes can reach k=5 members
+    assert(rows.exists(!_.getBoolean(5)))
+    if (nCustomers >= 10000) assert(rows.exists(_.getBoolean(5)))
+  }
 }

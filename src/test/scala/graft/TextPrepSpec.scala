@@ -33,6 +33,62 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup: each distinct chunk survives exactly once; fully-kept docs reconstruct") {
+    val out = TextAnalysis.spanDedup(spark, dir).collect()
+    // global invariant: Σ n_kept over the corpus = number of DISTINCT
+    // chunk hashes (first occurrence survives, every other copy removed)
+    val k = 8
+    val distinctChunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(explode(expr(
+        s"""transform(sequence(1, CAST(floor(size(toks) / $k) AS INT)),
+            i -> concat_ws(' ', slice(toks, (i - 1) * $k + 1, $k)))""")).as("c"))
+      .agg(countDistinct(col("c"))).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == distinctChunks)
+    // reconstruction: a doc keeping ALL its chunks reassembles to its
+    // original text (kept chunks in order + tail remainder)
+    val texts = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val full = out.filter(r => r.getLong(1) == r.getLong(2))
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getString(4) == hex(texts(r.getLong(0))),
+        s"doc ${r.getLong(0)} fully kept but reassembly differs")
+    }
+    // every doc appears exactly once, short docs (< k tokens) included
+    assert(out.map(_.getLong(0)).toSet == texts.keySet)
+  }
+
+  test("curriculumOrder: positions are the exact global rank (permutation, window-agreement)") {
+    val out = TextAnalysis.curriculumOrder(spark, dir).collect()
+    val n = out.length
+    // a permutation of 1..N
+    assert(out.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq)
+    // agrees with the single-partition window reference (fixture-sized)
+    val byRank = out.sortBy(_.getLong(2))
+    val reference = out.sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    assert(byRank.map(_.getLong(0)).toSeq == reference.map(_.getLong(0)).toSeq)
+  }
+
+  test("lengthBuckets: buckets partition the corpus and widths bound every doc") {
+    val docs = Tables.documents(spark, dir)
+      .select(expr("size(split(text, ' '))").as("n")).collect().map(_.getInt(0))
+    val out = TextAnalysis.lengthBuckets(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum == docs.length)      // every doc bucketed once
+    assert(out.map(_.getLong(2)).sum == docs.map(_.toLong).sum) // token mass conserved
+    out.foreach { r =>
+      val (width, nDocs, dpb, nBatches) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert((width & (width - 1)) == 0L)                 // power of two
+      assert(dpb >= 1)
+      assert(nBatches == (nDocs + dpb - 1) / dpb)         // ceil division
+      assert(r.getLong(5) == nDocs * width)               // padded = n * width
+    }
+  }
+
   test("editDistancePairs: banding + q-gram count filter are lossless vs all-pairs") {
     import spark.implicits._
     val banded = Dedup.editDistancePairs(spark, dir).collect().toSeq
