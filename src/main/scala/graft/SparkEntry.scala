@@ -129,6 +129,9 @@ object SparkEntry {
     "dup_spans"               -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "span_dedup"              -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "k_anonymity"             -> ((s, d) => Analytics.kAnonymity(s, d)),
+    "source_overlap"          -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "tokenizer_coverage"      -> ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
+    "ann_recall"              -> ((s, d) => Similarity.annRecall(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -271,6 +274,62 @@ object SparkEntry {
       SELECT part, label AS community,
              count(*) OVER (PARTITION BY label) AS community_size
       FROM l4 ORDER BY part
+    """
+      }) +
+      // composed SQL: recall@k of IVF vs brute force — both existing
+      // oracles nested verbatim as CTE subqueries, joined on the
+      // (query, neighbor) pair
+      ("ann_recall" -> {
+        s"""
+      WITH bf AS (${m("knn_bruteforce")}),
+           iv AS (${m("knn_ivf")})
+      SELECT bf.query_id,
+             CAST(count(iv.neighbor_id) AS BIGINT) AS n_hit,
+             CAST(5 AS BIGINT) AS k,
+             floor((count(iv.neighbor_id) / 5.0) * 10000 + 0.5) / 10000 AS recall
+      FROM bf LEFT JOIN iv
+        ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+      GROUP BY bf.query_id
+      ORDER BY bf.query_id
+    """
+      }) +
+      // generated SQL: union-MinHash per source (K=16 permutation mins as
+      // generated aggregate columns) next to the exact token-set Jaccard
+      ("source_overlap" -> {
+        val K = graft.dedup.Dedup.K; val P = graft.dedup.Dedup.P
+        val mins = (0 until K).map(i =>
+          s"min(((2 * $i + 1) * h + 7 * $i + 3) % $P) AS m$i").mkString(",\n               ")
+        val agree = (0 until K).map(i =>
+          s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+      WITH st AS MATERIALIZED (
+        SELECT DISTINCT source, t FROM (
+          SELECT source, unnest(list_distinct(string_split(text, ' '))) AS t
+          FROM documents)),
+      h AS (
+        SELECT source, t,
+               ('0x' || substr(md5(t), 1, 15))::BIGINT % $P AS h
+        FROM st),
+      sigs AS (
+        SELECT source, count(DISTINCT t) AS n_terms,
+               $mins
+        FROM h GROUP BY source),
+      inter AS (
+        SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_common
+        FROM st x JOIN st y ON x.t = y.t AND x.source < y.source
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n_terms AS na, b.n_terms AS nb,
+               ($agree) AS n_agree
+        FROM sigs a JOIN sigs b ON a.source < b.source)
+      SELECT p.src_a, p.src_b,
+             CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+             CAST(p.na + p.nb - coalesce(i.n_common, 0) AS BIGINT) AS n_union,
+             floor((coalesce(i.n_common, 0) / (p.na + p.nb - coalesce(i.n_common, 0))) * 10000 + 0.5) / 10000 AS jaccard,
+             floor((n_agree / ${K}.0) * 10000 + 0.5) / 10000 AS est_jaccard
+      FROM pairs p LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+      ORDER BY p.src_a, p.src_b
     """
       }) +
       // generated SQL: the BPE training loop unrolled k times (argmax +
@@ -2213,6 +2272,26 @@ object SparkEntry {
       GROUP BY term
       ORDER BY df DESC, tf DESC, term
       LIMIT 50
+    """,
+    // vocabulary coverage per language vs the top-50 corpus vocab (the
+    // vocab_top_terms definition verbatim)
+    "tokenizer_coverage" -> """
+      WITH vocab AS (
+        SELECT term FROM (
+          SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY term
+          ORDER BY df DESC, tf DESC, term
+          LIMIT 50)),
+      toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      SELECT t.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             floor((sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS coverage,
+             floor((1.0 - sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS oov_rate
+      FROM toks t LEFT JOIN vocab v ON t.term = v.term
+      GROUP BY t.lang
+      ORDER BY t.lang
     """,
     "tfidf_checksum" -> """
       WITH tfm AS (

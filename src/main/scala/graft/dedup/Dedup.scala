@@ -592,4 +592,61 @@ object Dedup {
         (col("doc_id") === col("kept_doc_id")).cast("int").as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Pairwise corpus-source overlap: for every pair of `source` values,
+    * the exact token-set Jaccard AND its union-MinHash estimate side by
+    * side — the cross-source contamination audit run before mixing
+    * corpora (is src3 a re-crawl of src7?), doubling as a live fidelity
+    * check of the sketch against ground truth.
+    *
+    * Union-MinHash: the signature of a source is the per-permutation min
+    * over ALL its documents' token hashes (min is associative, so the
+    * union sketch is one grouped aggregate with K longs of state per
+    * source — never materializing the union set). Same (2i+1)h+7i+3
+    * mod-P permutation family as [[withSignature]], so the DuckDB oracle
+    * replays it bit-for-bit. Estimated Jaccard = agreeing permutations
+    * / K.
+    *
+    * Scale shape: the sketch side is O(sources × K) state; the exact
+    * side dedups to DISTINCT (source, token) rows (bounded by sources ×
+    * vocabulary, NOT corpus size) and self-joins on the token key —
+    * per-token fan-out is bounded by source count squared, which is the
+    * bounded-dimension regime (sources are ~10³ even at 100 TB). Pair
+    * enumeration is sources², a broadcast-scale relation. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
+      .distinct()
+      .withColumn("h",
+        expr(s"CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P"))
+    val minCols = (0 until K).map(i =>
+      min(expr(s"((2 * $i + 1) * h + 7 * $i + 3) % $P")).as(s"m$i"))
+    val sigs = st.groupBy(col("source"))
+      .agg(countDistinct(col("t")).as("n_terms"), minCols: _*)
+    val a = sigs.select(col("source").as("src_a") +: col("n_terms").as("na") +:
+      (0 until K).map(i => col(s"m$i").as(s"am$i")): _*)
+    val b = sigs.select(col("source").as("src_b") +: col("n_terms").as("nb") +:
+      (0 until K).map(i => col(s"m$i").as(s"bm$i")): _*)
+    val agree = (0 until K)
+      .map(i => (col(s"am$i") === col(s"bm$i")).cast("long"))
+      .reduce(_ + _)
+    val pairs = a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("n_agree", agree)
+    val inter = st.select(col("source").as("src_a"), col("t")).as("x")
+      .join(st.select(col("source").as("src_b"), col("t")).as("y"), "t")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(
+        col("src_a"), col("src_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (col("na") + col("nb") - coalesce(col("n_common"), lit(0L)))
+          .cast("long").as("n_union"),
+        Fns.money(coalesce(col("n_common"), lit(0L)) /
+          (col("na") + col("nb") - coalesce(col("n_common"), lit(0L))))
+          .as("jaccard"),
+        Fns.money(col("n_agree") / lit(K.toDouble)).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

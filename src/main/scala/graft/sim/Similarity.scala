@@ -589,4 +589,29 @@ object Similarity {
     buildIvfIndex(spark, dir, idx, nClusters, iters)
     knnIvfFromIndex(spark, dir, idx, k, nprobe)
   }
+
+  /** ANN quality evaluation: per-query recall@k of the IVF probe search
+    * against the exact brute-force ground truth — the offline eval every
+    * ANN deployment runs before trading recall for probe cost (the
+    * nprobe/nClusters dial needs this number to be turned honestly).
+    *
+    * Scale shape: both inputs are (queries × k) relations — already
+    * reduced by their own top-k — so the pair-membership join and the
+    * per-query rollup are query-scale work, independent of corpus size.
+    */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val bf = knnBruteForce(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val iv = knnIvf(spark, dir, k)
+      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"),
+        lit(1).as("hit"))
+    bf.join(iv,
+        col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall", Fns.money(col("n_hit") / lit(k.toDouble)))
+      .orderBy(col("query_id"))
+  }
 }

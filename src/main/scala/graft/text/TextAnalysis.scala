@@ -278,6 +278,31 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("tf").desc, col("term"))
       .limit(k)
 
+  /** Tokenizer-vocabulary coverage per language: the fraction of corpus
+    * token OCCURRENCES covered by the top-`k` corpus vocabulary (the
+    * [[vocabTopTerms]] definition verbatim), and the complementary OOV
+    * rate — the coverage audit run after training a tokenizer to see
+    * which language slices it under-serves.
+    *
+    * Scale shape: the vocabulary is bounded by `k`, so the membership
+    * probe is an explicitly-broadcast join (bounded relation — the
+    * nation/region rule, never an SF-scaled table); the per-language
+    * rollup is one grouped aggregate with map-side partials. */
+  def tokenizerCoverage(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val vocab = broadcast(
+      vocabTopTerms(spark, dir, k).select(col("term"), lit(1).as("in_vocab")))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr("split(text, ' ')")).as("term"))
+      .join(vocab, Seq("term"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).cast("long").as("n_covered"))
+      .withColumn("coverage", Fns.money(col("n_covered") / col("n_tokens")))
+      .withColumn("oov_rate",
+        Fns.money(lit(1.0) - col("n_covered") / col("n_tokens")))
+      .orderBy(col("lang"))
+  }
+
   /** Search-style inverted index: per term, the top-`k` posting list of
     * doc_ids ranked by term frequency (tf DESC, doc_id ASC). The cap
     * rides the bounded-heap `topk_by` aggregate

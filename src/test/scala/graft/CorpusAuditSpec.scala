@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Invariants of the corpus-audit operators (cross-source overlap,
+  * ANN recall eval, tokenizer coverage) that the oracle diff cannot
+  * see: sketch-vs-exact fidelity, recall bounds, and mass conservation.
+  */
+class CorpusAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sourceOverlap: all pairs present, exact Jaccard bounded, sketch tracks truth") {
+    val rows = Dedup.sourceOverlap(spark, dir).collect()
+    val nSources = Tables.documents(spark, dir)
+      .select(countDistinct(col("source"))).head().getLong(0).toInt
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (common, union, j, est) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(common <= union && union > 0)
+      assert(j >= 0.0 && j <= 1.0 && est >= 0.0 && est <= 1.0)
+      assert(math.abs(j - common.toDouble / union) < 1e-4)
+    }
+    // union-MinHash with K=16 has σ ≈ 0.125 per pair; the MEAN absolute
+    // error across 190 pairs must be well inside that band
+    val mae = rows.map(r => math.abs(r.getDouble(4) - r.getDouble(5))).sum / rows.length
+    assert(mae < 0.2, s"sketch mean abs error $mae")
+  }
+
+  test("annRecall: per-query recall bounded and consistent with n_hit") {
+    val rows = Similarity.annRecall(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hit, k, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hit >= 0 && hit <= k)
+      assert(math.abs(recall - hit.toDouble / k) < 1e-4)
+    }
+    // probing 2/10 lists must beat random-list recall on the fixture
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.2, s"mean recall $mean")
+  }
+
+  test("tokenizerCoverage: token mass conserved, coverage consistent") {
+    val rows = TextAnalysis.tokenizerCoverage(spark, dir).collect()
+    val totalToks = Tables.documents(spark, dir)
+      .select(sum(expr("size(split(text, ' '))"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalToks)
+    rows.foreach { r =>
+      val (n, cov, rate) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(r.getLong(2) <= n)
+      assert(cov >= 0.0 && cov <= 1.0)
+      assert(math.abs(cov + rate - 1.0) < 2e-4) // money-rounded complements
+    }
+  }
+}
