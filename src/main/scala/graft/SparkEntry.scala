@@ -132,6 +132,8 @@ object SparkEntry {
     "source_overlap"          -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "tokenizer_coverage"      -> ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
     "ann_recall"              -> ((s, d) => Similarity.annRecall(s, d)),
+    "cluster_topics"          -> ((s, d) => Similarity.clusterTopics(s, d)),
+    "zipf_fit"                -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -274,6 +276,65 @@ object SparkEntry {
       SELECT part, label AS community,
              count(*) OVER (PARTITION BY label) AS community_size
       FROM l4 ORDER BY part
+    """
+      }) +
+      // generated SQL: cluster topic labels — shares knn_ivf's
+      // unrolled-Lloyd prefix (identical fit ⟹ identical clusters) like
+      // semantic_dedup, then replays assignment + cluster-level TF-IDF
+      ("cluster_topics" -> {
+        val src = m("knn_ivf")
+        val cut = src.indexOf("q AS (")
+        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+        src.substring(0, cut) + """bf AS (
+        SELECT p.vec_id, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN centn c),
+      assigned AS (
+        SELECT vec_id, cid FROM bf
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      tfm AS (
+        SELECT a.cid, d.term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) d
+        JOIN assigned a ON a.vec_id = d.doc_id
+        GROUP BY 1, 2),
+      dfm AS (SELECT term, count(*) AS df FROM tfm GROUP BY term),
+      sc AS (
+        SELECT t.cid, t.term, t.tf, f.df,
+               floor((t.tf * ln(10.0 / f.df)) * 10000 + 0.5) / 10000 AS score
+        FROM tfm t JOIN dfm f USING (term))
+      SELECT cid,
+             CAST(row_number() OVER (PARTITION BY cid ORDER BY score DESC, term) AS INT) AS rank,
+             term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      FROM sc
+      QUALIFY rank <= 5
+      ORDER BY cid, rank
+    """
+      }) +
+      // generated SQL: Zipf OLS via the shared money/sumMoney dialect
+      // helpers — every ln() money-rounded before the decimal sums
+      ("zipf_fit" -> {
+        import graft.Fns.{moneySql, sumMoneySql}
+        s"""
+      WITH top AS (
+        SELECT term, count(*) AS tf
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term ORDER BY tf DESC, term LIMIT 100),
+      pts AS (
+        SELECT ${moneySql("ln(row_number() OVER (ORDER BY tf DESC, term))")} AS x,
+               ${moneySql("ln(tf)")} AS y
+        FROM top),
+      s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               ${sumMoneySql("x")} AS sx,
+               ${sumMoneySql("y")} AS sy,
+               ${sumMoneySql(moneySql("x * x"))} AS sxx,
+               ${sumMoneySql(moneySql("x * y"))} AS sxy
+        FROM pts)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+             ${moneySql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS zipf_slope,
+             ${moneySql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept
+      FROM s
     """
       }) +
       // composed SQL: recall@k of IVF vs brute force — both existing

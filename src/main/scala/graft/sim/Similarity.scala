@@ -590,6 +590,42 @@ object Similarity {
     knnIvfFromIndex(spark, dir, idx, k, nprobe)
   }
 
+  /** Topic labels for the semantic clusters: assign every document to
+    * its nearest k-means centroid (the [[kmeansFit]] quantizer shared
+    * with IVF/SemDeDup — identical deterministic fit, so the oracle
+    * replays it), then rank each cluster's terms by cluster-level
+    * TF-IDF (tf within cluster × ln(nClusters / #clusters-with-term))
+    * and keep the top `topK` — the "what is this cluster about" step
+    * after any embedding-space grouping.
+    *
+    * Scale shape: assignment is the narrow per-row argmax projection;
+    * term scoring is two hash aggregates on (cid, term) / (term); the
+    * per-cluster ranking window sorts a relation bounded by clusters ×
+    * VOCABULARY (never corpus rows) — the same boundedness class as
+    * [[graft.text.TextAnalysis.vocabTopTerms]]' global sort. */
+  def clusterTopics(spark: SparkSession, dir: String, nClusters: Int = 10,
+      topK: Int = 5): DataFrame = {
+    val e = prepared(spark, dir)
+    val cents = kmeansFit(spark, dir, nClusters, 3)
+    val assigned = assignCid(e, cents, "v", "norm2")
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val tf = Tables.documents(spark, dir)
+      .join(assigned, "doc_id")
+      .select(col("cid"), explode(expr("split(text, ' ')")).as("term"))
+      .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score",
+        Fns.money(col("tf") * log(lit(nClusters.toDouble) / col("df"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("cid"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("cid"), col("rank"))
+  }
+
   /** ANN quality evaluation: per-query recall@k of the IVF probe search
     * against the exact brute-force ground truth — the offline eval every
     * ANN deployment runs before trading recall for probe cost (the

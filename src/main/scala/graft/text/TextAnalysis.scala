@@ -303,6 +303,40 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Zipf-law fit over the corpus vocabulary: OLS of ln(term frequency)
+    * against ln(frequency rank) for the top-`n` terms — the slope is the
+    * Zipf exponent (≈ −1 for natural text; far-off values flag synthetic
+    * or templated corpora, a cheap distribution-level health check next
+    * to the per-document signals).
+    *
+    * Numeric discipline: each ln() term is money-rounded FIRST (single
+    * libm call per value — engine-identical after rounding), then the
+    * OLS sums decimal-accumulate the rounded grid values
+    * ([[lexicalDiversity]]'s pattern), so parallel merge order cannot
+    * change a bit. The rank window sorts only the top-`n` relation
+    * (bounded by the limit, not the vocabulary). */
+  def zipfFit(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(expr("split(text, ' ')")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(n)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    val pts = top.withColumn("rank", row_number().over(w))
+      .withColumn("x", Fns.money(log(col("rank"))))
+      .withColumn("y", Fns.money(log(col("tf"))))
+    val nD = count(lit(1)).cast("double")
+    val sx = Fns.sumMoney(col("x")).cast("double")
+    val sy = Fns.sumMoney(col("y")).cast("double")
+    val sxx = Fns.sumMoney(Fns.money(col("x") * col("x"))).cast("double")
+    val sxy = Fns.sumMoney(Fns.money(col("x") * col("y"))).cast("double")
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    pts.agg(
+      count(lit(1)).as("n_terms"),
+      Fns.money(slope).as("zipf_slope"),
+      Fns.money((sy - slope * sx) / nD).as("intercept"))
+  }
+
   /** Search-style inverted index: per term, the top-`k` posting list of
     * doc_ids ranked by term frequency (tf DESC, doc_id ASC). The cap
     * rides the bounded-heap `topk_by` aggregate

@@ -44,6 +44,35 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mean >= 0.2, s"mean recall $mean")
   }
 
+  test("clusterTopics: contiguous ranks per cluster, scores consistent and ordered") {
+    val rows = Similarity.clusterTopics(spark, dir).collect()
+    val byCid = rows.groupBy(_.getInt(0))
+    byCid.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 5)
+      // scores non-increasing down the ranking; score = money(tf·ln(K/df))
+      val scores = sorted.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val expect = math.floor(
+          r.getLong(3) * math.log(10.0 / r.getLong(4)) * 10000 + 0.5) / 10000
+        assert(math.abs(r.getDouble(5) - expect) < 1e-9)
+      }
+    }
+    // every document's cluster is represented across the topics input
+    assert(byCid.keySet.size > 1)
+  }
+
+  test("zipfFit: negative slope on a frequency-ranked vocabulary") {
+    val r = TextAnalysis.zipfFit(spark, dir).head()
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(expr("split(text, ' ')")).as("t"))
+      .select(countDistinct(col("t"))).head().getLong(0)
+    assert(r.getLong(0) == math.min(100L, vocab))
+    assert(r.getDouble(1) < 0.0, s"zipf slope ${r.getDouble(1)} must be negative")
+  }
+
   test("tokenizerCoverage: token mass conserved, coverage consistent") {
     val rows = TextAnalysis.tokenizerCoverage(spark, dir).collect()
     val totalToks = Tables.documents(spark, dir)
