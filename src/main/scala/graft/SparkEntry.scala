@@ -134,6 +134,8 @@ object SparkEntry {
     "ann_recall"              -> ((s, d) => Similarity.annRecall(s, d)),
     "cluster_topics"          -> ((s, d) => Similarity.clusterTopics(s, d)),
     "zipf_fit"                -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "mixture_schedule"        -> ((s, d) => TextAnalysis.mixtureSchedule(s, d)),
+    "embedding_quantize"      -> ((s, d) => Similarity.embeddingQuantize(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -337,6 +339,47 @@ object SparkEntry {
       FROM s
     """
       }) +
+      // composed SQL: the epoch-plan table over corpus_mixture's output
+      // (nested verbatim); floor before every long cast — Spark
+      // truncates double→long where DuckDB rounds
+      ("mixture_schedule" -> {
+        s"""
+      WITH cm AS (${m("corpus_mixture")}),
+      tot AS (SELECT sum(tokens) AS tt FROM cm)
+      SELECT cm.source, cm.tokens, cm.weight,
+             CAST(floor(cm.weight * floor(tt * 2.0)) AS BIGINT) AS target_tokens,
+             floor((CAST(floor(cm.weight * floor(tt * 2.0)) AS BIGINT) / cm.tokens) * 10000 + 0.5) / 10000 AS epochs,
+             floor((CAST(floor(cm.weight * floor(tt * 2.0)) AS BIGINT) / cm.tokens) * 10000 + 0.5) / 10000 > 1.0 AS oversampled
+      FROM cm, tot
+      ORDER BY cm.source
+    """
+      }) +
+      // generated SQL: int8 scalar quantization — per-dim ranges as
+      // ordered lists, code/error replay with 1-based list indexing
+      // (weights (i+1) on the Spark side = i here)
+      ("embedding_quantize" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      vals AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM e),
+      mm AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi FROM vals GROUP BY i),
+      r AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM mm),
+      q AS (
+        SELECT vec_id, v, los, his,
+               list_transform(range(1, len(v) + 1), i ->
+                 CASE WHEN his[i] = los[i] THEN 0
+                      ELSE CAST(floor((v[i] - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS BIGINT)
+                 END) AS codes
+        FROM e, r)
+      SELECT vec_id,
+             CAST(list_reduce(list_transform(range(1, len(codes) + 1), i -> codes[i] * i),
+               (a, b) -> a + b) AS BIGINT) AS code_checksum,
+             floor((list_reduce(list_transform(range(1, len(v) + 1), i ->
+                 CASE WHEN his[i] = los[i] THEN 0.0
+                      ELSE (v[i] - (los[i] + codes[i] / 255.0 * (his[i] - los[i]))) *
+                           (v[i] - (los[i] + codes[i] / 255.0 * (his[i] - los[i])))
+                 END), (a, b) -> a + b) / len(v) * 1000000.0) * 10000 + 0.5) / 10000 AS recon_mse_ppm
+      FROM q
+      ORDER BY vec_id
+    """) +
       // composed SQL: recall@k of IVF vs brute force — both existing
       // oracles nested verbatim as CTE subqueries, joined on the
       // (query, neighbor) pair

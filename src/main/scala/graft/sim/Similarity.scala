@@ -626,6 +626,55 @@ object Similarity {
       .orderBy(col("cid"), col("rank"))
   }
 
+  /** Int8 scalar quantization of the embedding corpus — the 4×-memory
+    * compression step an ANN serving tier applies before anything else:
+    * per-dimension [min, max] ranges over the corpus, each component
+    * mapped to a 0..255 code, reported as a per-vector code checksum
+    * plus the reconstruction MSE (the number that says whether int8 is
+    * safe for this embedding distribution).
+    *
+    * Scale shape: the range pass is explode → per-dimension min/max
+    * with map-side partials (the shuffle carries dims × partitions
+    * rows, not the corpus); the ranges come back as one broadcast row
+    * of two dim-length arrays, and encoding is pure per-row HOF work.
+    * Constant dimensions (hi = lo) code to 0 and contribute zero error
+    * rather than dividing by zero. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val mm = e
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val ranges = mm.agg(
+      expr("transform(array_sort(collect_list(struct(i, lo))), s -> s.lo)").as("los"),
+      expr("transform(array_sort(collect_list(struct(i, hi))), s -> s.hi)").as("his"))
+    e.crossJoin(broadcast(ranges))
+      .withColumn("codes", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+             CASE WHEN his[i] = los[i] THEN 0L
+                  ELSE CAST(floor((v[i] - los[i]) / (his[i] - los[i]) * 255 + 0.5) AS BIGINT)
+             END)"""))
+      // 255.0 would parse as DECIMAL(4,1) in Spark SQL — decimal
+      // division rounds to scale and diverges from the oracle's IEEE
+      // double path in the last ulps; force the double divisor
+      .withColumn("errs", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+             CASE WHEN his[i] = los[i] THEN CAST(0 AS DOUBLE)
+                  ELSE v[i] - (los[i] + codes[i] / CAST(255 AS DOUBLE) * (his[i] - los[i]))
+             END)"""))
+      .select(
+        col("vec_id"),
+        expr("""aggregate(transform(sequence(0, size(codes) - 1), i -> codes[i] * (i + 1)),
+                 CAST(0 AS BIGINT), (a, x) -> a + x)""").as("code_checksum"),
+        // ppm scale: the raw MSE of int8 over unit-range dims is ~1e-6 —
+        // below the 1e-4 money grid; ×1e6 keeps the report non-degenerate
+        Fns.money(expr(
+          "aggregate(transform(errs, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+          / size(col("v")) * lit(1000000.0)).as("recon_mse_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ANN quality evaluation: per-query recall@k of the IVF probe search
     * against the exact brute-force ground truth — the offline eval every
     * ANN deployment runs before trading recall for probe cost (the

@@ -920,6 +920,34 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Multi-epoch mixture schedule — the planning table a pretraining run
+    * derives from [[corpusMixture]]'s temperature weights (the public
+    * LLaMA-recipe "sampling proportion / epochs" table): for a token
+    * budget of `budgetMult` × the corpus, each source's target token
+    * draw, its implied epoch count over the available tokens, and
+    * whether it is oversampled (> 1 epoch — the small high-weight
+    * sources temperature flattening deliberately repeats).
+    *
+    * All integer arithmetic goes through explicit `floor` before the
+    * long casts (Spark truncates double→long, DuckDB ROUNDS — floor
+    * makes both engines agree); shapes are the mixture aggregate plus a
+    * broadcast 1-row total, zero data shuffles. */
+  def mixtureSchedule(spark: SparkSession, dir: String,
+      budgetMult: Double = 2.0): DataFrame = {
+    val base = corpusMixture(spark, dir)
+    val tot = base.agg(sum(col("tokens")).as("__tot"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens",
+        floor(col("__tot") * lit(budgetMult)).cast("long"))
+      .withColumn("target_tokens",
+        floor(col("weight") * col("budget_tokens")).cast("long"))
+      .withColumn("epochs", Fns.money(col("target_tokens") / col("tokens")))
+      .withColumn("oversampled", col("epochs") > 1.0)
+      .select(col("source"), col("tokens"), col("weight"),
+        col("target_tokens"), col("epochs"), col("oversampled"))
+      .orderBy(col("source"))
+  }
+
   /** REALIZED temperature sampling — the step after [[corpusMixture]]'s
     * weight computation: actually select documents so each source
     * contributes its α-weighted share of a token budget. Per source,

@@ -73,6 +73,39 @@ class CorpusAuditSpec extends SparkSpec {
     assert(r.getDouble(1) < 0.0, s"zipf slope ${r.getDouble(1)} must be negative")
   }
 
+  test("mixtureSchedule: targets exhaust the budget within rounding; oversampling ⇔ epochs > 1") {
+    val rows = TextAnalysis.mixtureSchedule(spark, dir).collect()
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val budget = math.floor(totalTokens * 2.0).toLong
+    // Σ target_tokens ≤ budget, and within one floor-loss per source of it
+    val targets = rows.map(_.getLong(3)).sum
+    assert(targets <= budget && targets >= budget - rows.length * 2 -
+      (budget * 2) / 10000, s"targets $targets vs budget $budget")
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getDouble(4) > 1.0))
+      assert(r.getLong(3) >= 0 && r.getLong(1) > 0)
+    }
+    // 2× budget + flattened weights ⇒ oversampling must occur somewhere
+    // (both outcomes need uneven sources — sf0.001's are near-uniform,
+    // so only the existence side is scale-independent)
+    assert(rows.exists(_.getBoolean(5)))
+  }
+
+  test("embeddingQuantize: checksums within code range, error small but nonzero") {
+    val rows = Similarity.embeddingQuantize(spark, dir).collect()
+    val dim = Tables.embeddings(spark, dir)
+      .select(expr("size(embedding)")).head().getInt(0)
+    // checksum of d codes in 0..255 weighted by 1..d is bounded by 255·Σi
+    val maxSum = 255L * dim * (dim + 1) / 2
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= maxSum)
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // int8 over ~unit ranges: mean error well under 100 ppm, not all zero
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean > 0.0 && mean < 100.0, s"mean recon ppm $mean")
+  }
+
   test("tokenizerCoverage: token mass conserved, coverage consistent") {
     val rows = TextAnalysis.tokenizerCoverage(spark, dir).collect()
     val totalToks = Tables.documents(spark, dir)

@@ -286,6 +286,64 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("span_dedup: keeper election and mark-back are hash joins/aggregates — no cross product, no corpus window") {
+    val plan = formatted(graft.text.TextAnalysis.spanDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // documents scan reads only doc_id + text
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("tokenizer_coverage: the bounded vocab probes by broadcast — the corpus never shuffles for the join") {
+    val plan = formatted(graft.text.TextAnalysis.tokenizerCoverage(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("k_anonymity: both DISTINCT aggregates lower to one Expand-fed pass") {
+    val plan = formatted(graft.queries.Analytics.kAnonymity(spark, sf))
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Window"), plan)
+    // customer contributes only its 4 needed columns
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_nationkey:int," +
+      "c_acctbal:double,c_mktsegment:string>"), plan)
+  }
+
+  test("curriculum_order: global rank without any window operator") {
+    val plan = formatted(graft.text.TextAnalysis.curriculumOrder(spark, sf))
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("source_overlap: exact side is a token equi-join; sketch pair enumeration is the only nested loop") {
+    val plan = formatted(graft.dedup.Dedup.sourceOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // token intersection must be hash-joined on t, never nested-looped
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("embedding_quantize: per-dim ranges aggregate once and attach as a 1-row broadcast") {
+    val plan = formatted(graft.sim.Similarity.embeddingQuantize(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row ranges attach
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("zipf_fit: the rank window runs over the LIMIT-bounded top-n relation only") {
+    val plan = formatted(graft.text.TextAnalysis.zipfFit(spark, sf))
+    // orderBy+limit lowers to TakeOrderedAndProject — the boundedness proof
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("cluster_topics: term scoring joins are equi-joins; only the bounded centroid relation nests") {
+    val plan = formatted(graft.sim.Similarity.clusterTopics(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the doc→cid and tf⋈df joins must be hash/merge equi-joins
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
