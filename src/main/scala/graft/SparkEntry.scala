@@ -136,6 +136,7 @@ object SparkEntry {
     "zipf_fit"                -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "mixture_schedule"        -> ((s, d) => TextAnalysis.mixtureSchedule(s, d)),
     "embedding_quantize"      -> ((s, d) => Similarity.embeddingQuantize(s, d)),
+    "quality_ols"             -> ((s, d) => Analytics.qualityOls(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -380,6 +381,35 @@ object SparkEntry {
       FROM q
       ORDER BY vec_id
     """) +
+      // composed SQL: OLS quality distillation — feature CTEs nest the
+      // lexical_diversity / text_quality oracles; the Cramer solve tail
+      // is the SAME text Spark runs (Analytics.olsTailSql)
+      ("quality_ols" -> {
+        import graft.Fns.{moneySql, sumMoneySql}
+        s"""
+      WITH ld AS (${m("lexical_diversity")}),
+      tq AS (${m("text_quality")}),
+      feats AS (
+        SELECT ld.entropy_bits AS y,
+               ${moneySql("ln(tq.n_tokens)")} AS x1,
+               tq.stopword_ratio AS x2
+        FROM ld JOIN tq USING (doc_id)),
+      sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               ${sumMoneySql("x1")} AS s1,
+               ${sumMoneySql("x2")} AS s2,
+               ${sumMoneySql("y")} AS sy,
+               ${sumMoneySql(moneySql("x1 * x1"))} AS s11,
+               ${sumMoneySql(moneySql("x1 * x2"))} AS s12,
+               ${sumMoneySql(moneySql("x2 * x2"))} AS s22,
+               ${sumMoneySql(moneySql("x1 * y"))} AS s1y,
+               ${sumMoneySql(moneySql("x2 * y"))} AS s2y,
+               ${sumMoneySql(moneySql("y * y"))} AS syy
+        FROM feats)
+      SELECT ${graft.queries.Analytics.olsTailSql}
+      FROM sums
+    """
+      }) +
       // composed SQL: recall@k of IVF vs brute force — both existing
       // oracles nested verbatim as CTE subqueries, joined on the
       // (query, neighbor) pair

@@ -407,6 +407,69 @@ object Analytics {
     * Expand rewrite — shuffle keyed on (QI, value), map-side partials,
     * no windows). The equivalence-class relation is bounded by the QI
     * domain product, not row count. */
+  // ---- 2-feature OLS (normal equations, Cramer) — shared algebra ----
+  // The solve tail operates only on the nine named sums with * - / and
+  // parentheses, so ONE text serves both Spark SQL and DuckDB verbatim
+  // (the per-dialect part is feature extraction + the sums, which use
+  // the money/sumMoney discipline). M = [[n,s1,s2],[s1,s11,s12],
+  // [s2,s12,s22]], b = [sy,s1y,s2y].
+  private[graft] val olsDet =
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
+  private[graft] val olsDet0 =
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))"
+  private[graft] val olsDet1 =
+    "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))"
+  private[graft] val olsDet2 =
+    "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))"
+  /** SELECT-list tail of the solve — shared verbatim by both engines. */
+  private[graft] def olsTailSql: String = {
+    import graft.Fns.moneySql
+    val (d, d0, d1, d2) = (olsDet, olsDet0, olsDet1, olsDet2)
+    val sse = s"(syy - ($d0 * sy + $d1 * s1y + $d2 * s2y) / $d)"
+    s"""CAST(n AS BIGINT) AS n_docs,
+           ${moneySql(s"$d0 / $d")} AS beta0,
+           ${moneySql(s"$d1 / $d")} AS beta1,
+           ${moneySql(s"$d2 / $d")} AS beta2,
+           ${moneySql(s"1.0 - $sse / (syy - sy * sy / n)")} AS r2"""
+  }
+
+  /** Learned quality predictor — the distillation step that replaces an
+    * expensive signal with a linear model over cheap surface features:
+    * OLS of lexical entropy (the expensive target) on ln(token count)
+    * and stopword ratio, solved in closed form via the 3×3 normal
+    * equations (Cramer), coefficients + R² in one pass.
+    *
+    * Numeric discipline: features and their cross products are
+    * money-rounded per row, the nine sums decimal-accumulate
+    * ([[graft.Fns.sumMoney]] — order-independent), and the Cramer solve
+    * is a fixed double-op tree whose TEXT is shared verbatim with the
+    * DuckDB oracle ([[olsTailSql]]) — no way for the two engines to
+    * disagree on association order.
+    *
+    * Scale shape: one equi-join of two per-doc relations, then a single
+    * aggregation to 10 scalars — O(1) state, map-side partials, no
+    * second pass (R² uses the normal-equation SSE identity instead of
+    * re-scoring residuals). */
+  def qualityOls(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.text.TextAnalysis.lexicalDiversity(spark, dir)
+      .select(col("doc_id"), col("entropy_bits").as("y"))
+      .join(graft.text.TextAnalysis.quality(spark, dir)
+        .select(col("doc_id"), Fns.money(log(col("n_tokens"))).as("x1"),
+          col("stopword_ratio").as("x2")), "doc_id")
+    val sums = feats.agg(
+      count(lit(1)).cast("double").as("n"),
+      Fns.sumMoney(col("x1")).as("s1"),
+      Fns.sumMoney(col("x2")).as("s2"),
+      Fns.sumMoney(col("y")).as("sy"),
+      Fns.sumMoney(Fns.money(col("x1") * col("x1"))).as("s11"),
+      Fns.sumMoney(Fns.money(col("x1") * col("x2"))).as("s12"),
+      Fns.sumMoney(Fns.money(col("x2") * col("x2"))).as("s22"),
+      Fns.sumMoney(Fns.money(col("x1") * col("y"))).as("s1y"),
+      Fns.sumMoney(Fns.money(col("x2") * col("y"))).as("s2y"),
+      Fns.sumMoney(Fns.money(col("y") * col("y"))).as("syy"))
+    sums.selectExpr(olsTailSql.split(",\n").map(_.trim): _*)
+  }
+
   def kAnonymity(spark: SparkSession, dir: String, k: Int = 5, l: Int = 2): DataFrame =
     Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir),

@@ -106,6 +106,36 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mean > 0.0 && mean < 100.0, s"mean recon ppm $mean")
   }
 
+  test("qualityOls: Cramer solve matches a driver-side normal-equations replay") {
+    val r = graft.queries.Analytics.qualityOls(spark, dir).head()
+    // replay: collect the same money-rounded features and solve in Scala
+    def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val feats = graft.text.TextAnalysis.lexicalDiversity(spark, dir)
+      .select(col("doc_id"), col("entropy_bits"))
+      .join(graft.text.TextAnalysis.quality(spark, dir)
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio")), "doc_id")
+      .collect()
+      .map(row => (money(math.log(row.getInt(2))), row.getDouble(3), row.getDouble(1)))
+    val n = feats.length.toDouble
+    def s(f: ((Double, Double, Double)) => Double) =
+      feats.map(t => BigDecimal(f(t)).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val (s1, s2, sy) = (s(_._1), s(_._2), s(_._3))
+    val (s11, s12, s22) = (s(t => money(t._1 * t._1)), s(t => money(t._1 * t._2)), s(t => money(t._2 * t._2)))
+    val (s1y, s2y) = (s(t => money(t._1 * t._3)), s(t => money(t._2 * t._3)))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det
+    assert(r.getLong(0) == feats.length)
+    assert(math.abs(r.getDouble(1) - money(b0)) < 2e-4, s"beta0 ${r.getDouble(1)} vs $b0")
+    assert(math.abs(r.getDouble(2) - money(b1)) < 2e-4, s"beta1 ${r.getDouble(2)} vs $b1")
+    assert(math.abs(r.getDouble(3) - money(b2)) < 2e-4, s"beta2 ${r.getDouble(3)} vs $b2")
+    // entropy grows with document length: the ln-tokens coefficient is positive
+    assert(r.getDouble(2) > 0.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // R²
+  }
+
   test("tokenizerCoverage: token mass conserved, coverage consistent") {
     val rows = TextAnalysis.tokenizerCoverage(spark, dir).collect()
     val totalToks = Tables.documents(spark, dir)
