@@ -137,6 +137,8 @@ object SparkEntry {
     "mixture_schedule"        -> ((s, d) => TextAnalysis.mixtureSchedule(s, d)),
     "embedding_quantize"      -> ((s, d) => Similarity.embeddingQuantize(s, d)),
     "quality_ols"             -> ((s, d) => Analytics.qualityOls(s, d)),
+    "lang_confusion"          -> ((s, d) => TextAnalysis.langConfusion(s, d)),
+    "split_leakage"           -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -381,6 +383,37 @@ object SparkEntry {
       FROM q
       ORDER BY vec_id
     """) +
+      // composed SQL: the confusion matrix nests the lang_id oracle
+      ("lang_confusion" -> {
+        s"""
+      WITH li AS (${m("lang_id")})
+      SELECT actual_lang, pred_lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             actual_lang = pred_lang AS correct
+      FROM li
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """
+      }) +
+      // composed SQL: contamination = simhash near-dup pairs crossing
+      // the content-hash split boundary
+      ("split_leakage" -> {
+        s"""
+      WITH pairs AS (${m("dedup_simhash_pairs")}),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN ${graft.Fns.h64Sql("text")} % 10 = 0
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+      SELECT p.doc_a, p.doc_b, p.hamming,
+             a.split AS split_a, b.split AS split_b
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.doc_a
+      JOIN sp b ON b.doc_id = p.doc_b
+      WHERE a.split <> b.split
+      ORDER BY p.doc_a, p.doc_b
+    """
+      }) +
       // composed SQL: OLS quality distillation — feature CTEs nest the
       // lexical_diversity / text_quality oracles; the Cramer solve tail
       // is the SAME text Spark runs (Analytics.olsTailSql)

@@ -49,6 +49,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix — the evaluation every classifier
+    * gate needs before it filters a corpus: [[langId]]'s predictions
+    * against the fixture's labels, as (actual, predicted) cell counts
+    * with a correctness flag. One grouped aggregate over the per-row
+    * classifier — shuffle bounded by the language-pair domain. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("correct", col("actual_lang") === col("pred_lang"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+
+  /** Train/test CONTAMINATION check — near-duplicate pairs that cross
+    * the split boundary (a test doc with a train near-dup inflates
+    * every eval; Lee et al. 2022 measure exactly this leak). Composes
+    * the deterministic content-hash split of [[trainTestSplit]] with
+    * [[graft.dedup.Dedup.simhashPairs]]' Hamming-≤3 edge set and keeps
+    * the cross-split edges.
+    *
+    * Scale shape: the pair relation is already banded/bounded; the two
+    * split attachments are joins keyed on doc id against a projection
+    * of the corpus — hash equi-joins all the way, and the split column
+    * could equally ride the fingerprint relation to skip them. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(Fns.h64(col("text")) % 10 === 0, lit("test"))
+          .otherwise(lit("train")).as("split"))
+    graft.dedup.Dedup.simhashPairs(spark, dir)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Quality scoring: token count, average token length, stopword ratio,
     * digit ratio, composite score — length/punct/stopword heuristics. */
   def quality(spark: SparkSession, dir: String): DataFrame = {

@@ -106,6 +106,28 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mean > 0.0 && mean < 100.0, s"mean recon ppm $mean")
   }
 
+  test("langConfusion: cells partition the corpus; correct ⇔ diagonal") {
+    val rows = TextAnalysis.langConfusion(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(0) == r.getString(1)))
+    }
+  }
+
+  test("splitLeakage: exactly the cross-split subset of the near-dup edge set") {
+    val leaks = TextAnalysis.splitLeakage(spark, dir).collect()
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), when(graft.Fns.h64(col("text")) % 10 === 0,
+        lit("test")).otherwise(lit("train")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.dedup.Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }.toSet
+    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    leaks.foreach(r => assert(r.getString(3) != r.getString(4)))
+  }
+
   test("qualityOls: Cramer solve matches a driver-side normal-equations replay") {
     val r = graft.queries.Analytics.qualityOls(spark, dir).head()
     // replay: collect the same money-rounded features and solve in Scala
