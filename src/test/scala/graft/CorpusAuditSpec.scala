@@ -106,6 +106,26 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mean > 0.0 && mean < 100.0, s"mean recon ppm $mean")
   }
 
+  test("spanDedup is idempotent: a second pass over the deduped corpus removes nothing") {
+    import spark.implicits._
+    val once = graft.text.TextAnalysis
+      .spanDedupOn(Tables.documents(spark, dir)).collect()
+    val again = graft.text.TextAnalysis.spanDedupOn(
+      once.map(r => (r.getLong(0), r.getString(4)))
+        .toSeq.toDF("doc_id", "text"))
+      .collect()
+    // pass 2 must keep EVERY chunk of every doc (each chunk value is
+    // globally unique after pass 1 — chunk boundaries re-align exactly
+    // because removal happens in whole k-token blocks)
+    again.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: pass 2 removed ${r.getLong(1) - r.getLong(2)} chunks")
+    }
+    // and reassembly is a fixpoint: pass-2 text == pass-1 text
+    val t1 = once.map(r => r.getLong(0) -> r.getString(4)).toMap
+    again.foreach(r => assert(r.getString(4) == t1(r.getLong(0))))
+  }
+
   test("langConfusion: cells partition the corpus; correct ⇔ diagonal") {
     val rows = TextAnalysis.langConfusion(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()
