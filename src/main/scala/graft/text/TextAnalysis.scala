@@ -596,21 +596,37 @@ object TextAnalysis {
     * property test: dedup∘dedup = dedup, exactly) consume; the public
     * query hashes it at the output boundary. */
   private[graft] def spanDedupOn(docs: DataFrame, k: Int = 8): DataFrame = {
-    val toks = docs
+    val toks = spanToks(docs, k)
+    val chunks = spanChunks(toks, k)
+    val keepers = chunks.groupBy(col("chunk_h"))
+      .agg(min(struct(col("doc_id"), col("chunk_no"))).as("keeper"))
+    val marked = chunks.join(keepers, "chunk_h")
+      .withColumn("kept", struct(col("doc_id"), col("chunk_no")) === col("keeper"))
+    spanReassemble(toks, marked, k)
+  }
+
+  /** Tokenized doc relation with chunk arithmetic — shared by the batch
+    * operator and the streaming ingest ([[graft.streaming.SpanIngest]]). */
+  private[graft] def spanToks(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
       .withColumn("n_toks", expr("size(toks)"))
       .withColumn("n_chunks", expr(s"CAST(floor(n_toks / $k) AS BIGINT)"))
-    val chunks = toks.filter(col("n_chunks") >= 1)
+
+  /** One row per k-token chunk: (doc_id, chunk_no, chunk_text, chunk_h). */
+  private[graft] def spanChunks(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(col("n_chunks") >= 1)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(n_chunks AS INT) - 1),
             i -> concat_ws(' ', slice(toks, i * $k + 1, $k)))"""))
         .as(Seq("chunk_no", "chunk_text")))
       .withColumn("chunk_h",
         expr("CAST(conv(substr(md5(chunk_text), 1, 15), 16, 10) AS BIGINT)"))
-    val keepers = chunks.groupBy(col("chunk_h"))
-      .agg(min(struct(col("doc_id"), col("chunk_no"))).as("keeper"))
-    val perDoc = chunks.join(keepers, "chunk_h")
-      .withColumn("kept", struct(col("doc_id"), col("chunk_no")) === col("keeper"))
+
+  /** Rebuild each doc from its `kept`-marked chunks + tail remainder. */
+  private[graft] def spanReassemble(toks: DataFrame, marked: DataFrame,
+      k: Int): DataFrame = {
+    val perDoc = marked
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
