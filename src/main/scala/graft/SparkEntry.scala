@@ -139,6 +139,8 @@ object SparkEntry {
     "quality_ols"             -> ((s, d) => Analytics.qualityOls(s, d)),
     "lang_confusion"          -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "split_leakage"           -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
+    "simhash_precision"       -> ((s, d) => Dedup.simhashPrecision(s, d)),
+    "sketch_agreement"        -> ((s, d) => Dedup.sketchAgreement(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -383,6 +385,46 @@ object SparkEntry {
       FROM q
       ORDER BY vec_id
     """) +
+      // composed SQL: per-Hamming exact-Jaccard precision over the
+      // simhash candidate pairs (token-hash sets replayed in the
+      // minhash oracle's % P space)
+      ("simhash_precision" -> {
+        s"""
+      WITH pairs AS (${m("dedup_simhash_pairs")}),
+      hsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${graft.dedup.Dedup.P})) AS hs
+        FROM documents),
+      j AS (
+        SELECT p.hamming,
+               len(list_intersect(a.hs, b.hs)) AS inter,
+               len(a.hs) AS na, len(b.hs) AS nb
+        FROM pairs p
+        JOIN hsets a ON a.doc_id = p.doc_a
+        JOIN hsets b ON b.doc_id = p.doc_b)
+      SELECT hamming,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN inter / (na + nb - inter) >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             floor((CAST(sum(CAST((floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_jaccard,
+             floor((sum(CASE WHEN inter / (na + nb - inter) >= 0.9 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS precision
+      FROM j
+      GROUP BY hamming
+      ORDER BY hamming
+    """
+      }) +
+      // composed SQL: minhash-pair recall under the simhash pass — the
+      // two pair oracles joined on the (doc_a, doc_b) membership key
+      ("sketch_agreement" -> {
+        s"""
+      WITH mh AS (${m("dedup_minhash")}),
+      sh AS (${m("dedup_simhash_pairs")})
+      SELECT CAST(count(*) AS BIGINT) AS n_minhash_pairs,
+             CAST(count(sh.doc_a) AS BIGINT) AS n_caught,
+             floor((count(sh.doc_a) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS recall
+      FROM mh LEFT JOIN sh ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+    """
+      }) +
       // composed SQL: the confusion matrix nests the lang_id oracle
       ("lang_confusion" -> {
         s"""

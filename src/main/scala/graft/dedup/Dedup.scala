@@ -593,6 +593,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash PRECISION audit: for every Hamming-≤3 candidate pair, the
+    * exact distinct-token-hash Jaccard, rolled up per Hamming distance —
+    * n_pairs, how many are true near-dups at `threshold`, the mean
+    * Jaccard, and the precision. The eval that justifies (or indicts) a
+    * fingerprint threshold before a corpus-wide dedup commits to it —
+    * the sketch-fidelity companion of [[sourceOverlap]]'s MinHash MAE
+    * and [[graft.sim.Similarity.annRecall]].
+    *
+    * Scale shape: the pair relation is the banded candidate set (never
+    * all pairs); the token-hash sets attach by two equi-joins keyed on
+    * doc id and intersect via the codegen'd merge scan; the rollup has
+    * 4 groups. Mean Jaccard money-rounds each pair first, then
+    * decimal-accumulates (order-independent); the threshold compares
+    * the RAW int/int ratio — IEEE-identical cross-engine. */
+  def simhashPrecision(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
+    val th = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        s"""array_sort(array_distinct(transform(array_distinct(split(text, ' ')),
+            t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P)))""").as("hs"))
+    simhashPairs(spark, dir)
+      .join(th.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(th.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", expr("sorted_intersect_size(hs_a, hs_b)"))
+      .withColumn("jac",
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .groupBy(col("hamming"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum((col("jac") >= threshold).cast("long")).as("n_true"),
+        Fns.money(Fns.sumMoney(Fns.money(col("jac"))) / count(lit(1)))
+          .as("mean_jaccard"))
+      .withColumn("precision", Fns.money(col("n_true") / col("n_pairs")))
+      .orderBy(col("hamming"))
+  }
+
+  /** Cross-sketch RECALL: of the exact-verified MinHash near-dup pairs
+    * (Jaccard ≥ 0.9), the fraction the 64-bit SimHash Hamming-≤3 pass
+    * also finds — the two independent fingerprint families auditing
+    * each other (they share no hash bits beyond the md5 base). Both
+    * pair sets are banded-candidate relations, so the membership join
+    * and the single-row rollup are pair-scale work. */
+  def sketchAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sh = simhashPairs(spark, dir)
+      .select(col("doc_a").as("sa"), col("doc_b").as("sb"), lit(1).as("hit"))
+    mh.join(sh, col("doc_a") === col("sa") && col("doc_b") === col("sb"), "left")
+      .agg(
+        count(lit(1)).as("n_minhash_pairs"),
+        count(col("hit")).as("n_caught"))
+      .withColumn("recall", Fns.money(col("n_caught") / col("n_minhash_pairs")))
+  }
+
   /** Pairwise corpus-source overlap: for every pair of `source` values,
     * the exact token-set Jaccard AND its union-MinHash estimate side by
     * side — the cross-source contamination audit run before mixing

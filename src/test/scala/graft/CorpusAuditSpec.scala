@@ -106,6 +106,33 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mean > 0.0 && mean < 100.0, s"mean recon ppm $mean")
   }
 
+  test("simhashPrecision: buckets cover the pair set; flags and ratios consistent") {
+    val rows = Dedup.simhashPrecision(spark, dir).collect()
+    val nPairs = Dedup.simhashPairs(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nPairs)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(4) -
+        math.floor(r.getLong(2).toDouble / r.getLong(1) * 10000 + 0.5) / 10000) < 1e-9)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // Hamming 0 pairs are (near-)identical: mean Jaccard must be high
+    rows.find(_.getInt(0) == 0).foreach(r => assert(r.getDouble(3) > 0.9))
+  }
+
+  test("sketchAgreement: n_caught is exactly the pair-set intersection") {
+    val r = Dedup.sketchAgreement(spark, dir).head()
+    val mh = Dedup.minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getLong(0) == mh.size)
+    assert(r.getLong(1) == mh.intersect(sh).size)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("spanDedup is idempotent: a second pass over the deduped corpus removes nothing") {
     import spark.implicits._
     val once = graft.text.TextAnalysis
