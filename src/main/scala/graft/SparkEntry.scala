@@ -141,6 +141,8 @@ object SparkEntry {
     "split_leakage"           -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "simhash_precision"       -> ((s, d) => Dedup.simhashPrecision(s, d)),
     "sketch_agreement"        -> ((s, d) => Dedup.sketchAgreement(s, d)),
+    "pq_recall"               -> ((s, d) => Similarity.pqRecall(s, d)),
+    "cluster_size_hist"       -> ((s, d) => Dedup.clusterSizeHist(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -483,6 +485,33 @@ object SparkEntry {
         FROM feats)
       SELECT ${graft.queries.Analytics.olsTailSql}
       FROM sums
+    """
+      }) +
+      // composed SQL: PQ recall against the same brute-force truth
+      ("pq_recall" -> {
+        s"""
+      WITH bf AS (${m("knn_bruteforce")}),
+           pq AS (${graft.sim.Similarity.pqOracleSql()})
+      SELECT bf.query_id,
+             CAST(count(pq.neighbor_id) AS BIGINT) AS n_hit,
+             CAST(5 AS BIGINT) AS k,
+             floor((count(pq.neighbor_id) / 5.0) * 10000 + 0.5) / 10000 AS recall
+      FROM bf LEFT JOIN pq
+        ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+      GROUP BY bf.query_id
+      ORDER BY bf.query_id
+    """
+      }) +
+      // composed SQL: cluster-size histogram over the CC relation
+      ("cluster_size_hist" -> {
+        s"""
+      WITH c AS (${m("dedup_clusters")})
+      SELECT cluster_size,
+             CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM c
+      GROUP BY cluster_size
+      ORDER BY cluster_size
     """
       }) +
       // composed SQL: recall@k of IVF vs brute force — both existing

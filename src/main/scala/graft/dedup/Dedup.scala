@@ -593,6 +593,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster size distribution: how many clusters of each size
+    * the corpus collapses into, and the doc mass per size — the summary
+    * that tells a curation run whether duplication is a long tail of
+    * pairs or a few mega-clusters (which decides between pair-level
+    * removal and canonical election). One grouped aggregate over the
+    * cluster relation; group count bounded by the largest cluster. */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** SimHash PRECISION audit: for every Hamming-≤3 candidate pair, the
     * exact distinct-token-hash Jaccard, rolled up per Hamming distance —
     * n_pairs, how many are true near-dups at `threshold`, the mean

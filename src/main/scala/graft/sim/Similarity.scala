@@ -684,13 +684,24 @@ object Similarity {
     * reduced by their own top-k — so the pair-membership join and the
     * per-query rollup are query-scale work, independent of corpus size.
     */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallVsBruteForce(spark, dir, knnIvf(spark, dir, k), k)
+
+  /** [[annRecall]] for the PQ/ADC search path: recall@k of
+    * [[knnPq]]'s re-ranked shortlist against the same brute-force
+    * ground truth — the second dial (codebook size / shortlist depth)
+    * audited with the same yardstick as nprobe. */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallVsBruteForce(spark, dir, knnPq(spark, dir, k), k)
+
+  private def recallVsBruteForce(spark: SparkSession, dir: String,
+      approx: DataFrame, k: Int): DataFrame = {
     val bf = knnBruteForce(spark, dir, k)
       .select(col("query_id"), col("neighbor_id"))
-    val iv = knnIvf(spark, dir, k)
+    val ap = approx
       .select(col("query_id").as("qi"), col("neighbor_id").as("ni"),
         lit(1).as("hit"))
-    bf.join(iv,
+    bf.join(ap,
         col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
         "left")
       .groupBy(col("query_id"))

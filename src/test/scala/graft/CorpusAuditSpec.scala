@@ -31,6 +31,27 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mae < 0.2, s"sketch mean abs error $mae")
   }
 
+  test("clusterSizeHist: size × clusters = docs per bucket; mass totals the clustered set") {
+    val rows = Dedup.clusterSizeHist(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) == r.getLong(2),
+        s"size ${r.getLong(0)}: ${r.getLong(1)} clusters but ${r.getLong(2)} docs")
+    }
+    val clustered = Dedup.nearDupClusters(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == clustered)
+  }
+
+  test("pqRecall: bounded, consistent, and the PQ shortlist beats random recall") {
+    val rows = Similarity.pqRecall(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2))
+      assert(math.abs(r.getDouble(3) - r.getLong(1).toDouble / r.getLong(2)) < 1e-4)
+    }
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.2, s"mean PQ recall $mean")
+  }
+
   test("annRecall: per-query recall bounded and consistent with n_hit") {
     val rows = Similarity.annRecall(spark, dir).collect()
     assert(rows.nonEmpty)
