@@ -143,6 +143,8 @@ object SparkEntry {
     "sketch_agreement"        -> ((s, d) => Dedup.sketchAgreement(s, d)),
     "pq_recall"               -> ((s, d) => Similarity.pqRecall(s, d)),
     "cluster_size_hist"       -> ((s, d) => Dedup.clusterSizeHist(s, d)),
+    "source_dup_ratio"        -> ((s, d) => Dedup.sourceDupRatio(s, d)),
+    "source_drift"            -> ((s, d) => Similarity.sourceDrift(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -500,6 +502,20 @@ object SparkEntry {
         ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
       GROUP BY bf.query_id
       ORDER BY bf.query_id
+    """
+      }) +
+      // composed SQL: per-source duplication attribution over the CC
+      // relation
+      ("source_dup_ratio" -> {
+        s"""
+      WITH c AS (${m("dedup_clusters")})
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             floor((sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS dup_ratio
+      FROM documents d JOIN c ON c.doc_id = d.doc_id
+      GROUP BY d.source
+      ORDER BY d.source
     """
       }) +
       // composed SQL: cluster-size histogram over the CC relation
@@ -1357,6 +1373,28 @@ object SparkEntry {
                s -> s <> ''), ' '), '')) AS clean_md5
       FROM toks tk LEFT JOIN perdoc p USING (doc_id)
       ORDER BY tk.doc_id
+    """,
+    // per-source embedding centroids (money-rounded means, decimal
+    // accumulation), pairwise cosine via left-to-right list folds
+    "source_drift" -> """
+      WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      e AS (
+        SELECT d.source, unnest(range(1, len(em.v) + 1)) AS i, em.v
+        FROM em JOIN documents d ON d.doc_id = em.vec_id),
+      cent AS (
+        SELECT source, i,
+               floor((CAST(sum(CAST((floor(v[i] * 10000 + 0.5) / 10000) AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS c
+        FROM e GROUP BY 1, 2),
+      vecs AS (SELECT source, list(c ORDER BY i) AS v FROM cent GROUP BY source),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.v AS va, b.v AS vb
+        FROM vecs a JOIN vecs b ON a.source < b.source)
+      SELECT src_a, src_b,
+             floor((list_reduce(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i]), (x, y) -> x + y)
+               / sqrt(list_reduce(list_transform(range(1, len(va) + 1), i -> va[i] * va[i]), (x, y) -> x + y)
+                    * list_reduce(list_transform(range(1, len(vb) + 1), i -> vb[i] * vb[i]), (x, y) -> x + y))) * 10000 + 0.5) / 10000 AS centroid_cos
+      FROM pairs
+      ORDER BY src_a, src_b
     """,
     // k-anonymity / l-diversity audit: QI = (nation, segment, balance
     // band), sensitive = order priority; equivalence classes with size

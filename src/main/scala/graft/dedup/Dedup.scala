@@ -606,6 +606,22 @@ object Dedup {
         count(lit(1)).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** Per-source duplication report: for each corpus source, how many of
+    * its documents sit in a near-dup cluster (size > 1) and the dup
+    * ratio — "which crawl is dirtiest", the attribution report that
+    * routes a contaminated source back to its ingest owner. The cluster
+    * relation is doc-keyed, so the source attach is one equi-join and
+    * the rollup one grouped aggregate. */
+  def sourceDupRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(nearDupClusters(spark, dir), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("cluster_size") > 1).cast("long")).as("n_dup_docs"))
+      .withColumn("dup_ratio", Fns.money(col("n_dup_docs") / col("n_docs")))
+      .orderBy(col("source"))
+
   /** SimHash PRECISION audit: for every Hamming-≤3 candidate pair, the
     * exact distinct-token-hash Jaccard, rolled up per Hamming distance —
     * n_pairs, how many are true near-dups at `threshold`, the mean

@@ -675,6 +675,44 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding drift map between corpus sources: the pairwise cosine of
+    * per-source embedding CENTROIDS — low centroid similarity between
+    * two crawls flags a domain shift the mixture weights should know
+    * about (the embedding-space companion of [[graft.dedup.Dedup
+    * .sourceOverlap]]'s lexical view).
+    *
+    * Determinism: each component is money-rounded, per-(source, dim)
+    * means decimal-accumulate, and the final cosine folds the bounded
+    * centroid arrays left-to-right — engine-identical at every step.
+    * Scale shape: one explode → (source, dim) aggregate with map-side
+    * partials; centroid assembly and the pair enumeration are bounded
+    * by sources × dims. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("source"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("i", "x")))
+    val cent = comps.groupBy(col("source"), col("i"))
+      .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
+    val vecs = cent.groupBy(col("source"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .as("v"))
+    val a = vecs.select(col("source").as("src_a"), col("v").as("va"))
+    val b = vecs.select(col("source").as("src_b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("na", expr(
+        "aggregate(transform(va, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("nb", expr(
+        "aggregate(transform(vb, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("src_a"), col("src_b"),
+        Fns.money(col("dot") / sqrt(col("na") * col("nb"))).as("centroid_cos"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** ANN quality evaluation: per-query recall@k of the IVF probe search
     * against the exact brute-force ground truth — the offline eval every
     * ANN deployment runs before trading recall for probe cost (the

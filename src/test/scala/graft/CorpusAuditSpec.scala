@@ -31,6 +31,50 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mae < 0.2, s"sketch mean abs error $mae")
   }
 
+  test("sourceDupRatio: partitions the corpus; ratios consistent with the cluster relation") {
+    val rows = Dedup.sourceDupRatio(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val dupDocs = Dedup.nearDupClusters(spark, dir)
+      .filter(col("cluster_size") > 1)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == dupDocs.getOrElse(r.getString(0), 0L))
+      assert(math.abs(r.getDouble(3) -
+        math.floor(r.getLong(2).toDouble / r.getLong(1) * 10000 + 0.5) / 10000) < 1e-9)
+    }
+  }
+
+  test("sourceDrift: all pairs present; cosine matches a driver-side centroid replay") {
+    val rows = Similarity.sourceDrift(spark, dir).collect()
+    val data = Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("source"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val centroids = data.groupBy(_._1).map { case (s, vs) =>
+      val dim = vs.head._2.length
+      s -> (0 until dim).map { i =>
+        val sum = vs.map(v => BigDecimal(money(v._2(i)))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        money(sum / vs.length)
+      }
+    }
+    val nSources = centroids.size
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (va, vb) = (centroids(r.getString(0)), centroids(r.getString(1)))
+      val dot = va.zip(vb).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val na = va.foldLeft(0.0)((a, x) => a + x * x)
+      val nb = vb.foldLeft(0.0)((a, x) => a + x * x)
+      assert(math.abs(r.getDouble(2) - money(dot / math.sqrt(na * nb))) < 2e-4)
+      assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001)
+    }
+  }
+
   test("clusterSizeHist: size × clusters = docs per bucket; mass totals the clustered set") {
     val rows = Dedup.clusterSizeHist(spark, dir).collect()
     rows.foreach { r =>
