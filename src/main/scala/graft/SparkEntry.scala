@@ -145,6 +145,8 @@ object SparkEntry {
     "cluster_size_hist"       -> ((s, d) => Dedup.clusterSizeHist(s, d)),
     "source_dup_ratio"        -> ((s, d) => Dedup.sourceDupRatio(s, d)),
     "source_drift"            -> ((s, d) => Similarity.sourceDrift(s, d)),
+    "doc_span_dup_ratio"      -> ((s, d) => TextAnalysis.docSpanDupRatio(s, d)),
+    "source_folds"            -> ((s, d) => TextAnalysis.sourceFolds(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -1373,6 +1375,45 @@ object SparkEntry {
                s -> s <> ''), ' '), '')) AS clean_md5
       FROM toks tk LEFT JOIN perdoc p USING (doc_id)
       ORDER BY tk.doc_id
+    """,
+    // per-doc duplicated-chunk coverage: chunk multiplicity replayed on
+    // the span_dedup hash space
+    "doc_span_dup_ratio" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) // 8 AS n_chunks
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_no, t
+        FROM toks WHERE n_chunks >= 1),
+      hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(t[(chunk_no*8+1):(chunk_no*8+8)], ' ')), 1, 15))::BIGINT AS chunk_h
+        FROM chunks),
+      multi AS (SELECT chunk_h, count(*) AS n_occ FROM hashed GROUP BY 1),
+      perdoc AS (
+        SELECT h.doc_id,
+               CAST(sum(CASE WHEN m.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM hashed h JOIN multi m USING (chunk_h)
+        GROUP BY h.doc_id)
+      SELECT tk.doc_id,
+             CAST(tk.n_chunks AS BIGINT) AS n_chunks,
+             CAST(coalesce(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+             CASE WHEN tk.n_chunks > 0
+                  THEN floor((coalesce(p.n_dup_chunks, 0) / CAST(tk.n_chunks AS DOUBLE)) * 10000 + 0.5) / 10000
+                  ELSE 0.0 END AS dup_ratio
+      FROM toks tk LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY tk.doc_id
+    """,
+    // group-aware K-fold: whole sources hash to folds; balance report
+    "source_folds" -> """
+      SELECT CAST((('0x' || substr(md5(source), 1, 15))::BIGINT % 4) AS INT) AS fold,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY 1
+      ORDER BY 1
     """,
     // per-source embedding centroids (money-rounded means, decimal
     // accumulation), pairwise cosine via left-to-right list folds

@@ -495,6 +495,45 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
       .orderBy(col("span_h"))
 
+  /** Per-document duplicated-span coverage — the REPORT companion of
+    * [[spanDedup]] (measure first, rewrite second): for each doc, how
+    * many of its k-token chunks also occur elsewhere in the corpus and
+    * the coverage ratio. A doc that is 90% duplicated chunks is
+    * boilerplate even if no single whole-doc near-dup match fires.
+    * Same chunk machinery; the "elsewhere" test is corpus-level chunk
+    * multiplicity (count > 1), one hash aggregate + mark-back join. */
+  def docSpanDupRatio(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val toks = spanToks(Tables.documents(spark, dir), k)
+    val chunks = spanChunks(toks, k)
+    val multi = chunks.groupBy(col("chunk_h")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = chunks.join(multi, "chunk_h")
+      .groupBy(col("doc_id"))
+      .agg(sum((col("n_occ") > 1).cast("long")).as("n_dup_chunks"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        when(col("n_chunks") > 0,
+          Fns.money(coalesce(col("n_dup_chunks"), lit(0L)) / col("n_chunks")))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Group-aware K-fold assignment (GroupKFold over sources): every
+    * SOURCE is hashed to one of `folds` folds — whole sources move
+    * together, so no fold shares a source with another (the leakage-
+    * safe eval split when near-dups concentrate within sources) — with
+    * a per-fold balance report. Pure hash assignment + one aggregate;
+    * the fold of a source never changes as the corpus grows. */
+  def sourceFolds(spark: SparkSession, dir: String, folds: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fold", (Fns.h64(col("source")) % folds).cast("int"))
+      .groupBy(col("fold"))
+      .agg(
+        countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("fold"))
+
   /** Curriculum ordering: every document gets its exact global position
     * in a quality-descending curriculum (cleanest data first — the
     * ordering a curriculum-learning loader consumes). The interesting

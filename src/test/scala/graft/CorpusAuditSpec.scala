@@ -31,6 +31,30 @@ class CorpusAuditSpec extends SparkSpec {
     assert(mae < 0.2, s"sketch mean abs error $mae")
   }
 
+  test("docSpanDupRatio: coherent with spanDedup — removals are a subset of duplicated chunks") {
+    val report = TextAnalysis.docSpanDupRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dedup = TextAnalysis.spanDedup(spark, dir).collect()
+    dedup.foreach { r =>
+      val (nChunks, dupChunks) = report(r.getLong(0))
+      assert(nChunks == r.getLong(1))
+      // every chunk the dedup removed is multi-occurrence, so
+      // removed ≤ duplicated; a doc with zero dup chunks keeps all
+      assert(r.getLong(1) - r.getLong(2) <= dupChunks)
+      if (dupChunks == 0) assert(r.getLong(2) == r.getLong(1))
+    }
+  }
+
+  test("sourceFolds: folds partition sources and docs; assignment is source-stable") {
+    val rows = TextAnalysis.sourceFolds(spark, dir).collect()
+    val nSources = Tables.documents(spark, dir)
+      .select(countDistinct(col("source"))).head().getLong(0)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nSources)
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 4))
+  }
+
   test("sourceDupRatio: partitions the corpus; ratios consistent with the cluster relation") {
     val rows = Dedup.sourceDupRatio(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()
