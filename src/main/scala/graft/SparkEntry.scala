@@ -147,6 +147,7 @@ object SparkEntry {
     "source_drift"            -> ((s, d) => Similarity.sourceDrift(s, d)),
     "doc_span_dup_ratio"      -> ((s, d) => TextAnalysis.docSpanDupRatio(s, d)),
     "source_folds"            -> ((s, d) => TextAnalysis.sourceFolds(s, d)),
+    "embedding_outliers"      -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -289,6 +290,28 @@ object SparkEntry {
       SELECT part, label AS community,
              count(*) OVER (PARTITION BY label) AS community_size
       FROM l4 ORDER BY part
+    """
+      }) +
+      // generated SQL: prototype-distance outliers — shares knn_ivf's
+      // unrolled-Lloyd prefix; per-cluster farthest-3 as a rank cut
+      ("embedding_outliers" -> {
+        val src = m("knn_ivf")
+        val cut = src.indexOf("q AS (")
+        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+        src.substring(0, cut) + """bf AS (
+        SELECT p.vec_id, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN centn c),
+      assigned AS (
+        SELECT vec_id, cid, cos FROM bf
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1)
+      SELECT cid,
+             CAST(row_number() OVER (PARTITION BY cid ORDER BY cos ASC, vec_id) AS INT) AS rank,
+             vec_id, cos AS ccos
+      FROM assigned
+      QUALIFY rank <= 3
+      ORDER BY cid, rank
     """
       }) +
       // generated SQL: cluster topic labels — shares knn_ivf's

@@ -675,6 +675,38 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Prototype-distance outliers: the `kOut` documents FARTHEST from
+    * their assigned k-means centroid in each cluster (lowest cosine) —
+    * the data-pruning signal of the SSL-prototypes/D4 line (public
+    * papers, re-expressed): far-from-prototype points are the junk/edge
+    * candidates a curation pass reviews first, the complement of
+    * [[semanticDedup]]'s too-close-to-prototype duplicates.
+    *
+    * Scale shape: assignment is the same narrow broadcast-centroid
+    * projection as IVF; the per-cluster ranking rides the bounded-heap
+    * `topk_by` aggregate (O(kOut) state per cluster, map-side partials)
+    * — NOT a window, which would sort corpus/k rows per cluster. */
+  def embeddingOutliers(spark: SparkSession, dir: String, nClusters: Int = 10,
+      kOut: Int = 3): DataFrame = {
+    graft.functions.TopKByAgg.register(spark)
+    val e = prepared(spark, dir)
+    val cents = kmeansFit(spark, dir, nClusters, 3)
+    val best = array_max(transform(col("cents"), s => struct(
+      Fns.money(dotCol(col("v"), s.getField("c")) /
+        sqrt(col("norm2") * s.getField("cn2"))).as("cos"),
+      (-s.getField("cid")).as("ncid"))))
+    val assigned = e.crossJoin(broadcast(centArrayDf(spark, cents)))
+      .withColumn("b", best)
+      .select(col("vec_id"), (-col("b.ncid")).cast("int").as("cid"),
+        col("b.cos").as("ccos"))
+    assigned.groupBy(col("cid"))
+      .agg(expr(s"topk_by(-ccos, vec_id, $kOut)").as("topk"))
+      .select(col("cid"), posexplode(col("topk")).as(Seq("idx", "s")))
+      .select(col("cid"), (col("idx") + 1).cast("int").as("rank"),
+        col("s.payload").as("vec_id"), Fns.money(-col("s.ord")).as("ccos"))
+      .orderBy(col("cid"), col("rank"))
+  }
+
   /** Embedding drift map between corpus sources: the pairwise cosine of
     * per-source embedding CENTROIDS — low centroid similarity between
     * two crawls flags a domain shift the mixture weights should know

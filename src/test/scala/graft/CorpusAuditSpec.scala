@@ -71,6 +71,21 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("embeddingOutliers: per-cluster ranks contiguous, cosines ascending from the bottom") {
+    val rows = Similarity.embeddingOutliers(spark, dir).collect()
+    val byCid = rows.groupBy(_.getInt(0))
+    byCid.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 3)
+      // rank 1 is the FARTHEST (lowest cosine); ascending down the list
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
+    }
+    // outliers are distinct docs
+    assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+  }
+
   test("sourceDrift: all pairs present; cosine matches a driver-side centroid replay") {
     val rows = Similarity.sourceDrift(spark, dir).collect()
     val data = Tables.embeddings(spark, dir)
