@@ -148,6 +148,8 @@ object SparkEntry {
     "doc_span_dup_ratio"      -> ((s, d) => TextAnalysis.docSpanDupRatio(s, d)),
     "source_folds"            -> ((s, d) => TextAnalysis.sourceFolds(s, d)),
     "embedding_outliers"      -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    "vocab_coverage_curve"    -> ((s, d) => TextAnalysis.vocabCoverageCurve(s, d)),
+    "event_debounce"          -> ((s, d) => Events.eventDebounce(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
@@ -1398,6 +1400,47 @@ object SparkEntry {
                s -> s <> ''), ' '), '')) AS clean_md5
       FROM toks tk LEFT JOIN perdoc p USING (doc_id)
       ORDER BY tk.doc_id
+    """,
+    // vocab-size vs coverage curve: ranked top-N vocab joined to the
+    // candidate sizes; coverage against the total token mass
+    "vocab_coverage_curve" -> """
+      WITH tf AS (
+        SELECT term, count(*) AS tf
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term),
+      total AS (SELECT sum(tf) AS total_tf FROM tf),
+      top AS (
+        SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
+        FROM tf ORDER BY tf DESC, term LIMIT 100),
+      sizes AS (SELECT unnest([10, 25, 50, 100]) AS vocab_size)
+      SELECT s.vocab_size,
+             CAST(sum(t.tf) AS BIGINT) AS n_covered,
+             floor((sum(t.tf) / CAST(total_tf AS DOUBLE)) * 10000 + 0.5) / 10000 AS coverage
+      FROM sizes s JOIN top t ON t.rank <= s.vocab_size, total
+      GROUP BY s.vocab_size, total_tf
+      ORDER BY s.vocab_size
+    """,
+    // gap-flag debounce (the sessionize idiom): first event of each
+    // quiet-gap burst per (user, type) survives
+    "event_debounce" -> """
+      WITH g AS (
+        SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts,
+               lag(ts::TIMESTAMP) OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT event_type,
+               CASE WHEN prev_ts IS NULL OR
+                    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 300
+                    THEN 1 ELSE 0 END AS kept
+        FROM g)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             floor((1.0 - sum(kept) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS debounce_ratio
+      FROM f
+      GROUP BY event_type
+      ORDER BY event_type
     """,
     // per-doc duplicated-chunk coverage: chunk multiplicity replayed on
     // the span_dedup hash space

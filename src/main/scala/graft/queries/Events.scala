@@ -372,6 +372,34 @@ object Events {
     * is one hash shuffle on hour buckets with exactly-once first-bucket
     * emission. Pair orientation is canonical (user_a < user_b) and the
     * count is grouped on the smaller id — deterministic on any engine. */
+  /** Telemetry debounce: keep only the FIRST event of every quiet-gap
+    * burst per (user, event type) — the duplicate-suppression rule for
+    * retry storms and double-clicks (an event within `gapSeconds` of
+    * its predecessor is a re-fire, not a signal), reported as per-type
+    * keep counts and the suppressed ratio.
+    *
+    * Same gap-flag idiom as `sessionize` (lag + integer epoch-second
+    * difference — engine-identical); the window partitions by
+    * (user, type), so per-partition work is bounded by one user's
+    * events, never corpus-wide. */
+  def eventDebounce(spark: SparkSession, dir: String,
+      gapSeconds: Long = 300): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("kept",
+        (col("prev_ts").isNull ||
+          (col("ts").cast("long") - col("prev_ts").cast("long") > gapSeconds))
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).cast("long").as("n_kept"))
+      .withColumn("debounce_ratio",
+        Fns.money(lit(1.0) - col("n_kept") / col("n_events")))
+      .orderBy(col("event_type"))
+  }
+
   def sessionOverlapCounts(spark: SparkSession, dir: String): DataFrame = {
     val sessions = graft.streaming.EventStream
       .sessionWindows(Tables.events(spark, dir))

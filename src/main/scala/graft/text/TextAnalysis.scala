@@ -374,6 +374,37 @@ object TextAnalysis {
       Fns.money((sy - slope * sx) / nD).as("intercept"))
   }
 
+  /** Vocabulary-size vs corpus-coverage curve: for each candidate vocab
+    * size, the fraction of token occurrences covered by the top-N terms
+    * — the sizing curve read before committing a tokenizer budget
+    * (where it flattens, bigger vocabs stop paying). Complements the
+    * fixed-size [[tokenizerCoverage]].
+    *
+    * Scale shape: one term-frequency aggregate, the candidate relation
+    * bounded by max(sizes) via orderBy+limit (TakeOrderedAndProject),
+    * rank window over that bounded relation only, then a sizes ×
+    * bounded-vocab join — corpus rows are touched exactly once. */
+  def vocabCoverageCurve(spark: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(explode(expr("split(text, ' ')")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    val top = tf.orderBy(col("tf").desc, col("term")).limit(sizes.max)
+      .withColumn("rank", row_number().over(w))
+    sizes.toDF("vocab_size")
+      .join(top, col("rank") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("tf")).cast("long").as("n_covered"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage", Fns.money(col("n_covered") / col("__total")))
+      .select(col("vocab_size"), col("n_covered"), col("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
   /** Search-style inverted index: per term, the top-`k` posting list of
     * doc_ids ranked by term frequency (tf DESC, doc_id ASC). The cap
     * rides the bounded-heap `topk_by` aggregate

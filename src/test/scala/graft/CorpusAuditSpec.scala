@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.queries.Events
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -68,6 +69,43 @@ class CorpusAuditSpec extends SparkSpec {
       assert(r.getLong(2) == dupDocs.getOrElse(r.getString(0), 0L))
       assert(math.abs(r.getDouble(3) -
         math.floor(r.getLong(2).toDouble / r.getLong(1) * 10000 + 0.5) / 10000) < 1e-9)
+    }
+  }
+
+  test("vocabCoverageCurve: coverage monotone in vocab size, saturating at full vocab") {
+    val rows = TextAnalysis.vocabCoverageCurve(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    val total = Tables.documents(spark, dir)
+      .select(sum(expr("size(split(text, ' '))"))).head().getLong(0)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(expr("split(text, ' ')")).as("t"))
+      .select(countDistinct(col("t"))).head().getLong(0)
+    val covs = rows.map(_.getDouble(2))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+    rows.foreach(r => assert(r.getLong(1) <= total))
+    // a size ≥ the whole vocabulary must cover every occurrence
+    rows.filter(_.getInt(0) >= vocab).foreach { r =>
+      assert(r.getLong(1) == total && r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("eventDebounce: matches a driver-side gap replay per event type") {
+    val rows = Events.eventDebounce(spark, dir).collect()
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = events.groupBy(_._2).map { case (t, es) =>
+      val kept = es.groupBy(_._1).map { case (_, ue) =>
+        val sorted = ue.sortBy(e => (e._4, e._3))
+        1 + sorted.zip(sorted.tail).count { case (a, b) => b._4 - a._4 > 300 }
+      }.sum
+      t -> (es.length.toLong, kept.toLong)
+    }
+    rows.foreach { r =>
+      val (n, k) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == k,
+        s"${r.getString(0)}: got (${r.getLong(1)},${r.getLong(2)}) want ($n,$k)")
     }
   }
 
