@@ -357,13 +357,26 @@ object Similarity {
   def knnPq(spark: SparkSession, dir: String, k: Int = 5, m: Int = 8,
       codes: Int = 32, iters: Int = 2, shortlist: Int = 50): DataFrame = {
     import spark.implicits._
+    graft.functions.TopKByAgg.register(spark)
     val subDim = 64 / m
     val e = prepared(spark, dir)
-    val fits: Seq[Seq[Centroid]] = (0 until m).map { s =>
-      kmeansFitOn(
-        e.select(col("vec_id"), expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v"))
-          .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")),
-        codes, iters)
+    // the m codebook fits are INDEPENDENT (disjoint vector slices), so
+    // they run as concurrent Spark jobs from driver threads instead of
+    // sequentially — the fit stage is scheduling-latency-bound (each
+    // Lloyd iteration on a slice is a small job), and concurrency
+    // collapses ~m×iters sequential job waits into ~iters. Determinism
+    // is untouched: each fit's result depends only on its own slice.
+    val fits: Seq[Seq[Centroid]] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence((0 until m).toList.map { s => Future {
+          kmeansFitOn(
+            e.select(col("vec_id"), expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v"))
+              .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")),
+            codes, iters)
+        }}), Duration.Inf).toSeq
     }
     // dense (s, cid)-indexed codebook, zero-padded where a codeword died
     val padded = for (s <- 0 until m; cid <- 0 until codes) yield
@@ -397,17 +410,28 @@ object Similarity {
             aggregate(zip_with(slice(va, s * $subDim + 1, $subDim), cw.c, (x, y) -> x * y),
                       CAST(0 AS DOUBLE), (a, x) -> a + x)))"""))
       .select(col("query_id"), col("va"), col("na2"), col("lut"))
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    // ADC shortlist via the bounded-heap topk_by aggregate — NOT a
+    // row_number window: the window form shuffles every (code, query)
+    // row to one reducer per query and sorts the full coded corpus
+    // there, exactly the shape the groupSample plan pin forbids. The
+    // aggregate keeps `shortlist` rows of state per query with map-side
+    // partials, so the shuffle carries at most shortlist × tasks rows
+    // per query. Tie behavior (adc DESC, neighbor ASC) matches the
+    // window ordering bit-for-bit. The query attributes (va, na2) for
+    // the re-rank re-attach by a broadcast join on query_id rather than
+    // riding the heap payload.
     val short = corpusCoded.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__adc", expr(
         "aggregate(zip_with(codes, lut, (cd, l) -> element_at(l, cd + 1)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
       .withColumn("adc_cosine", Fns.money(col("__adc") / sqrt(col("na2") * col("recon_n2"))))
-      .withColumn("pr", row_number().over(wAdc))
-      .filter(col("pr") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"), col("adc_cosine"), col("va"), col("na2"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by(adc_cosine, neighbor_id, $shortlist)").as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("s"))
+      .select(col("query_id"), col("s.payload").as("neighbor_id"),
+        col("s.ord").as("adc_cosine"))
+      .join(broadcast(queries.select(col("query_id"), col("va"), col("na2"))),
+        "query_id")
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

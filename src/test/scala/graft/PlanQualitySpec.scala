@@ -284,6 +284,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
       plan.contains("ShuffledHashJoin"), plan)
+    // the ADC shortlist is the bounded-heap topk_by aggregate, NOT a
+    // row_number window over the corpus×queries relation: exactly one
+    // logical Window remains (the exact re-rank over shortlist-sized
+    // input)
+    assert(plan.contains("topk_by"), plan)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size == 1, plan)
   }
 
   test("span_dedup: keeper election and mark-back are hash joins/aggregates — no cross product, no corpus window") {
