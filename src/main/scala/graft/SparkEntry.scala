@@ -73,6 +73,8 @@ object SparkEntry {
     "knn_ivf"            -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_ivf_served"     -> ((s, d) => Similarity.knnIvfServed(s, d)),
     "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "semantic_dedup_capped" -> ((s, d) =>
+      Similarity.semanticDedup(s, d, maxClusterSize = Some(25))),
     "knn_pq"             -> ((s, d) => Similarity.knnPq(s, d)),
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -231,6 +233,48 @@ object SparkEntry {
                floor((list_reduce(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j]), (x, y) -> x + y)
                  / sqrt(a.norm2 * b.norm2)) * 10000 + 0.5) / 10000 AS cosine
         FROM scored a JOIN scored b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT cid,
+               CASE WHEN ca > cb THEN ia WHEN ca < cb THEN ib ELSE least(ia, ib) END AS vec_keep,
+               CASE WHEN ca > cb THEN ib WHEN ca < cb THEN ia ELSE greatest(ia, ib) END AS vec_drop,
+               cosine
+        FROM cand WHERE cosine >= 0.35)
+      SELECT vec_drop, vec_keep, cid, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_drop ORDER BY cosine DESC, vec_keep) AS rn
+        FROM pairs)
+      WHERE rn = 1
+      ORDER BY vec_drop
+    """
+      }) +
+      // generated SQL: the capped SemDeDup variant shares the same
+      // unrolled-Lloyd prefix, then sub-buckets clusters larger than 25
+      // by h64(vec_id) mod ceil(size/25) and pairs only within
+      // (cid, sub) — the oracle replays the cap exactly (at sf0.01 the
+      // ~50-member clusters split 2-3 ways, so the capped path is
+      // genuinely exercised, not a no-op)
+      ("semantic_dedup_capped" -> {
+        val src = m("knn_ivf")
+        val cut = src.indexOf("q AS (")
+        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+        src.substring(0, cut) + """bf AS (
+        SELECT p.vec_id, p.v, p.norm2, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN centn c),
+      scored AS (
+        SELECT vec_id, v, norm2, cid, cos AS ccos FROM bf
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      sz AS (SELECT cid, count(*) AS csize FROM scored GROUP BY cid),
+      sub AS (
+        SELECT s.vec_id, s.v, s.norm2, s.cid, s.ccos,
+               (('0x' || substr(md5(CAST(s.vec_id AS VARCHAR)), 1, 15))::BIGINT)
+                 % CAST(ceil(CAST(z.csize AS DOUBLE) / 25) AS BIGINT) AS sb
+        FROM scored s JOIN sz z USING (cid)),
+      cand AS (
+        SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib, a.ccos AS ca, b.ccos AS cb,
+               floor((list_reduce(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j]), (x, y) -> x + y)
+                 / sqrt(a.norm2 * b.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM sub a JOIN sub b ON a.cid = b.cid AND a.sb = b.sb AND a.vec_id < b.vec_id),
       pairs AS (
         SELECT cid,
                CASE WHEN ca > cb THEN ia WHEN ca < cb THEN ib ELSE least(ia, ib) END AS vec_keep,
@@ -446,9 +490,44 @@ object SparkEntry {
       }) +
       // composed SQL: minhash-pair recall under the simhash pass — the
       // two pair oracles joined on the (doc_a, doc_b) membership key
+      // the MinHash side replays the band-0 SAMPLE (bandSubset) — one
+      // band row per doc, so no candidate DISTINCT is needed; the
+      // SimHash membership side stays exhaustive
       ("sketch_agreement" -> {
+        val mhBand0 = """
+      WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      th AS (
+        SELECT doc_id, toks,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 4), i ->
+                 list_min(list_transform(h, x -> ((2*i+1) * x + 7*i+3) % 1000000007))) AS sig
+        FROM th),
+      bands AS (
+        SELECT doc_id, sig[1] AS k1, sig[2] AS k2, sig[3] AS k3, sig[4] AS k4
+        FROM sig),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id),
+      hsets AS (SELECT doc_id, list_distinct(h) AS hs FROM th),
+      mpairs AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(ta.hs, tb.hs)) AS inter,
+               len(ta.hs) AS na, len(tb.hs) AS nb
+        FROM cand
+          JOIN hsets ta ON cand.doc_a = ta.doc_id
+          JOIN hsets tb ON cand.doc_b = tb.doc_id)
+      SELECT doc_a, doc_b
+      FROM mpairs
+      WHERE inter / (na + nb - inter) >= 0.9
+    """
         s"""
-      WITH mh AS (${m("dedup_minhash")}),
+      WITH mh AS ($mhBand0),
       sh AS (${m("dedup_simhash_pairs")})
       SELECT CAST(count(*) AS BIGINT) AS n_minhash_pairs,
              CAST(count(sh.doc_a) AS BIGINT) AS n_caught,
@@ -1544,7 +1623,7 @@ object SparkEntry {
       WITH d AS (
         SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),
       b AS (
-        SELECT CAST(power(2, ceil(log2(greatest(n_toks, 2)))) AS BIGINT) AS bucket_width,
+        SELECT (1::BIGINT << length(bin(greatest(n_toks, 2) - 1))) AS bucket_width,
                n_toks
         FROM d),
       agg AS (

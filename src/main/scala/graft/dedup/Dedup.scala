@@ -71,9 +71,20 @@ object Dedup {
     *   one bucket). Bounded recall loss by design: members of an
     *   over-full bucket usually co-occur in other, smaller buckets, and
     *   truly identical docs are [[exact]]-dedup's job anyway. None (the
-    *   default, oracle-replayed) enumerates exactly. */
+    *   default, oracle-replayed) enumerates exactly.
+    * @param bandSubset restrict candidate GENERATION to these LSH bands —
+    *   the deterministic sampling lever for fidelity evals
+    *   ([[sketchAgreement]]): a band is a uniform hash-selected sample of
+    *   the candidate space, so "pairs discoverable via band 0" is an
+    *   unbiased, oracle-replayable subset at 1/B the join cost.
+    *   Verification still runs on full token-hash sets (surviving pairs
+    *   carry exact Jaccard); with a single band the candidate DISTINCT
+    *   is skipped entirely — each doc holds one row per band, so a pair
+    *   can only be emitted once. None (the default) enumerates all
+    *   bands. */
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      bandSubset: Option[Seq[Int]] = None): DataFrame = {
     graft.functions.ArrayOps.register(spark)
     // persisted, not memory-only cached: feeds three plan branches (band
     // explode + both sides of the verify join); spills under pressure
@@ -85,7 +96,10 @@ object Dedup {
 
     // band rows keyed by the R raw signature longs — no string building,
     // the shuffle key is (band, k1..k4)
-    val bands0 = bandRows(docs)
+    val bands0 = bandSubset match {
+      case Some(bs) => bandRows(docs).filter(col("band").isin(bs: _*))
+      case None     => bandRows(docs)
+    }
 
     // hot-bucket cut: the count window shuffles on the same key as the
     // self-join below, so AQE reuses the exchange
@@ -101,12 +115,15 @@ object Dedup {
     // (bucket collect_list + in-array pair combinations + first-band
     // dedup filter): 8× slower — combination structs haul the full
     // signature arrays through the shuffle. Narrow pair rows win.
-    val cand = bands.as("a")
+    val cand0 = bands.as("a")
       .join(bands.as("b"),
         Seq("band", "k1", "k2", "k3", "k4"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // single-band sampling can't duplicate a pair (one row per doc) —
+    // the distinct shuffle is pure cost there
+    val cand =
+      if (bandSubset.exists(_.size == 1)) cand0 else cand0.distinct()
 
     val ta = docs.select(col("doc_id").as("doc_a"), col("th").as("th_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("th").as("th_b"))
@@ -343,6 +360,8 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+    var tRound = System.nanoTime()
     // (Measured: disabling AQE for the loop — on the theory that
     // per-stage re-planning dominates the tiny rounds — is ~1.4× SLOWER:
     // AQE's shuffle coalescing saves more task-scheduling latency on the
@@ -365,6 +384,11 @@ object Dedup {
       prevSum = newSum
       labels.unpersist()
       labels = next
+      if (ccDebug) {
+        val now = System.nanoTime()
+        System.err.println(f"[cc] round $rounds: ${(now - tRound) / 1e9}%.2f s")
+        tRound = now
+      }
     }
     edges.unpersist()
     // singletons rejoin with themselves as cluster id (left join against
@@ -700,9 +724,19 @@ object Dedup {
     * also finds — the two independent fingerprint families auditing
     * each other (they share no hash bits beyond the md5 base). Both
     * pair sets are banded-candidate relations, so the membership join
-    * and the single-row rollup are pair-scale work. */
+    * and the single-row rollup are pair-scale work.
+    *
+    * The MinHash universe is SAMPLED to the band-0 candidates
+    * ([[minhashPairs]]' `bandSubset`): an eval needs an unbiased
+    * estimate, not the exhaustive pair set, and a band is a uniform
+    * hash-selected sample of the candidate space — 1/B the generation
+    * cost (and no candidate distinct), deterministic, replayed exactly
+    * by the oracle. The SimHash side stays exhaustive (it is the
+    * membership probe being audited; missing one of its pairs would
+    * UNDERCOUNT recall, not sample it). */
   def sketchAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val mh = minhashPairs(spark, dir, bandSubset = Some(Seq(0)))
+      .select(col("doc_a"), col("doc_b"))
     val sh = simhashPairs(spark, dir)
       .select(col("doc_a").as("sa"), col("doc_b").as("sb"), lit(1).as("hit"))
     mh.join(sh, col("doc_a") === col("sa") && col("doc_b") === col("sb"), "left")

@@ -557,32 +557,55 @@ object Similarity {
     * within-cluster pairs — with balanced clusters, corpus²/k instead of
     * corpus² comparisons, and the self-join is an equi-join on `cid`
     * (never a cross product; plan-pinned). A pathologically hot cluster
-    * re-raises the hub problem like any bucketed method — the fix is
-    * raising k (more, smaller lists), which also sharpens the
-    * within-cluster "semantically same" claim. All candidate scoring is
+    * re-raises the hub problem like any bucketed method — `maxClusterSize`
+    * is the ENFORCED guard (h64 sub-bucketing bounds per-group pairs at
+    * ~cap²; see the inline note), with raising nClusters as the
+    * recall-preserving complement. All candidate scoring is
     * money-rounded doubles over the DECIMAL-accumulated centroids, so
     * the DuckDB oracle replays the entire pipeline — fit, assignment,
     * centroid distances, drop rule — exactly (the oracle shares the
     * unrolled-Lloyd SQL with `knn_ivf`). */
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      nClusters: Int = 10, iters: Int = 3): DataFrame = {
+      nClusters: Int = 10, iters: Int = 3,
+      maxClusterSize: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val e = prepared(spark, dir)
     val cents = kmeansFit(spark, dir, nClusters, iters)
     val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
     // localCheckpoint (not persist): feeds both sides of the self-join;
     // the lazy return plan has no safe unpersist point
-    val scored = assignCid(e, cents, "v", "norm2")
+    val scored0 = assignCid(e, cents, "v", "norm2")
       .join(broadcast(centDf), "cid")
       .withColumn("ccos",
         Fns.money(dotCol(col("v"), col("centroid")) / sqrt(col("norm2") * col("cnorm2"))))
       .select(col("vec_id"), col("v"), col("norm2"), col("cid"), col("ccos"))
-      .localCheckpoint(true)
-    val a = scored.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"),
+    // hot-cluster cap (the enforced guard every sibling pair generator
+    // carries as maxBucketSize/maxShingleFreq): a cluster larger than
+    // `cap` is SUB-BUCKETED by the portable h64 of vec_id into
+    // ceil(size/cap) groups, and candidate pairs form only within a
+    // (cid, sub) group — per-join-group work is bounded at ~cap² rows
+    // no matter how hot a cluster gets. Candidate-generation-only
+    // semantics: surviving pairs carry exact cosines; pairs straddling
+    // sub-buckets of a hot cluster are forgone by design (raising
+    // nClusters remains the recall-preserving fix; the cap is the OOM
+    // guard). The size window shuffles on `cid`, the same key as the
+    // self-join below, so AQE reuses the exchange. None (the default)
+    // is the exact path the oracle replays uncapped.
+    val scored = (maxClusterSize match {
+      case None => scored0.withColumn("sub", lit(0L))
+      case Some(cap) =>
+        val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+        scored0
+          .withColumn("__nsub",
+            ceil(count(lit(1)).over(wSz).cast("double") / cap).cast("long"))
+          .withColumn("sub", Fns.h64(col("vec_id").cast("string")) % col("__nsub"))
+          .drop("__nsub")
+    }).localCheckpoint(true)
+    val a = scored.select(col("cid"), col("sub"), col("vec_id").as("ia"), col("v").as("va"),
       col("norm2").as("na2"), col("ccos").as("ca"))
-    val b = scored.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"),
+    val b = scored.select(col("cid"), col("sub"), col("vec_id").as("ib"), col("v").as("vb"),
       col("norm2").as("nb2"), col("ccos").as("cb"))
-    val pairs = a.join(b, "cid").filter(col("ia") < col("ib"))
+    val pairs = a.join(b, Seq("cid", "sub")).filter(col("ia") < col("ib"))
       .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
       .filter(col("cosine") >= threshold)
       .select(col("cid"),

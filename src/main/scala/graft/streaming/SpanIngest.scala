@@ -72,8 +72,11 @@ object SpanIngest {
         .withColumnRenamed("clean_text", "text")
         .withColumn("batch_id", lit(batchId))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // coalesce: sum over an EMPTY micro-batch (foreachBatch can replay
+      // an empty epoch) is NULL — getLong would NPE and kill the stream
       val removed = out.agg(
-        sum(col("n_chunks") - col("n_kept")).cast("long")).head().getLong(0)
+        coalesce(sum(col("n_chunks") - col("n_kept")), lit(0L))
+          .cast("long")).head().getLong(0)
       val newChunks = marked.filter(col("kept"))
         .select(col("chunk_h")).withColumn("batch_id", lit(batchId))
       // exactly-once: batch-keyed partition replaces; an all-dup replay

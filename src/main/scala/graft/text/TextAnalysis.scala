@@ -609,8 +609,12 @@ object TextAnalysis {
   def lengthBuckets(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr("size(split(text, ' '))").as("n_toks"))
+      // integer bit-width ladder, NOT ceil(log2(...)): Spark's LOG2 is an
+      // ln-ratio and can overshoot on exact powers of two (2^29 flips the
+      // ceil), doubling the bucket cross-engine — same rationale as the
+      // HLL rank ladder in Fns. 2^bitlength(n-1) is exact on both engines.
       .withColumn("bucket_width",
-        expr("CAST(power(2, ceil(log2(greatest(n_toks, 2)))) AS BIGINT)"))
+        expr("shiftleft(CAST(1 AS BIGINT), length(bin(greatest(n_toks, 2) - 1)))"))
       .groupBy(col("bucket_width"))
       .agg(
         count(lit(1)).as("n_docs"),

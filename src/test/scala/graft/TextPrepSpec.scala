@@ -40,6 +40,11 @@ class TextPrepSpec extends SparkSpec {
     val k = 8
     val distinctChunks = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      // mirror the production short-doc guard: sequence(1, 0) yields a
+      // DESCENDING [1, 0] and would fabricate two phantom chunks per
+      // sub-k-token doc (latent on this fixture — shortest doc has 10
+      // tokens — but the derivation must not depend on that)
+      .filter(size(col("toks")) >= k)
       .select(explode(expr(
         s"""transform(sequence(1, CAST(floor(size(toks) / $k) AS INT)),
             i -> concat_ws(' ', slice(toks, (i - 1) * $k + 1, $k)))""")).as("c"))
