@@ -86,6 +86,97 @@ object Dedup {
       maxBucketSize: Option[Int] = None,
       bandSubset: Option[Seq[Int]] = None): DataFrame = {
     graft.functions.ArrayOps.register(spark)
+    if (maxBucketSize.isDefined)
+      minhashPairsByDoc(spark, dir, threshold, maxBucketSize, bandSubset)
+    else
+      minhashPairsContracted(spark, dir, threshold, bandSubset)
+  }
+
+  /** TOKEN-SET-CONTRACTED pair generation (the default path): docs with
+    * identical distinct-token-hash sets have identical MinHash signatures
+    * AND identical verification outcomes, so the whole pipeline —
+    * signature, banding, candidate join, exact verify — runs once per
+    * DISTINCT token set and expands to doc pairs only at output. The
+    * shrink is quadratic exactly where the corpus is dirtiest: a group
+    * of m clones contributes m band rows per band (m² candidate rows
+    * per bucket) uncontracted, ONE row contracted — measured at sf0.1:
+    * 5 000 docs → 3 935 distinct sets, and 35 606 within-group clone
+    * pairs leave the candidate join entirely (they emit straight from
+    * the group member lists at Jaccard 1.0, guarded against empty token
+    * sets where the ratio would be NULL). The signature is computed on
+    * the GROUP relation (min over a set is duplicate/order-independent,
+    * so sorted-distinct input gives the oracle-identical value). */
+  private def minhashPairsContracted(spark: SparkSession, dir: String,
+      threshold: Double, bandSubset: Option[Seq[Int]]): DataFrame = {
+    // eager checkpoints, not persist: both relations feed multiple
+    // branches of the returned lazy plan (no safe unpersist point)
+    val fpD = Tables.documents(spark, dir)
+      .withColumn("th", expr(
+        s"""array_sort(array_distinct(transform(array_distinct(split(text, ' ')),
+            t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P)))"""))
+      .select(col("doc_id"), col("th"))
+      .localCheckpoint(true)
+    val groups = fpD.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${K - 1}), i ->
+            array_min(transform(th, h -> ((2 * i + 1) * h + 7 * i + 3) % $P)))"""))
+      .localCheckpoint(true)
+
+    val bandsAll = bandRows(groups.select(col("rep").as("doc_id"), col("sig")))
+    val bands = bandSubset match {
+      case Some(bs) => bandsAll.filter(col("band").isin(bs: _*))
+      case None     => bandsAll
+    }
+    // join + DISTINCT on narrow (rep_a, rep_b) rows. Measured alternative
+    // (bucket collect_list + in-array pair combinations + first-band
+    // dedup filter): 8× slower — combination structs haul the full
+    // signature arrays through the shuffle. Narrow pair rows win.
+    val cand0 = bands.as("a")
+      .join(bands.as("b"),
+        Seq("band", "k1", "k2", "k3", "k4"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
+    // single-band sampling can't duplicate a pair (one row per group) —
+    // the distinct shuffle is pure cost there
+    val cand =
+      if (bandSubset.exists(_.size == 1)) cand0 else cand0.distinct()
+
+    val ta = groups.select(col("rep").as("rep_a"), col("th").as("th_a"))
+    val tb = groups.select(col("rep").as("rep_b"), col("th").as("th_b"))
+    val verified = jaccardAtLeast(
+      cand.join(ta, "rep_a").join(tb, "rep_b"), "th_a", "th_b", threshold)
+      .select(col("rep_a"), col("rep_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
+    // cross-group expansion: members_a × members_b per verified group
+    // pair, normalized to doc_a < doc_b (membership does not follow rep
+    // order); output-bound
+    val cross = verified
+      .join(groups.select(col("rep").as("rep_a"), col("members").as("mem_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("members").as("mem_b")), "rep_b")
+      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("jaccard"))
+      .select(col("da"), explode(col("mem_b")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    // within-group clone pairs: identical sets ⟹ Jaccard exactly 1.0;
+    // empty token sets are excluded (0/0 is NULL on both engines, never
+    // a pair)
+    val within = groups
+      .filter(size(col("members")) >= 2 && size(col("th")) > 0)
+      .select(explode(col("members")).as("da"), col("members"))
+      .select(col("da"), explode(col("members")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        Fns.money(lit(1.0)).as("jaccard"))
+    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Doc-level pair generation — the path the `maxBucketSize` hot-bucket
+    * cut runs on: the cap's semantics COUNT DOCS per band bucket (the
+    * oracle replays exactly that), which contraction would silently
+    * change to counting groups. */
+  private def minhashPairsByDoc(spark: SparkSession, dir: String,
+      threshold: Double, maxBucketSize: Option[Int],
+      bandSubset: Option[Seq[Int]]): DataFrame = {
     // persisted, not memory-only cached: feeds three plan branches (band
     // explode + both sides of the verify join); spills under pressure
     // instead of evicting into a recompute storm
@@ -111,17 +202,11 @@ object Dedup {
       case None => bands0
     }
 
-    // join + DISTINCT on narrow (doc_a, doc_b) rows. Measured alternative
-    // (bucket collect_list + in-array pair combinations + first-band
-    // dedup filter): 8× slower — combination structs haul the full
-    // signature arrays through the shuffle. Narrow pair rows win.
     val cand0 = bands.as("a")
       .join(bands.as("b"),
         Seq("band", "k1", "k2", "k3", "k4"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // single-band sampling can't duplicate a pair (one row per doc) —
-    // the distinct shuffle is pure cost there
     val cand =
       if (bandSubset.exists(_.size == 1)) cand0 else cand0.distinct()
 
@@ -247,41 +332,85 @@ object Dedup {
     simhashPairsUnsorted(spark, dir, maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** [[simhashPairs]] without the terminal presentation sort — the form
-    * consumers that immediately join/aggregate (e.g.
-    * [[nearDupClusters]]) use, so the full-shuffle global sort isn't
-    * paid just to be discarded. */
-  private def simhashPairsUnsorted(spark: SparkSession, dir: String,
-      maxHamming: Int): DataFrame = {
+  /** DISTINCT-FINGERPRINT groups: `(simhash, rep, m)` — one row per
+    * distinct 64-bit fingerprint with its smallest member doc_id and
+    * member count. The contraction backbone of the whole simhash family:
+    * the Hamming predicate is a pure function of the fingerprint, so
+    * docs sharing one are interchangeable in the near-dup graph —
+    * candidate generation, verification, and the CC fixpoint all run on
+    * this relation (bounded by DISTINCT fingerprints, not corpus rows)
+    * and expand back to docs only at output time. On a dup-heavy corpus
+    * the shrink is quadratic where it matters: a group of m identical
+    * fingerprints contributes m band rows per band (m² candidate rows
+    * per bucket) uncontracted, ONE row contracted — measured at sf0.1:
+    * 5 000 docs → 3 866 groups, 166 267 doc pairs → 8 746 fp pairs in
+    * the verify/fixpoint path. Takes the (materialized) fingerprint
+    * relation so the tokenize+bit-vote pipeline runs once; caller
+    * checkpoints the result. */
+  private def fpGroups(fp: DataFrame): DataFrame =
+    fp.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+
+  /** Verified near-dup pairs between DISTINCT fingerprints:
+    * `(sh_a, sh_b, rep_a, rep_b, hamming)` with `rep_a < rep_b`, via the
+    * pigeonhole band join over the (contracted) group relation. Same
+    * lossless-banding argument as [[simhashPairs]]; hamming-0 pairs
+    * cannot appear here by construction (equal fingerprints are the SAME
+    * group) — within-group pairs are expanded separately where an
+    * operator needs them. */
+  private def fpPairs(groups: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "banding of 64 bits is lossless only up to Hamming 7")
     val nBands = if (maxHamming <= 3) 4 else 8 // coarsest lossless power-of-two split
     val width = 64 / nBands
     val mask = (1L << width) - 1
-    // persisted like the other pair generators: the fingerprint relation
-    // feeds BOTH sides of the band self-join — without it the full
-    // tokenize+md5+bit-vote pipeline runs twice
-    val sh = simhashFingerprints(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the fingerprints RIDE THROUGH the candidate distinct: unlike the
-    // minhash pipeline (where hauling signature ARRAYS through the
-    // shuffle measured 8× slower than narrow rows + join-back), the
-    // payload here is two fixed-width longs — measured 25-40% faster
-    // carried inline than re-joined onto millions of candidate rows
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    // fingerprints ride through the candidate distinct (two fixed-width
+    // longs — measured cheaper inline than a join-back; see git history)
+    val bands = groups.select(col("rep"), col("simhash"),
       explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b ->
            named_struct('band', b, 'key', shiftright(simhash, b * $width) & $mask))""")).as("bb"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("rep"), col("simhash"),
         col("bb.band").as("band"), col("bb.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
-    cand
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** [[simhashPairs]] without the terminal presentation sort — the form
+    * consumers that immediately join/aggregate (e.g.
+    * [[nearDupClusters]]) use, so the full-shuffle global sort isn't
+    * paid just to be discarded.
+    *
+    * Contraction shape ([[fpGroups]]): band join + Hamming verify run
+    * over distinct fingerprints; doc pairs come back by expansion —
+    * cross-group pairs join the member lists of both endpoint groups
+    * (normalized to doc_a < doc_b; group membership does not follow rep
+    * order), within-group pairs are the trivial Hamming-0 self-join on
+    * the fingerprint. Both expansions are output-bound. */
+  private def simhashPairsUnsorted(spark: SparkSession, dir: String,
+      maxHamming: Int): DataFrame = {
+    // eager checkpoint, not persist: fp feeds the group agg AND both
+    // expansion joins of the returned lazy plan, which has no safe
+    // unpersist point; checkpoint blocks are freed by the context
+    // cleaner when the result is dereferenced
+    val fp = simhashFingerprints(spark, dir).localCheckpoint(true)
+    val groups = fpGroups(fp).localCheckpoint(true)
+    val fpp = fpPairs(groups, maxHamming)
+    val cross = fpp
+      .join(fp.select(col("doc_id").as("da"), col("simhash").as("sh_a")), "sh_a")
+      .join(fp.select(col("doc_id").as("db"), col("simhash").as("sh_b")), "sh_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+    val within = fp.as("x").join(fp.as("y"), "simhash")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionAll(within)
   }
 
   /** Near-duplicate CLUSTER resolution: connected components over the
@@ -290,6 +419,10 @@ object Dedup {
     * "keep one doc per cluster" becomes `filter(doc_id = cluster_id)`.
     * The step a real dedup pipeline needs beyond PAIRS: transitive
     * near-dups (A≈B≈C with A¬≈C) must still collapse to one survivor.
+    *
+    * The fixpoint runs on the CONTRACTED distinct-fingerprint graph
+    * ([[fpClusters]]) — 19× fewer edges on this fixture — and expands
+    * to docs only for the final output.
     *
     * Scale shape: iterative-join CC with POINTER JUMPING — each round
     * takes the min over graph neighbors, then follows the label one hop
@@ -321,8 +454,46 @@ object Dedup {
     * commutative), hence deterministic on any cluster size. Singleton
     * docs keep themselves as cluster id. */
   def nearDupClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val pairs = simhashPairsUnsorted(spark, dir, maxHamming)
-      .select(col("doc_a"), col("doc_b"))
+    val (fp, gl) = fpClusters(spark, dir, maxHamming)
+    val sizes = gl.groupBy(col("cluster_id")).agg(sum(col("m")).as("cluster_size"))
+    fp.join(gl.select(col("simhash"), col("cluster_id")), "simhash")
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Group-level cluster resolution shared by the CC family: the
+    * fingerprint relation `(doc_id, simhash)` plus the labeled group
+    * relation `(simhash, rep, m, cluster_id)`. The fixpoint runs over
+    * the CONTRACTED rep graph ([[fpGroups]]/[[fpPairs]]): a fingerprint
+    * group is a clique (Hamming 0), so contracting it cannot change
+    * components, and the component's min doc_id equals the min rep
+    * (every rep is its group's min member). Untouched groups label
+    * themselves (`rep`), which also covers m ≥ 2 groups with no external
+    * edges (an all-identical cluster) and singletons uniformly.
+    * Operators that only need cluster-level numbers
+    * ([[clusterSizeHist]]) read `gl` alone and never expand to docs. */
+  private def fpClusters(spark: SparkSession, dir: String,
+      maxHamming: Int): (DataFrame, DataFrame) = {
+    val fp = simhashFingerprints(spark, dir).localCheckpoint(true)
+    val groups = fpGroups(fp).localCheckpoint(true)
+    val labels = minLabelFixpoint(fpPairs(groups, maxHamming)
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+    // eager checkpoint: feeds both the size aggregate and the doc-level
+    // expansion join of the (lazy) consumer plans
+    val gl = groups
+      .join(labels.withColumnRenamed("doc_id", "__m"),
+        col("rep") === col("__m"), "left")
+      .select(col("simhash"), col("rep"), col("m"),
+        coalesce(col("label"), col("rep")).as("cluster_id"))
+      .localCheckpoint(true)
+    (fp, gl)
+  }
+
+  /** Hash-to-min label-propagation fixpoint with pointer jumping over an
+    * undirected pair list `(doc_a, doc_b)` — returns `(doc_id, label)`
+    * for every edge-touched node, label = smallest reachable id. */
+  private def minLabelFixpoint(pairs: DataFrame): DataFrame = {
     // undirected propagation: each edge both ways, pre-partitioned on
     // the per-round join key so the cached partitioning is reused
     val edges = pairs
@@ -391,18 +562,7 @@ object Dedup {
       }
     }
     edges.unpersist()
-    // singletons rejoin with themselves as cluster id (left join against
-    // the converged edge-touched labels)
-    val full = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "__m"),
-        col("doc_id") === col("__m"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
-    val sizes = full.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    full.select(col("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** Distinct word 3-gram shingles per doc. */
@@ -601,6 +761,11 @@ object Dedup {
       .withColumn("bg", expr(
         """array_sort(transform(sequence(1, greatest(char_length(p) - 1, 1)),
            i -> CAST(hash(substring(p, i, 2)) AS BIGINT)))"""))
+      // eager checkpoint: the probe (a, 3-band explode) and build (b)
+      // sides both read this relation — without it the bigram build +
+      // array_sort pipeline runs once per side, and the returned lazy
+      // plan has no safe unpersist point for a bare persist
+      .localCheckpoint(true)
     val a = docs
       .withColumn("jband", explode(expr("sequence(band - 1, band + 1)")))
       .select(col("lang"), col("jband"), col("doc_id").as("doc_a"),
@@ -659,12 +824,18 @@ object Dedup {
     * pairs or a few mega-clusters (which decides between pair-level
     * removal and canonical election). One grouped aggregate over the
     * cluster relation; group count bounded by the largest cluster. */
-  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
-    nearDupClusters(spark, dir)
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    // cluster-LEVEL math only: sizes come from the group relation
+    // (Σ members per cluster), so the histogram never expands to
+    // per-doc rows — n_docs per size bucket is clusters × size
+    val (_, gl) = fpClusters(spark, dir, 3)
+    gl.groupBy(col("cluster_id")).agg(sum(col("m")).as("cluster_size"))
       .groupBy(col("cluster_size"))
-      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
-        count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
+  }
 
   /** Per-source duplication report: for each corpus source, how many of
     * its documents sit in a near-dup cluster (size > 1) and the dup

@@ -264,7 +264,10 @@ class CorpusAuditSpec extends SparkSpec {
 
   test("sketchAgreement: n_caught is exactly the pair-set intersection") {
     val r = Dedup.sketchAgreement(spark, dir).head()
-    val mh = Dedup.minhashPairs(spark, dir)
+    // the eval's MinHash universe is the deterministic band-0 SAMPLE
+    // (see sketchAgreement's scaladoc) — the spec replays the same
+    // subset; the simhash membership side stays exhaustive
+    val mh = Dedup.minhashPairs(spark, dir, bandSubset = Some(Seq(0)))
       .select(col("doc_a"), col("doc_b")).collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     val sh = Dedup.simhashPairs(spark, dir)
