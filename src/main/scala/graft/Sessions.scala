@@ -15,6 +15,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE (measured, round 7): parallelismFirst=false + an 8 MB
+      // advisory size — the "coalesce tiny shuffles harder" theory —
+      // regressed a 12-query probe 47.6 -> 68.2 s (triangle_counts
+      // 5.7 -> 15.8): byte-small shuffles here are often CPU-heavy per
+      // row (adjacency intersects, signature verifies), and losing
+      // cores costs far more than the saved task scheduling. Keep the
+      // default parallelism-first coalescing.
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
