@@ -154,6 +154,7 @@ object SparkEntry {
     "event_debounce"          -> ((s, d) => Events.eventDebounce(s, d)),
     "curriculum_order"        -> ((s, d) => TextAnalysis.curriculumOrder(s, d)),
     "length_buckets"          -> ((s, d) => TextAnalysis.lengthBuckets(s, d)),
+    "packing_manifest"        -> ((s, d) => TextAnalysis.packingManifest(s, d)),
     "source_quota"            -> ((s, d) => TextAnalysis.sourceQuota(s, d)),
     "quality_gate_per_lang"   -> ((s, d) => TextAnalysis.qualityGatePerLang(s, d)),
     "mv_incremental"          -> ((s, d) => Extras.mvIncremental(s, d)),
@@ -1619,6 +1620,26 @@ object SparkEntry {
     """,
     // length-bucketed batching plan: next-pow2 token buckets, per-bucket
     // batch counts and padding overhead — aggregates only on both sides
+    // packed-pretraining window assignment: the oracle's running-sum
+    // window replays Prefix.exclusiveScan's two-pass scan exactly
+    // (integer sums, doc_id order is total)
+    "packing_manifest" -> """
+      WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, n_toks,
+               CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        FROM d)
+      SELECT doc_id, n_toks, tok_offset,
+             tok_offset // 2048 AS window_id,
+             tok_offset % 2048 AS offset_in_window,
+             (tok_offset + greatest(n_toks, 1) - 1) // 2048
+               - tok_offset // 2048 + 1 AS n_windows
+      FROM s
+      ORDER BY doc_id
+    """,
     "length_buckets" -> """
       WITH d AS (
         SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),

@@ -217,16 +217,19 @@ object Similarity {
       var cents: Seq[Centroid] =
         seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, norm2Of(c)) }.toSeq
       for (_ <- 1 to iters) {
+        // one shuffle per iteration: the (cid, pos) means come back as
+        // k×dim rows and assemble into centroid arrays ON THE DRIVER —
+        // the second per-cid collect_list aggregate this replaces was a
+        // whole extra shuffle+stage per iteration for state the driver
+        // already holds (O(k·dim) doubles, the declared footprint)
         val rows = assignCid(e, cents, "v", "norm2")
           .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos"))
           .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
           .collect()
-        cents = rows.map { r =>
-          val c = r.getSeq[Double](1)
-          Centroid(r.getInt(0), c, norm2Of(c))
+        cents = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+          val c: Seq[Double] = rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          Centroid(cid, c, norm2Of(c))
         }.toSeq.sortBy(_.cid)
       }
       cents

@@ -630,6 +630,37 @@ object TextAnalysis {
         Fns.money(lit(1.0) - col("real_tokens") / col("padded_tokens")))
       .orderBy(col("bucket_width"))
 
+  /** Per-document PACKING MANIFEST — the loader-side complement of
+    * [[sequencePacking]]'s bin-level stats: documents are concatenated
+    * in doc_id order and split into fixed `budget`-token context
+    * windows (the standard packed-pretraining layout — no pad tokens,
+    * documents may straddle window boundaries). Each doc reports the
+    * window its first REAL token lands in (exact `split` counts, not
+    * the n_chars/4 estimate the bin planner uses), the offset within
+    * that window, and how many windows it spans — what a loader needs
+    * to materialize packed batches or mask cross-document attention.
+    *
+    * Scale shape: the global token offset comes from
+    * [[graft.engine.Prefix.exclusiveScan]] — the two-pass
+    * range-partitioned scan — NOT from an unpartitioned running-sum
+    * window, which would move the whole corpus through one task (the
+    * global-window trap the repo bans everywhere else). Everything
+    * after the scan is per-row integer arithmetic. Zero-token docs
+    * occupy no tokens but still report the 1 window they point into
+    * (`greatest(n_toks, 1)` guards the span formula). */
+  def packingManifest(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("size(split(text, ' '))").cast("long").as("n_toks"))
+    graft.engine.Prefix.exclusiveScan(toks, "doc_id", "n_toks", "tok_offset")
+      .select(
+        col("doc_id"), col("n_toks"), col("tok_offset"),
+        expr(s"tok_offset DIV $budget").as("window_id"),
+        expr(s"tok_offset % $budget").as("offset_in_window"),
+        expr(s"""(tok_offset + greatest(n_toks, 1) - 1) DIV $budget
+                 - tok_offset DIV $budget + 1""").as("n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style GLOBAL span dedup with document reassembly (Raffel et al.
     * 2020 §2.2 deduplicate "three-sentence spans"; here fixed k-token
     * chunks since the fixture has no sentence boundaries): the corpus is

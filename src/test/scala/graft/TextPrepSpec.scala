@@ -232,6 +232,30 @@ class TextPrepSpec extends SparkSpec {
     assert(en.map(_.getDouble(3)).sum / en.length > rest.map(_.getDouble(3)).sum / rest.length)
   }
 
+  test("packingManifest: offsets tile the token stream; window spans are exact") {
+    val budget = 2048L
+    val rows = TextAnalysis.packingManifest(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    // exclusive-scan tiling: each doc starts where the previous ended
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expect, s"doc ${r.getLong(0)} offset")
+      expect += r.getLong(1)
+    }
+    rows.foreach { r =>
+      val (n, off) = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == off / budget)
+      assert(r.getLong(4) == off % budget)
+      val lastTok = off + math.max(n, 1) - 1
+      assert(r.getLong(5) == lastTok / budget - off / budget + 1)
+      assert(r.getLong(5) >= 1)
+    }
+    // every context window up to the last is referenced by some doc
+    val touched = rows.flatMap(r =>
+      r.getLong(3) to (r.getLong(3) + r.getLong(5) - 1)).toSet
+    assert(touched == (0L to (expect - 1) / budget).toSet)
+  }
+
   test("corpusMixture: weights normalize and temperature-flattening favors small sources") {
     val rows = TextAnalysis.corpusMixture(spark, dir).collect()
     val weightSum = rows.map(_.getDouble(4)).sum
