@@ -14,9 +14,10 @@ import graft.Tables
   * symmetric), and the score is PageRank with damping 0.85.
   *
   * Scale design:
-  *  - The edge list is built by one self-equi-join of the deduplicated
+  *  - The edge list is built by one self-equi-join of the raw
   *    (order, part) relation on the order key — hash-bucketed candidate
-  *    generation, never an all-pairs scan over parts.
+  *    generation, never an all-pairs scan over parts; the edge-level
+  *    DISTINCT dedups, so no pre-join dedup exchange is paid.
   *  - Each power iteration is ONE shuffle: contributions grouped by
   *    destination. Degrees ride along with the edges (joined once, before
   *    the loop, then `localCheckpoint`ed) so iterations re-scan a
@@ -40,9 +41,13 @@ object Graphs {
   /** Co-purchase edge list, both directions, with the source's degree on
     * every edge: `(src, dst, outdeg)`. */
   private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
+    // DISTINCT below dedups anyway, duplicate parts within an order are
+    // rare (one extra join row each), and skipping the dedup lets BOTH
+    // self-join sides reuse ONE order-key exchange instead of paying a
+    // (okey, part) exchange first — one full shuffle fewer per query
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-      .distinct()
     val edges = items.withColumnRenamed("part", "src")
       .join(items.withColumnRenamed("part", "dst"), "okey")
       .filter(col("src") =!= col("dst"))
@@ -92,9 +97,13 @@ object Graphs {
     * Deterministic: counts are integers, top-k tiebreak is
     * (count desc, part asc). */
   def triangleCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
+    // DISTINCT below dedups anyway, duplicate parts within an order are
+    // rare (one extra join row each), and skipping the dedup lets BOTH
+    // self-join sides reuse ONE order-key exchange instead of paying a
+    // (okey, part) exchange first — one full shuffle fewer per query
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-      .distinct()
     val und = items.withColumnRenamed("part", "a")
       .join(items.withColumnRenamed("part", "b"), "okey")
       .filter(col("a") < col("b"))
@@ -151,9 +160,13 @@ object Graphs {
     * integer intersection size. */
   def partSimilarity(spark: SparkSession, dir: String, minCommon: Int = 20): DataFrame = {
     graft.functions.ArrayOps.register(spark)
+    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
+    // DISTINCT below dedups anyway, duplicate parts within an order are
+    // rare (one extra join row each), and skipping the dedup lets BOTH
+    // self-join sides reuse ONE order-key exchange instead of paying a
+    // (okey, part) exchange first — one full shuffle fewer per query
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-      .distinct()
     val und = items.withColumnRenamed("part", "a")
       .join(items.withColumnRenamed("part", "b"), "okey")
       .filter(col("a") < col("b"))
@@ -199,9 +212,13 @@ object Graphs {
       threshold: Double = 0.1, maxBucketSize: Int = 10): DataFrame = {
     graft.functions.ArrayOps.register(spark)
     val P = graft.dedup.Dedup.P
+    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
+    // DISTINCT below dedups anyway, duplicate parts within an order are
+    // rare (one extra join row each), and skipping the dedup lets BOTH
+    // self-join sides reuse ONE order-key exchange instead of paying a
+    // (okey, part) exchange first — one full shuffle fewer per query
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-      .distinct()
     val und = items.withColumnRenamed("part", "a")
       .join(items.withColumnRenamed("part", "b"), "okey")
       .filter(col("a") < col("b"))
@@ -267,9 +284,13 @@ object Graphs {
     * and re-scanned per round (the [[pagerank]] discipline). Final
     * community sizes ride a window over the node-cardinality result. */
   def partCommunities(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
+    // DISTINCT below dedups anyway, duplicate parts within an order are
+    // rare (one extra join row each), and skipping the dedup lets BOTH
+    // self-join sides reuse ONE order-key exchange instead of paying a
+    // (okey, part) exchange first — one full shuffle fewer per query
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-      .distinct()
     val edges = items.withColumnRenamed("part", "src")
       .join(items.withColumnRenamed("part", "dst"), "okey")
       .filter(col("src") =!= col("dst"))
