@@ -203,6 +203,10 @@ object SparkEntry {
     "part_similarity"         -> ((s, d) => Graphs.partSimilarity(s, d)),
     "part_similarity_capped"  -> ((s, d) => Graphs.partSimilarityCapped(s, d)),
     "rfm_segments"            -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "doremi_weights"          -> ((s, d) => TextAnalysis.doremiWeights(s, d)),
+    "matryoshka_recall"       -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
+    "ivf_balance"             -> ((s, d) => Similarity.ivfBalance(s, d)),
+    "dedup_threshold_curve"   -> ((s, d) => Dedup.dedupThresholdCurve(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -739,7 +743,150 @@ object SparkEntry {
                 GROUP BY 1)
         SELECT user_id, CAST(est_count AS BIGINT) AS est_count
         FROM est ORDER BY est_count DESC, user_id LIMIT 20
-      """)
+      """) +
+      // generated SQL: DoReMi one-step reweighting extends lm_perplexity's
+      // chain (the perplexity_gate cut pattern); every mean/mass is
+      // money-rounded then decimal-accumulated in both engines
+      ("doremi_weights" -> {
+        val src = m("lm_perplexity")
+        val cut = src.indexOf("SELECT doc_id, n_bigrams")
+        require(cut > 0, "lm_perplexity oracle lost its final-projection marker")
+        import graft.Fns.{moneySql, sumMoneySql}
+        src.substring(0, cut) + s""", scored AS (
+        SELECT d.doc_id, d.bits_per_token, x.source
+        FROM doc d JOIN documents x USING (doc_id)),
+      ref AS (
+        SELECT ${moneySql(sumMoneySql("bits_per_token") + " / count(*)")} AS ref_bits,
+               CAST(count(*) AS DOUBLE) AS n_total
+        FROM scored),
+      per AS (
+        SELECT source, count(*) AS n_docs,
+               ${moneySql(sumMoneySql("bits_per_token") + " / count(*)")} AS mean_bits
+        FROM scored GROUP BY 1),
+      mass AS (
+        SELECT p.source, p.n_docs, p.mean_bits,
+               ${moneySql("greatest(0.0, p.mean_bits - r.ref_bits)")} AS excess_bits,
+               ${moneySql("p.n_docs / r.n_total")} AS base_share
+        FROM per p CROSS JOIN ref r),
+      m2 AS (
+        SELECT *,
+               ${moneySql("base_share * (" + moneySql("pow(2.0, excess_bits)") + ")")} AS mass
+        FROM mass),
+      tot AS (SELECT ${sumMoneySql("mass")} AS tot FROM m2)
+      SELECT source, n_docs, mean_bits, excess_bits, base_share,
+             ${moneySql("mass / tot.tot")} AS weight
+      FROM m2 CROSS JOIN tot ORDER BY source
+    """
+      }) +
+      // composed SQL: Matryoshka truncation eval — the full-dimension
+      // brute-force oracle as ground truth, the same search over the
+      // 16-dim embedding prefix as the candidate, recall joined on the
+      // (query, neighbor) pair like ann_recall
+      ("matryoshka_recall" -> {
+        s"""
+      WITH bf AS (${m("knn_bruteforce")}),
+      tp AS (
+        SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v,
+               list_reduce(list_transform(range(1, 17), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      tq AS (SELECT vec_id AS query_id, v AS va, norm2 AS na2 FROM tp WHERE vec_id % 100 = 0),
+      ts AS (
+        SELECT tq.query_id, tp.vec_id AS neighbor_id,
+               floor((list_reduce(list_transform(range(1, len(tq.va) + 1), i -> tq.va[i] * tp.v[i]),
+                 (x, y) -> x + y) / sqrt(tq.na2 * tp.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM tq JOIN tp ON tp.vec_id <> tq.query_id),
+      tr AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM ts)
+        WHERE rank <= 5)
+      SELECT bf.query_id,
+             CAST(count(tr.neighbor_id) AS BIGINT) AS n_hit,
+             CAST(5 AS BIGINT) AS k,
+             floor((count(tr.neighbor_id) / 5.0) * 10000 + 0.5) / 10000 AS recall
+      FROM bf LEFT JOIN tr
+        ON bf.query_id = tr.query_id AND bf.neighbor_id = tr.neighbor_id
+      GROUP BY bf.query_id
+      ORDER BY bf.query_id
+    """
+      }) +
+      // generated SQL: IVF list-balance audit — shares knn_ivf's
+      // unrolled-Lloyd prefix (identical fit ⟹ identical lists) like
+      // embedding_outliers, then a |lists|-row rollup
+      ("ivf_balance" -> {
+        val src = m("knn_ivf")
+        val cut = src.indexOf("q AS (")
+        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+        src.substring(0, cut) + """bf AS (
+        SELECT p.vec_id, c.cid,
+               floor((list_reduce(list_transform(range(1, len(p.v) + 1), j -> p.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(p.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM p CROSS JOIN centn c),
+      assigned AS (
+        SELECT vec_id, cid FROM bf
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM assigned)
+      SELECT cid, count(*) AS n_vecs,
+             floor((count(*) / t.n) * 10000 + 0.5) / 10000 AS share,
+             floor((count(*) * 10.0 / t.n) * 10000 + 0.5) / 10000 AS load_factor
+      FROM assigned CROSS JOIN tot t GROUP BY cid, t.n ORDER BY cid
+    """
+      }) +
+      // generated SQL: the dedup threshold curve replays the MinHash
+      // pipeline restricted to band 0 (the bandSubset sampling lever,
+      // exactly as sketch_agreement) at verify threshold 0.5, then
+      // buckets exact Jaccard by tenths
+      ("dedup_threshold_curve" -> """
+      WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      th AS (
+        SELECT doc_id, toks,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id, toks,
+               list_transform(range(0, 16), i ->
+                 list_min(list_transform(h, x -> ((2*i+1) * x + 7*i+3) % 1000000007))) AS sig
+        FROM th),
+      bands AS (
+        SELECT doc_id, sig[1] AS k1, sig[2] AS k2, sig[3] AS k3, sig[4] AS k4
+        FROM sig),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id),
+      hsets AS (SELECT doc_id, list_distinct(h) AS hs FROM th),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(ta.hs, tb.hs)) AS inter,
+               len(ta.hs) AS na, len(tb.hs) AS nb
+        FROM cand
+          JOIN hsets ta ON cand.doc_a = ta.doc_id
+          JOIN hsets tb ON cand.doc_b = tb.doc_id),
+      scored AS (
+        SELECT doc_a, doc_b,
+               floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM pairs
+        WHERE inter / (na + nb - inter) >= 0.5),
+      bkt AS (
+        SELECT floor((least(floor(jaccard * 10) / 10, 0.9)) * 10000 + 0.5) / 10000 AS threshold_lo,
+               doc_a, doc_b
+        FROM scored),
+      cnt AS (SELECT threshold_lo, count(*) AS n_pairs FROM bkt GROUP BY 1),
+      dcs AS (
+        SELECT threshold_lo, count(DISTINCT d) AS n_docs
+        FROM (SELECT threshold_lo, unnest([doc_a, doc_b]) AS d FROM bkt)
+        GROUP BY 1)
+      SELECT c.threshold_lo,
+             CAST(c.n_pairs AS BIGINT) AS n_pairs,
+             CAST(d.n_docs AS BIGINT) AS n_docs,
+             CAST(sum(c.n_pairs) OVER (ORDER BY c.threshold_lo DESC) AS BIGINT) AS cum_pairs
+      FROM cnt c JOIN dcs d USING (threshold_lo)
+      ORDER BY c.threshold_lo
+    """)
   }
 
   // ORACLE TYPING RULE: DuckDB returns sum(<any integer type>) as

@@ -108,6 +108,40 @@ object Dedup {
     * so sorted-distinct input gives the oracle-identical value). */
   private def minhashPairsContracted(spark: SparkSession, dir: String,
       threshold: Double, bandSubset: Option[Seq[Int]]): DataFrame = {
+    val (groups, verified) = minhashGroupPairs(spark, dir, threshold, bandSubset)
+    // cross-group expansion: members_a × members_b per verified group
+    // pair, normalized to doc_a < doc_b (membership does not follow rep
+    // order); output-bound
+    val cross = verified
+      .join(groups.select(col("rep").as("rep_a"), col("members").as("mem_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("members").as("mem_b")), "rep_b")
+      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("jaccard"))
+      .select(col("da"), explode(col("mem_b")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    // within-group clone pairs: identical sets ⟹ Jaccard exactly 1.0;
+    // empty token sets are excluded (0/0 is NULL on both engines, never
+    // a pair)
+    val within = groups
+      .filter(size(col("members")) >= 2 && size(col("th")) > 0)
+      .select(explode(col("members")).as("da"), col("members"))
+      .select(col("da"), explode(col("members")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        Fns.money(lit(1.0)).as("jaccard"))
+    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The contracted pipeline UP TO the group-pair stage: returns
+    * (`groups`, `verified`) where `groups` is one row per distinct
+    * token-hash set (rep, members, th, sig) and `verified` is the
+    * Jaccard-verified group-pair relation (rep_a, rep_b, jaccard) —
+    * everything BEFORE the member×member doc-pair expansion, so rollup
+    * consumers ([[dedupThresholdCurve]]) can aggregate at group
+    * granularity and never materialize the expanded pair set. */
+  private def minhashGroupPairs(spark: SparkSession, dir: String,
+      threshold: Double, bandSubset: Option[Seq[Int]]): (DataFrame, DataFrame) = {
+    graft.functions.ArrayOps.register(spark)
     // eager checkpoints, not persist: both relations feed multiple
     // branches of the returned lazy plan (no safe unpersist point)
     val fpD = Tables.documents(spark, dir)
@@ -147,27 +181,7 @@ object Dedup {
     val verified = jaccardAtLeast(
       cand.join(ta, "rep_a").join(tb, "rep_b"), "th_a", "th_b", threshold)
       .select(col("rep_a"), col("rep_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
-    // cross-group expansion: members_a × members_b per verified group
-    // pair, normalized to doc_a < doc_b (membership does not follow rep
-    // order); output-bound
-    val cross = verified
-      .join(groups.select(col("rep").as("rep_a"), col("members").as("mem_a")), "rep_a")
-      .join(groups.select(col("rep").as("rep_b"), col("members").as("mem_b")), "rep_b")
-      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("jaccard"))
-      .select(col("da"), explode(col("mem_b")).as("db"), col("jaccard"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-    // within-group clone pairs: identical sets ⟹ Jaccard exactly 1.0;
-    // empty token sets are excluded (0/0 is NULL on both engines, never
-    // a pair)
-    val within = groups
-      .filter(size(col("members")) >= 2 && size(col("th")) > 0)
-      .select(explode(col("members")).as("da"), col("members"))
-      .select(col("da"), explode(col("members")).as("db"))
-      .filter(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        Fns.money(lit(1.0)).as("jaccard"))
-    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
+    (groups, verified)
   }
 
   /** Doc-level pair generation — the path the `maxBucketSize` hot-bucket
@@ -972,5 +986,66 @@ object Dedup {
           .as("jaccard"),
         Fns.money(col("n_agree") / lit(K.toDouble)).as("est_jaccard"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Dedup threshold curve: how many near-dup pairs (and docs touched)
+    * each Jaccard band contains — the number that turns "pick a dedup
+    * threshold" from folklore into a measurement (lower the cut one
+    * band and this table says exactly how many more docs disappear).
+    * `cum_pairs` accumulates from the strictest band down, i.e. the
+    * pair count a dedup pass at `threshold_lo` would act on.
+    *
+    * Candidate generation is the band-0 sample of the MinHash pipeline
+    * ([[minhashPairs]]'s `bandSubset` lever, the [[sketchAgreement]]
+    * precedent): a curve needs an unbiased shape, not the exhaustive
+    * pair set, and one band is a uniform hash-selected sample of the
+    * candidate space at 1/B the join cost with the candidate DISTINCT
+    * skipped entirely. Verification still carries exact Jaccard, so
+    * band membership only affects WHICH pairs are sampled, never their
+    * score.
+    *
+    * Scale shape: the rollup is a ≤6-row aggregate over the sampled
+    * pair relation; the cumulative sum is a window over those ≤6 rows
+    * (not the corpus). */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(j: Column): Column =
+      Fns.money(least(floor(j * 10) / 10, lit(0.9)))
+    // group-granular the whole way ([[minhashGroupPairs]]): a verified
+    // group pair (a, b, j) stands for |mem_a|·|mem_b| doc pairs ALL at
+    // exact Jaccard j (identical token sets are interchangeable), and a
+    // clone group of m docs stands for m(m-1)/2 pairs at Jaccard 1.0 —
+    // so pair counts are closed-form products and the doc-pair relation
+    // is never materialized. localCheckpoint: the small group-pair
+    // relation feeds both the pair-count and the doc-distinct branches.
+    val (groups, verified0) = minhashGroupPairs(spark, dir,
+      threshold = 0.5, bandSubset = Some(Seq(0)))
+    val verified = verified0
+      .join(groups.select(col("rep").as("rep_a"), size(col("members")).as("na"),
+        col("members").as("mem_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), size(col("members")).as("nb"),
+        col("members").as("mem_b")), "rep_b")
+      .select(bucket(col("jaccard")).as("threshold_lo"),
+        (col("na").cast("long") * col("nb")).as("n"),
+        col("mem_a"), col("mem_b"))
+      .localCheckpoint(true)
+    val clones = groups
+      .filter(size(col("members")) >= 2 && size(col("th")) > 0)
+      .select(bucket(lit(1.0)).as("threshold_lo"),
+        (size(col("members")).cast("long") * (size(col("members")) - 1) / 2)
+          .cast("long").as("n"),
+        col("members").as("mem_a"), expr("CAST(array() AS ARRAY<BIGINT>)").as("mem_b"))
+    val all = verified.unionAll(clones)
+    val cnt = all.groupBy(col("threshold_lo"))
+      .agg(sum(col("n")).as("n_pairs"))
+    val docs = all
+      .select(col("threshold_lo"),
+        explode(concat(col("mem_a"), col("mem_b"))).as("d"))
+      .groupBy(col("threshold_lo"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold_lo").desc)
+    cnt.join(docs, "threshold_lo")
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w).cast("long"))
+      .orderBy(col("threshold_lo"))
   }
 }

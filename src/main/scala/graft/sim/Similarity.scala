@@ -42,8 +42,15 @@ object Similarity {
     * chunk — the honest brute-force tradeoff. [[knnIvf]] remains the
     * scale path when repeated scans are too expensive. */
   def knnBruteForce(spark: SparkSession, dir: String, k: Int = 5,
-      queryChunkRows: Int = 1 << 20): DataFrame = {
-    val e = prepared(spark, dir)
+      queryChunkRows: Int = 1 << 20): DataFrame =
+    bruteForceOn(prepared(spark, dir), k, queryChunkRows)
+
+  /** [[knnBruteForce]]'s chunked-broadcast scan over any relation with
+    * (vec_id, v, norm2) columns — factored out so truncated-dimension
+    * variants ([[matryoshkaRecall]]) reuse the bounded-broadcast
+    * machinery instead of re-deriving it. */
+  private def bruteForceOn(e: DataFrame, k: Int,
+      queryChunkRows: Int): DataFrame = {
     // localCheckpoint (not persist): the sizing count below and every
     // chunk's broadcast read the same small relation — a bare persist
     // here would leak for the session lifetime (the returned plan is
@@ -813,6 +820,66 @@ object Similarity {
     * audited with the same yardstick as nprobe. */
   def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     recallVsBruteForce(spark, dir, knnPq(spark, dir, k), k)
+
+  /** Matryoshka truncation eval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning", re-expressed): recall@k of an exact kNN
+    * over only the FIRST `dims` of the 64 embedding dimensions against
+    * the full-dimension ground truth — the offline number that decides
+    * whether a deployment can serve the cheap prefix-truncated index
+    * (dims/64 of the memory and dot-product cost) and re-rank with full
+    * vectors only on the shortlist. Both searches ride the same
+    * bounded-broadcast chunked scan ([[bruteForceOn]]); the truncated
+    * side's vectors are `slice(embedding, 1, dims)` so the projection
+    * prunes at the scan, not after.
+    *
+    * Scale shape: two corpus scans (full truth + truncated candidate),
+    * each the [[knnBruteForce]] shape; the recall join is (queries × k)
+    * rows. A production eval samples the query set — here the workload
+    * is already the every-100th-vector sample. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, k: Int = 5,
+      dims: Int = 16): DataFrame = {
+    val trunc = Tables.embeddings(spark, dir)
+      .withColumn("v",
+        expr(s"transform(slice(embedding, 1, $dims), x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2",
+        expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+    recallVsBruteForce(spark, dir, bruteForceOn(trunc, k, 1 << 20), k)
+  }
+
+  /** IVF index-balance audit: per-list vector counts, corpus share, and
+    * load factor (observed size ÷ uniform size) for the learned
+    * quantizer's inverted lists — the health check run after every index
+    * build, because a hot list silently turns probe cost into a scan of
+    * half the corpus (the same hub hazard the pair generators cap via
+    * maxBucketSize). `load_factor` ≫ 1 says raise nClusters or split the
+    * list; the audit is what makes that dial data-driven.
+    *
+    * Scale shape: assignment is the same broadcast-centroid narrow
+    * projection as [[knnIvf]]; the rollup is a |lists|-row grouped
+    * aggregate with map-side partials. */
+  def ivfBalance(spark: SparkSession, dir: String, nClusters: Int = 10,
+      iters: Int = 3): DataFrame = {
+    val e = prepared(spark, dir)
+    val cents = kmeansFit(spark, dir, nClusters, iters)
+    val grouped = assignCid(e, cents, "v", "norm2")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+    // the corpus total rides an unpartitioned window over the ALREADY
+    // GROUPED |lists|-row relation (≤ nClusters rows on one reducer, not
+    // the corpus) — one scan, no scalar re-derivation
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grouped
+      .withColumn("__n", sum(col("n_vecs")).over(wAll).cast("double"))
+      .select(col("cid"), col("n_vecs"),
+        Fns.money(col("n_vecs").cast("double") / col("__n")).as("share"),
+        Fns.money(col("n_vecs").cast("double") * lit(nClusters.toDouble) / col("__n"))
+          .as("load_factor"))
+      .orderBy(col("cid"))
+  }
 
   private def recallVsBruteForce(spark: SparkSession, dir: String,
       approx: DataFrame, k: Int): DataFrame = {

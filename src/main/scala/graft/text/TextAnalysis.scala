@@ -914,6 +914,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+    * collapsed to its deterministic one-step variant: the proxy model is
+    * the corpus bigram LM ([[lmPerplexity]]), a domain's EXCESS LOSS is
+    * how many more bits-per-token its documents cost than the corpus
+    * average, and the mixture weight multiplies each domain's base share
+    * by `2^excess` before renormalizing — domains the proxy finds hard
+    * gain weight, domains it has already fit lose it (the Group-DRO
+    * update with the reference-loss subtraction, one round, temperature
+    * 1 in log2 space).
+    *
+    * Portability: per-source mean bits is a money-rounded decimal mean
+    * of already-money-rounded per-doc scores; the global reference mean
+    * attaches as a 1-row broadcast scalar; `2^excess` exponentiates the
+    * already-rounded 4-dp double; the normalizing denominator decimal-
+    * accumulates money-rounded per-source masses — every step engine-
+    * identical in any accumulation order (the [[lmPerplexity]]
+    * discipline).
+    *
+    * Scale shape: everything past the per-doc scoring is a |sources|-row
+    * rollup — one grouped aggregate over the scored docs, one 1-row
+    * scalar, one |sources|-row normalization. The scoring itself is
+    * [[lmPerplexity]]'s two-shuffle chain; at 100 TB a deployment
+    * materializes the per-doc scores once and this rollup is free. */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the scored relation feeds both the reference
+    // scalar and the per-source rollup — without it each branch re-runs
+    // the whole bigram-LM chain (checkpoint blocks are freed by the
+    // context cleaner once the result is dereferenced)
+    val scored = lmPerplexity(spark, dir)
+      .select(col("doc_id"), col("bits_per_token"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true)
+    val ref = scored.agg(
+      Fns.money(Fns.sumMoney(col("bits_per_token")) / count(lit(1)).cast("double"))
+        .as("__ref_bits"),
+      count(lit(1)).cast("double").as("__n_total"))
+    val per = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Fns.money(Fns.sumMoney(col("bits_per_token")) / count(lit(1)).cast("double"))
+          .as("mean_bits"))
+    val mass = per
+      // INTENTIONAL 1-row broadcast nested loop (scalar attach, as in
+      // lmPerplexity): the build side is a single row
+      .crossJoin(broadcast(ref))
+      .withColumn("excess_bits",
+        Fns.money(greatest(lit(0.0), col("mean_bits") - col("__ref_bits"))))
+      .withColumn("base_share",
+        Fns.money(col("n_docs").cast("double") / col("__n_total")))
+      .withColumn("mass",
+        Fns.money(col("base_share") * Fns.money(pow(lit(2.0), col("excess_bits")))))
+    val tot = mass.agg(Fns.sumMoney(col("mass")).as("__tot"))
+    mass.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("mean_bits"),
+        col("excess_bits"), col("base_share"),
+        Fns.money(col("mass") / col("__tot")).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR-style importance weighting for data selection (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): fit two bag-of-hashed-ngram models — `p` over a
