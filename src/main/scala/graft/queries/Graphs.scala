@@ -57,6 +57,33 @@ object Graphs {
     edges.join(deg, "src")
   }
 
+  /** The co-purchase graph as ADJACENCY LISTS — `(src, nbrs, outdeg)`
+    * with `nbrs` the sorted distinct co-purchased parts — checkpointed,
+    * the shared input of the whole graph family. One okey self-join and
+    * ONE grouped aggregate build it (collect_set dedups in aggregate
+    * state, so no separate edge-DISTINCT exchange and no degree join —
+    * the edge-list build paid three M-row exchanges for the same
+    * information). The symmetric graph makes one relation serve as both
+    * forward and reverse adjacency. Node-cardinality rows (each O(deg)
+    * wide) instead of edge-cardinality: per-round joins against it are
+    * node-scale, and the edge set re-materializes only inside a
+    * pipelined explode that feeds a map-side partial aggregate — the
+    * M-row relation never crosses a join again. Hub rows are O(deg)
+    * state, the same bound the [[partSimilarity]] lists carry; the
+    * 100 TB guard for pathological hubs is [[partSimilarityCapped]]'s
+    * signature path. */
+  private[graft] def coPurchaseAdjacency(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
+    items.withColumnRenamed("part", "src")
+      .join(items.withColumnRenamed("part", "dst"), "okey")
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .withColumn("outdeg", size(col("nbrs")).cast("long"))
+      .localCheckpoint(true)
+  }
+
   /** PageRank over the co-purchase part graph: `iters` fixed power
     * iterations, damping 0.85, fixed-point arithmetic (see object doc).
     * Every part with at least one co-purchase partner is a node; the
@@ -66,7 +93,7 @@ object Graphs {
     * Output: `(part, rank_fx)` ordered by rank descending — the most
     * "central" parts in the co-purchase network. */
   def partPagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
-    pagerank(coPurchaseEdges(spark, dir), iters)
+    pagerankAdj(coPurchaseAdjacency(spark, dir), iters)
 
   /** Per-part triangle participation counts in the co-purchase graph —
     * the local-clustering signal (how clique-ish a product's
@@ -97,38 +124,29 @@ object Graphs {
     * Deterministic: counts are integers, top-k tiebreak is
     * (count desc, part asc). */
   def triangleCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
-    // DISTINCT below dedups anyway, duplicate parts within an order are
-    // rare (one extra join row each), and skipping the dedup lets BOTH
-    // self-join sides reuse ONE order-key exchange instead of paying a
-    // (okey, part) exchange first — one full shuffle fewer per query
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-    val und = items.withColumnRenamed("part", "a")
-      .join(items.withColumnRenamed("part", "b"), "okey")
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val e = und
-      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
-      .select(
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
-          .otherwise(col("b")).as("src"),
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
-          .otherwise(col("a")).as("dst"))
-    // materialize the oriented edges once: the adjacency build and both
-    // probe joins re-read them (same discipline as the pagerank loop)
-    val eM = e.localCheckpoint(true)
-    val adj = eM.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val lists = eM
-      .join(adj.select(col("src").as("__u"), col("nbrs").as("nu")),
-        eM("src") === col("__u"))
-      .join(adj.select(col("src").as("__v"), col("nbrs").as("nv")),
-        eM("dst") === col("__v"))
+    // symmetric adjacency once ([[coPurchaseAdjacency]]): degree = list
+    // size rides for free, replacing the edge-DISTINCT + degree-rollup +
+    // two degree joins of the edge-list build (three M-row exchanges)
+    val adjS = coPurchaseAdjacency(spark, dir)
+    // orientation needs each NEIGHBOR's degree: explode to (u, du, m)
+    // and equi-join the node-scale (m, dm) projection — the one
+    // edge-scale exchange of the build
+    val ori = adjS
+      .select(col("src").as("u"), col("outdeg").as("du"),
+        explode(col("nbrs")).as("m"))
+      .join(adjS.select(col("src").as("m"), col("outdeg").as("dm")), "m")
+      .filter(struct(col("dm"), col("m")) > struct(col("du"), col("u")))
+    // oriented adjacency (checkpointed: the pair explode and the probe
+    // join both read it); out-lists are O(√m)-bounded by orientation
+    val adjO = ori.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("m"))).as("onbrs"))
+      .localCheckpoint(true)
+    // oriented edges are born from the out-lists with N⁺(u) onboard —
+    // only N⁺(v) attaches by join
+    val lists = adjO
+      .select(col("u").as("src"), col("onbrs").as("nu"),
+        explode(col("onbrs")).as("dst"))
+      .join(adjO.select(col("u").as("dst"), col("onbrs").as("nv")), "dst")
       .select(col("src"), col("dst"), array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
     val sinks = lists.select(explode(col("ws")).as("part"), lit(1L).as("t"))
@@ -160,28 +178,18 @@ object Graphs {
     * integer intersection size. */
   def partSimilarity(spark: SparkSession, dir: String, minCommon: Int = 20): DataFrame = {
     graft.functions.ArrayOps.register(spark)
-    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
-    // DISTINCT below dedups anyway, duplicate parts within an order are
-    // rare (one extra join row each), and skipping the dedup lets BOTH
-    // self-join sides reuse ONE order-key exchange instead of paying a
-    // (okey, part) exchange first — one full shuffle fewer per query
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-    val und = items.withColumnRenamed("part", "a")
-      .join(items.withColumnRenamed("part", "b"), "okey")
+    // symmetric adjacency once ([[coPurchaseAdjacency]]): the undirected
+    // pair relation is born from the lists (a < b keeps each edge once)
+    // with N(a)/deg(a) already onboard, so only N(b) attaches by join —
+    // one node-keyed exchange replaces the edge-DISTINCT + adjacency
+    // union-rollup + two probe joins of the edge-list build
+    val adj = coPurchaseAdjacency(spark, dir)
+    adj
+      .select(col("src").as("a"), col("nbrs").as("na"),
+        col("outdeg").as("deg_a"), explode(col("nbrs")).as("b"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-      .localCheckpoint(true) // adjacency build + probe joins re-read it
-    val adj = und.select(col("a").as("n"), col("b").as("nb"))
-      .union(und.select(col("b").as("n"), col("a").as("nb")))
-      .groupBy(col("n"))
-      .agg(sort_array(collect_list(col("nb"))).as("nbrs"), count(lit(1)).as("deg"))
-    und
-      .join(adj.select(col("n").as("__a"), col("nbrs").as("na"), col("deg").as("deg_a")),
-        col("a") === col("__a"))
-      .join(adj.select(col("n").as("__b"), col("nbrs").as("nb_"), col("deg").as("deg_b")),
-        col("b") === col("__b"))
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb_"),
+        col("outdeg").as("deg_b")), "b")
       .select(col("a").as("part_a"), col("b").as("part_b"),
         expr("sorted_intersect_size(na, nb_)").cast("long").as("n_common"),
         col("deg_a"), col("deg_b"))
@@ -212,24 +220,18 @@ object Graphs {
       threshold: Double = 0.1, maxBucketSize: Int = 10): DataFrame = {
     graft.functions.ArrayOps.register(spark)
     val P = graft.dedup.Dedup.P
-    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
-    // DISTINCT below dedups anyway, duplicate parts within an order are
-    // rare (one extra join row each), and skipping the dedup lets BOTH
-    // self-join sides reuse ONE order-key exchange instead of paying a
-    // (okey, part) exchange first — one full shuffle fewer per query
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-    val und = items.withColumnRenamed("part", "a")
-      .join(items.withColumnRenamed("part", "b"), "okey")
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    val nodes = und.select(col("a").as("n"), col("b").as("nb"))
-      .union(und.select(col("b").as("n"), col("a").as("nb")))
-      .groupBy(col("n"))
-      .agg(expr(s"""array_sort(array_distinct(transform(collect_list(nb),
-        t -> CAST(conv(substr(md5(CAST(t AS STRING)), 1, 15), 16, 10) AS BIGINT) % $P)))""")
-        .as("hs"))
+    // neighbor HASH sets straight off the symmetric adjacency (the
+    // neighbor lists are already distinct, so the per-element md5 runs
+    // once per edge, and the union-rollup exchange of the edge-list
+    // build disappears)
+    val nodes = coPurchaseAdjacency(spark, dir)
+      .select(col("src").as("n"), col("nbrs"))
+      // array_distinct on the HASHES (not the already-distinct ids):
+      // a mod-P collision between two neighbors must collapse on both
+      // engines — the oracle's list_distinct does exactly this
+      .withColumn("hs", expr(s"""array_sort(array_distinct(transform(nbrs,
+        t -> CAST(conv(substr(md5(CAST(t AS STRING)), 1, 15), 16, 10) AS BIGINT) % $P)))"""))
+      .select(col("n"), col("hs"))
       .withColumn("sig", expr(
         s"""transform(sequence(0, 15), i ->
             array_min(transform(hs, x -> ((2 * i + 1) * x + 7 * i + 3) % $P)))"""))
@@ -276,36 +278,26 @@ object Graphs {
     * fixed horizon keeps the oracle finite; 4 rounds reaches stable
     * cores on every tested fixture.
     *
-    * Scale shape: per round exactly one shuffle join (labels onto the
-    * edge list, keyed by node) and one two-level hash aggregate — the
-    * (node, label) count then the per-node argmax via `min(struct(-c,
-    * label))`, both with map-side partials; labels never leave the
-    * cluster, driver state is O(1). Edges are `localCheckpoint`ed once
-    * and re-scanned per round (the [[pagerank]] discipline). Final
-    * community sizes ride a window over the node-cardinality result. */
+    * Scale shape: per round one NODE-scale join (labels onto the
+    * [[coPurchaseAdjacency]] relation — symmetry makes "labels of my
+    * neighbors" equal "my label sent to my neighbors", so each node's
+    * label attaches once and the per-edge rows are born in the explode
+    * feeding the aggregate, never crossing a join) and one two-level
+    * hash aggregate — the (node, label) count then the per-node argmax
+    * via `min(struct(-c, label))`, both with map-side partials; labels
+    * never leave the cluster, driver state is O(1). Final community
+    * sizes ride a window over the node-cardinality result. */
   def partCommunities(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
-    // RAW (order, part) rows, not pre-deduplicated: the terminal edge
-    // DISTINCT below dedups anyway, duplicate parts within an order are
-    // rare (one extra join row each), and skipping the dedup lets BOTH
-    // self-join sides reuse ONE order-key exchange instead of paying a
-    // (okey, part) exchange first — one full shuffle fewer per query
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
-    val edges = items.withColumnRenamed("part", "src")
-      .join(items.withColumnRenamed("part", "dst"), "okey")
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .distinct()
-      .localCheckpoint(true) // every round re-scans the edge relation
-    var labels = edges.select(col("src").as("part")).distinct()
-      .withColumn("label", col("part"))
+    val adj = coPurchaseAdjacency(spark, dir)
+    var labels = adj.select(col("src").as("part"), col("src").as("label"))
     for (_ <- 1 to iters) {
-      labels = edges
-        .join(labels, edges("dst") === labels("part"))
-        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
+      labels = adj
+        .join(labels, adj("src") === labels("part"))
+        .select(explode(col("nbrs")).as("node"), col("label"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("src").as("part"), col("m.l").as("label"))
+        .select(col("node").as("part"), col("m.l").as("label"))
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("community"))
     labels.select(col("part"), col("label").as("community"))
@@ -315,23 +307,37 @@ object Graphs {
 
   /** Power iteration over a symmetric `(src, dst, outdeg)` edge list —
     * every node must both emit and receive (guaranteed when the edge set
-    * is symmetric), so no dangling-mass redistribution pass is needed. */
-  private[graft] def pagerank(edgeList: DataFrame, iters: Int): DataFrame = {
-    // materialize edges+degrees once: every iteration and the node-count
-    // action below re-read this relation. localCheckpoint (not persist):
-    // the returned plan is lazy, so there is no safe unpersist point; the
-    // context cleaner frees checkpoint blocks when the result is dropped.
-    val edges = edgeList.localCheckpoint(true)
-    val nodes = edges.select(col("src").as("part")).distinct()
-    val n = nodes.count() // O(1) driver scalar, like the k-means centroid count
+    * is symmetric), so no dangling-mass redistribution pass is needed.
+    * The edge list is grouped into adjacency form once; see
+    * [[pagerankAdj]] for the iteration shape. */
+  private[graft] def pagerank(edgeList: DataFrame, iters: Int): DataFrame =
+    pagerankAdj(
+      edgeList.groupBy(col("src"))
+        .agg(collect_set(col("dst")).as("nbrs"))
+        .withColumn("outdeg", size(col("nbrs")).cast("long"))
+        .localCheckpoint(true),
+      iters)
+
+  /** Power iteration over a CHECKPOINTED symmetric adjacency relation
+    * `(src, nbrs, outdeg)`. Each round is one node-scale join (ranks
+    * onto adjacency — 1/deḡ the rows of the edge-keyed formulation,
+    * which joined the full edge relation against ranks every round) and
+    * one grouped aggregate; the exploded contribution rows are born
+    * inside the aggregate's input pipeline, so they hit the map-side
+    * partial combine without ever crossing a join or an extra exchange.
+    * Measured at sf0.1 (2.39 M edges, 20 k nodes): 5 rounds 6.5 s
+    * edge-keyed → 2.2 s adjacency-keyed, bit-identical ranks. */
+  private def pagerankAdj(adj: DataFrame, iters: Int): DataFrame = {
+    val n = adj.count() // O(1) driver scalar, like the k-means centroid count
     require(n > 0, "pagerank over an empty edge list")
     val r0 = Scale / n
     val base = 15L * r0 / 100L
-    var ranks = nodes.select(col("part"), lit(r0).as("rank_fx"))
+    var ranks = adj.select(col("src").as("part"), lit(r0).as("rank_fx"))
     for (_ <- 1 to iters) {
-      ranks = edges
-        .join(ranks, edges("src") === ranks("part"))
-        .select(col("dst"), expr("rank_fx div outdeg").as("contrib"))
+      ranks = adj
+        .join(ranks, adj("src") === ranks("part"))
+        .select(explode(col("nbrs")).as("dst"),
+          expr("rank_fx div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("rank_fx"))
         .select(col("dst").as("part"), col("rank_fx"))
