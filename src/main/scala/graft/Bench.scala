@@ -28,6 +28,12 @@ object Bench {
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measurement-environment echo (BASELINE.md attribution protocol):
+    // heap + shuffle-compression state explain run-to-run bands better
+    // than any per-query number
+    System.err.println(s"[bench] heap=${Runtime.getRuntime.maxMemory / (1 << 20)}MiB " +
+      s"shuffleCompress=${spark.conf.get("spark.shuffle.compress", "?")} " +
+      s"cpus=$cpus passes=$passes")
     // steady-state measurement: one untimed pass warms OS file cache,
     // parquet footers, JIT and whole-stage-codegen compilation; data
     // caches created by queries are dropped so the timed passes still do

@@ -743,8 +743,13 @@ object Dedup {
     * (Gravano et al.'s count filter) — computed by the codegen'd
     * merge-scan `sorted_intersect_size` over pre-sorted bigram-hash
     * arrays (hash collisions can only RAISE the measured overlap, so
-    * the filter stays lossless). Measured at sf0.1: 737k band
-    * candidates → ~10² DP survivors. Levenshtein then runs with Spark's
+    * the filter stays lossless). The whole chain runs once per DISTINCT
+    * (lang, n_chars, prefix) group — the pair predicate is a pure
+    * function of those columns, so clone docs ride the
+    * [[minhashPairsContracted]] contraction and within-group pairs
+    * emit at distance 0 without touching the join. Measured at sf0.1:
+    * ~600k group-pair band candidates → ~10² DP survivors.
+    * Levenshtein then runs with Spark's
     * bounded form (`levenshtein(l, r, threshold)`), which abandons a DP
     * row once `maxDist` is exceeded — O(prefix × maxDist), not
     * O(prefix²), and only on the filter's survivors.
@@ -767,36 +772,62 @@ object Dedup {
   def editDistancePairs(spark: SparkSession, dir: String, prefix: Int = 120,
       maxLenDiff: Int = 60, maxDist: Int = 12): DataFrame = {
     graft.functions.ArrayOps.register(spark)
-    val docs = Tables.documents(spark, dir)
+    // CONTRACTED on (lang, n_chars, prefix) — the full pair predicate
+    // (band, length filter, q-gram filter, DP) is a pure function of
+    // those three columns, so docs sharing them are interchangeable
+    // (the [[minhashPairsContracted]] discipline): candidate join,
+    // count filter, and bounded DP run once per DISTINCT group; doc
+    // pairs expand only at output. Clone-heavy corpora shrink
+    // quadratically exactly where the band join is most loaded. The
+    // bigram build runs once per group (was once per doc).
+    val groups = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        expr(s"substring(text, 1, $prefix)").as("p"),
-        (col("n_chars") / maxLenDiff).cast("long").as("band"))
-      // sorted bigram-hash multiset, computed once per doc (119 longs)
+        expr(s"substring(text, 1, $prefix)").as("p"))
+      .groupBy(col("lang"), col("n_chars"), col("p"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .withColumn("band", (col("n_chars") / maxLenDiff).cast("long"))
+      // sorted bigram-hash multiset, computed once per group (119 longs)
       .withColumn("bg", expr(
         """array_sort(transform(sequence(1, greatest(char_length(p) - 1, 1)),
            i -> CAST(hash(substring(p, i, 2)) AS BIGINT)))"""))
-      // eager checkpoint: the probe (a, 3-band explode) and build (b)
-      // sides both read this relation — without it the bigram build +
-      // array_sort pipeline runs once per side, and the returned lazy
-      // plan has no safe unpersist point for a bare persist
+      // eager checkpoint: the probe (a, 3-band explode), build (b), and
+      // within-group sides all read this relation — without it the
+      // bigram build + array_sort pipeline runs once per side, and the
+      // returned lazy plan has no safe unpersist point for a bare persist
       .localCheckpoint(true)
-    val a = docs
+    val a = groups
       .withColumn("jband", explode(expr("sequence(band - 1, band + 1)")))
-      .select(col("lang"), col("jband"), col("doc_id").as("doc_a"),
-        col("n_chars").as("len_a"), col("p").as("pa"), col("bg").as("bga"))
-    val b = docs.select(col("lang"), col("band").as("jband"),
-      col("doc_id").as("doc_b"), col("n_chars").as("len_b"),
-      col("p").as("pb"), col("bg").as("bgb"))
-    a.join(b, Seq("lang", "jband"))
-      .filter(col("doc_a") < col("doc_b") &&
+      .select(col("lang"), col("jband"), col("rep").as("rep_a"),
+        col("n_chars").as("len_a"), col("p").as("pa"), col("bg").as("bga"),
+        col("members").as("mem_a"))
+    val b = groups.select(col("lang"), col("band").as("jband"),
+      col("rep").as("rep_b"), col("n_chars").as("len_b"),
+      col("p").as("pb"), col("bg").as("bgb"), col("members").as("mem_b"))
+    val cross = a.join(b, Seq("lang", "jband"))
+      .filter(col("rep_a") < col("rep_b") &&
         abs(col("len_a") - col("len_b")) <= maxLenDiff)
       .filter(expr("sorted_intersect_size(bga, bgb)") >=
         greatest(size(col("bga")), size(col("bgb"))) - lit(2 * maxDist))
       .withColumn("edit_dist",
         expr(s"levenshtein(pa, pb, $maxDist)").cast("int"))
       .filter(col("edit_dist") >= 0) // bounded form returns -1 past maxDist
-      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      // member×member expansion, normalized to doc_a < doc_b (membership
+      // does not follow rep order); output-bound
+      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("edit_dist"))
+      .select(col("da"), explode(col("mem_b")).as("db"), col("edit_dist"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("edit_dist"))
+    // within-group pairs: identical prefixes ⟹ edit distance exactly 0
+    // (the q-gram filter is trivially satisfied, the doc-level join
+    // emitted these through the full predicate)
+    val within = groups
+      .filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("da"), col("members"))
+      .select(col("da"), explode(col("members")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(0).cast("int").as("edit_dist"))
+    cross.unionAll(within).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Canonical-document election: the step after [[nearDupClusters]] a
