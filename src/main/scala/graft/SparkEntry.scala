@@ -204,6 +204,10 @@ object SparkEntry {
     "part_similarity_capped"  -> ((s, d) => Graphs.partSimilarityCapped(s, d)),
     "rfm_segments"            -> ((s, d) => Analytics.rfmSegments(s, d)),
     "doremi_weights"          -> ((s, d) => TextAnalysis.doremiWeights(s, d)),
+    "media_frames"            -> ((s, d) => Multimodal.frameManifest(s, d)),
+    "media_resize"            -> ((s, d) => Multimodal.mediaResize(s, d)),
+    "media_dedup"             -> ((s, d) => Multimodal.mediaDedup(s, d)),
+    "media_batches"           -> ((s, d) => Multimodal.mediaBatches(s, d)),
     "matryoshka_recall"       -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
     "ivf_balance"             -> ((s, d) => Similarity.ivfBalance(s, d)),
     "dedup_threshold_curve"   -> ((s, d) => Dedup.dedupThresholdCurve(s, d)),
@@ -2787,6 +2791,61 @@ object SparkEntry {
              CAST(64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512) AS INT) AS height,
              CAST(1 + strlen(text) % 24 AS INT) AS n_frames
       FROM documents ORDER BY doc_id
+    """,
+    // frame-sample manifest: blocks are 256-BYTE groups of the payload;
+    // the fixture is all-ASCII so byte blocks equal substring blocks and
+    // the md5 checksum replays exactly
+    "media_frames" -> """
+      SELECT doc_id, CAST(u AS INT) AS frame_idx,
+             CAST(u * 256 AS BIGINT) AS offset_bytes,
+             ('0x' || substr(md5(substr(text, CAST(u * 256 + 1 AS INT), 256)), 1, 15))::BIGINT AS frame_checksum
+      FROM documents, unnest(range(0, (strlen(text) + 255) // 256)) AS t(u)
+      WHERE u % 4 = 0
+      ORDER BY doc_id, frame_idx
+    """,
+    // resize metadata: multiply-before-divide integer arithmetic matches
+    // Spark's Int truncation for positive operands
+    "media_resize" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CAST(64 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 512) AS INT) AS width,
+               CAST(64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512) AS INT) AS height
+        FROM documents)
+      SELECT doc_id, width, height,
+             CAST(CASE WHEN greatest(width, height) <= 128 THEN width
+                       ELSE (width * 128) // greatest(width, height) END AS INT) AS resized_w,
+             CAST(CASE WHEN greatest(width, height) <= 128 THEN height
+                       ELSE (height * 128) // greatest(width, height) END AS INT) AS resized_h
+      FROM m ORDER BY doc_id
+    """,
+    // content-addressed dedup: md5 over the payload bytes = md5 over the
+    // text (same bytes, ASCII fixture)
+    "media_dedup" -> """
+      WITH h AS (
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               md5(text) AS h
+        FROM documents)
+      SELECT media_type, count(*) AS n_files,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_files,
+             floor(((count(*) - count(DISTINCT h)) / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS dup_ratio
+      FROM h GROUP BY 1 ORDER BY 1
+    """,
+    // stream-packed decode batches off the per-type exclusive running sum
+    "media_batches" -> """
+      WITH b AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents),
+      c AS (
+        SELECT *, sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM b)
+      SELECT doc_id, media_type, n_bytes,
+             CAST(floor((cum - n_bytes) / 16384.0) AS BIGINT) AS batch_id,
+             CAST(cum - n_bytes - CAST(floor((cum - n_bytes) / 16384.0) AS BIGINT) * 16384 AS BIGINT) AS offset_in_batch
+      FROM c ORDER BY doc_id
     """,
     "sales_rollup" -> """
       SELECT coalesce(r_name, 'ALL') AS region_name,

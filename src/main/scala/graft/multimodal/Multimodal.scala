@@ -128,4 +128,73 @@ object Multimodal {
         }
       }
   }
+
+  // ---- oracle-covered media queries ----------------------------------
+
+  /** [[sampleFrames]] under the oracle: the frame-sample MANIFEST a
+    * video loader consumes — (frame index, byte offset, checksum) per
+    * sampled frame, deterministic given payload + stride. The checksum
+    * is the portable md5-based hash so the oracle replays it exactly
+    * (the fixture is all-ASCII, so byte blocks equal substring blocks). */
+  def frameManifest(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    sampleFrames(spark, dir, stride).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** [[resizeMeta]] under the oracle: target-box metadata at
+    * `maxSide`, aspect preserved, pure integer arithmetic (multiply
+    * before divide — both engines truncate identically). */
+  def mediaResize(spark: SparkSession, dir: String, maxSide: Int = 128): DataFrame =
+    resizeMeta(extractMeta(spark, dir), maxSide).orderBy(col("doc_id"))
+
+  /** Content-addressed media dedup: the storage/curation audit every
+    * media pipeline runs before decode — files are identical iff their
+    * payload digests match (the CAS key), so per-type unique counts and
+    * the duplicate ratio fall out of one grouped aggregate. Dedup here
+    * is EXACT by construction (byte identity); perceptual near-dup
+    * belongs to the embedding pipeline ([[graft.dedup.Dedup
+    * .embeddingPairs]]) once a real encoder replaces [[decodeStub]].
+    *
+    * Scale shape: one per-row digest + one |types|-group aggregate with
+    * map-side partials; nothing is collected or joined. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_type"), md5(col("payload")).as("h"))
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        countDistinct(col("h")).as("n_unique"))
+      .withColumn("n_dup_files", (col("n_files") - col("n_unique")).cast("long"))
+      .withColumn("dup_ratio", graft.Fns.money(
+        col("n_dup_files").cast("double") / col("n_files").cast("double")))
+      .orderBy(col("media_type"))
+
+  /** Decode-batch assignment: per media type, files are packed in
+    * doc_id order into fixed byte-budget batches — the unit of work a
+    * GPU decode/encode worker pulls (one batch ≈ one forward pass of
+    * amortized codec state). A file is assigned to the batch where its
+    * FIRST byte lands in the per-type byte stream (the
+    * [[graft.text.TextAnalysis.packingManifest]] stream-packing rule),
+    * so assignment is a pure function of the exclusive running sum.
+    *
+    * Scale shape: one window per (type) partition — fine while each
+    * type's stream fits a reducer's SORT; the 100 TB deployment swaps
+    * the window for [[graft.engine.Prefix]]'s two-pass range-partitioned
+    * exclusive scan exactly as `packing_manifest` documents. */
+  def mediaBatches(spark: SparkSession, dir: String,
+      budgetBytes: Long = 16384L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_type")).orderBy(col("doc_id"))
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("__cum", sum(col("n_bytes")).over(w))
+      .withColumn("batch_id",
+        ((col("__cum") - col("n_bytes")) / lit(budgetBytes)).cast("long"))
+      .withColumn("offset_in_batch",
+        (col("__cum") - col("n_bytes") - col("batch_id") * lit(budgetBytes))
+          .cast("long"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("batch_id"), col("offset_in_batch"))
+      .orderBy(col("doc_id"))
+  }
 }

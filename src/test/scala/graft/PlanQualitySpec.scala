@@ -255,6 +255,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("part_pagerank: adjacency build scans lineitem exactly twice (okey self-join), pruned to 2 columns") {
+    val plan = formatted(graft.queries.Graphs.partPagerank(spark, sf))
+    // the co-purchase adjacency is ONE okey self-join + ONE aggregate;
+    // the old edge-list build scanned more and paid three extra
+    // exchanges. The rank loop runs over the checkpoint, so the
+    // returned plan must contain NO parquet scan at all (checkpointed
+    // adjacency only) — pinning that the per-round work never re-reads
+    // the source.
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).isEmpty, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val build = formatted(graft.queries.Graphs.coPurchaseAdjacency(spark, sf))
+    // checkpointed relation: plan is the materialized RDD scan
+    assert(build.contains("Scan ExistingRDD") || build.contains("LogicalRDD"), build)
+  }
+
+  test("media_dedup: one pruned scan, aggregate only — no join, no window") {
+    val plan = formatted(graft.multimodal.Multimodal.mediaDedup(spark, sf))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("media_batches: one pruned scan + one per-type window, no join") {
+    val plan = formatted(graft.multimodal.Multimodal.mediaBatches(spark, sf))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    // only doc_id + text leave the scan (payload/media_type derive)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("dsir_weights: ratio broadcasts back; model derives from counts — exactly 2 corpus scans") {
     val plan = formatted(graft.text.TextAnalysis.dsirWeights(spark, sf))
     // the 4096-row bucket-ratio relation must broadcast onto the
