@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.engine.{DimDate, XmlShred}
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, EventSequences, Events, Extras, Graphs, Marts, Scd2Queries}
+import graft.queries.{Analytics, DataQuality, EventSequences, Events, Extras, Graphs, Marts, Scd2Queries}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -205,6 +205,8 @@ object SparkEntry {
     "rfm_segments"            -> ((s, d) => Analytics.rfmSegments(s, d)),
     "doremi_weights"          -> ((s, d) => TextAnalysis.doremiWeights(s, d)),
     "media_frames"            -> ((s, d) => Multimodal.frameManifest(s, d)),
+    "dq_checks"               -> ((s, d) => DataQuality.dqChecks(s, d)),
+    "epoch_shards"            -> ((s, d) => TextAnalysis.epochShards(s, d)),
     "media_resize"            -> ((s, d) => Multimodal.mediaResize(s, d)),
     "media_dedup"             -> ((s, d) => Multimodal.mediaDedup(s, d)),
     "media_batches"           -> ((s, d) => Multimodal.mediaBatches(s, d)),
@@ -2791,6 +2793,66 @@ object SparkEntry {
              CAST(64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512) AS INT) AS height,
              CAST(1 + strlen(text) % 24 AS INT) AS n_frames
       FROM documents ORDER BY doc_id
+    """,
+    // expectation suite: one violation counter per check, unioned; the
+    // referential checks are anti-join counts
+    "dq_checks" -> """
+      WITH checks AS (
+        SELECT 'orders' AS table_name, 'o_totalprice_positive' AS check_name,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderdate_not_null',
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderkey_unique',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'l_discount_in_unit_range',
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'l_quantity_positive',
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer', 'c_custkey_unique',
+               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'documents', 'text_not_empty',
+               CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'documents', 'n_chars_matches_text',
+               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'orders', 'o_custkey_fk_customer',
+               CAST(count(*) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey_fk_orders',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL)
+      SELECT table_name, check_name, n_violations,
+             CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      FROM checks ORDER BY table_name, check_name
+    """,
+    // deterministic epoch shuffle: shard/position are pure functions of
+    // h64(doc_id:epoch) — both engines derive identical permutations
+    "epoch_shards" -> """
+      WITH e AS (
+        SELECT doc_id, CAST(u AS INT) AS epoch,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents, unnest(range(0, 3)) AS t(u))
+      SELECT doc_id, epoch, CAST(h % 8 AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS INT) AS position
+      FROM e ORDER BY epoch, shard, position
     """,
     // frame-sample manifest: blocks are 256-BYTE groups of the payload;
     // the fixture is all-ASCII so byte blocks equal substring blocks and

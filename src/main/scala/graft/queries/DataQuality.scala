@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Declarative data-quality expectation suite — the contract-check layer
+  * (dbt tests / Deequ / Great Expectations, re-expressed Spark-first)
+  * every ingest runs before promoting a batch from bronze to silver, and
+  * every training-data pipeline runs before a corpus snapshot ships.
+  * Each expectation compiles to ONE aggregate (or one anti-join count
+  * for referential checks); the suite is their union — a constraint
+  * report, not a sampled guess.
+  *
+  * Scale shape: per-table checks fuse into a single scan per table
+  * (one aggregate projecting every violation counter at once);
+  * referential checks are broadcast-free LEFT ANTI joins keyed on the
+  * foreign key. Nothing collects; the report is |checks| rows.
+  */
+object DataQuality {
+
+  /** One row per expectation: (table_name, check_name, n_violations,
+    * status). A production runner gates promotion on `status = 'pass'`;
+    * the count is kept so a failing check quantifies its blast radius. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    def report(table: String, check: String, violations: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      struct(lit(table).as("table_name"), lit(check).as("check_name"),
+        violations.cast("long").as("n_violations"))
+
+    // per-table violation counters fused into one aggregate per scan
+    val ordersChecks = Tables.orders(spark, dir).agg(
+      report("orders", "o_totalprice_positive",
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0))).as("c1"),
+      report("orders", "o_orderdate_not_null",
+        sum(when(col("o_orderdate").isNull, 1).otherwise(0))).as("c2"),
+      report("orders", "o_orderkey_unique",
+        (count(lit(1)) - countDistinct(col("o_orderkey")))).as("c3"))
+    val lineitemChecks = Tables.lineitem(spark, dir).agg(
+      report("lineitem", "l_discount_in_unit_range",
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0))).as("c1"),
+      report("lineitem", "l_quantity_positive",
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0))).as("c2"))
+    val customerChecks = Tables.customer(spark, dir).agg(
+      report("customer", "c_custkey_unique",
+        (count(lit(1)) - countDistinct(col("c_custkey")))).as("c1"))
+    val documentChecks = Tables.documents(spark, dir).agg(
+      report("documents", "text_not_empty",
+        sum(when(col("text").isNull || length(col("text")) === 0, 1).otherwise(0))).as("c1"),
+      report("documents", "n_chars_matches_text",
+        sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))).as("c2"))
+
+    def unnest(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(explode(array(cols.map(col): _*)).as("r")).select(col("r.*"))
+    }
+
+    // referential integrity: orphan keys via LEFT ANTI (never broadcast
+    // by hint — both sides are SF-scaled; AQE may still choose one)
+    val orphanOrders = Tables.orders(spark, dir).select(col("o_custkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("orders").as("table_name"),
+        lit("o_custkey_fk_customer").as("check_name"),
+        col("n").cast("long").as("n_violations"))
+    val orphanLines = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("lineitem").as("table_name"),
+        lit("l_orderkey_fk_orders").as("check_name"),
+        col("n").cast("long").as("n_violations"))
+
+    Seq(unnest(ordersChecks), unnest(lineitemChecks), unnest(customerChecks),
+        unnest(documentChecks), orphanOrders, orphanLines)
+      .reduce(_.unionAll(_))
+      .withColumn("status",
+        when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail")))
+      .orderBy(col("table_name"), col("check_name"))
+  }
+}

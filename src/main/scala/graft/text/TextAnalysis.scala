@@ -914,6 +914,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic multi-epoch shuffle plan: every document's (shard,
+    * position) assignment for each training epoch, derived purely from
+    * `h64(doc_id:epoch)` — a different uniform permutation per epoch
+    * with zero mutable state, so any worker (or a re-run after a crash)
+    * reproduces the exact data order from the doc ids alone. This is
+    * the "global shuffle as a pure function" pattern training loaders
+    * need for bit-reproducible runs: shard = hash bucket, position =
+    * rank of the hash within the shard.
+    *
+    * Scale shape: one explode to docs × epochs narrow rows, then one
+    * window per (epoch, shard) — epochs × shards independent sorts of
+    * ~N/shards rows each. At 100 TB raise `shards` until a shard fits a
+    * reducer (the shard count IS the parallelism dial); no global sort
+    * ever happens. */
+  def epochShards(spark: SparkSession, dir: String, epochs: Int = 3,
+      shards: Int = 8): DataFrame = {
+    val e = Tables.documents(spark, dir).select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .withColumn("h", Fns.h64(concat(col("doc_id").cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    e.withColumn("position", row_number().over(w))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("position"))
+      .orderBy(col("epoch"), col("shard"), col("position"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
     * collapsed to its deterministic one-step variant: the proxy model is

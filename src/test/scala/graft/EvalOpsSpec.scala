@@ -80,6 +80,36 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("dq_checks: every expectation passes on the clean fixture, one row per check") {
+    val rows = graft.queries.DataQuality.dqChecks(spark, sf).collect()
+    assert(rows.length == 10, rows.mkString("\n"))
+    rows.foreach { r =>
+      assert(r.getAs[String]("status") == "pass" && r.getAs[Long]("n_violations") == 0L,
+        s"fixture must be clean: $r")
+    }
+    assert(rows.map(_.getAs[String]("table_name")).toSet ==
+      Set("orders", "lineitem", "customer", "documents"))
+  }
+
+  test("epoch_shards: each (doc, epoch) once, contiguous positions, epochs permute differently") {
+    val rows = TextAnalysis.epochShards(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == 3 * nDocs)
+    // exactly one assignment per (doc, epoch)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("epoch"))).distinct.length ==
+      rows.length)
+    // positions are 1..n within each (epoch, shard)
+    rows.groupBy(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard"))).foreach {
+      case (_, g) =>
+        val ps = g.map(_.getAs[Int]("position")).sorted.toList
+        assert(ps == (1 to g.length).toList,
+          s"positions not contiguous: ${ps.take(5)}")
+    }
+    // the permutation really changes between epochs: some doc moves shard
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.exists(g => g.map(_.getAs[Int]("shard")).distinct.length > 1))
+  }
+
   test("dedup_threshold_curve: group-contracted counts equal the doc-level pair expansion") {
     // the production path never materializes doc pairs; this replays the
     // doc-level definition through minhashPairs itself and compares
