@@ -664,6 +664,7 @@ object Dedup {
     require(nPlanes >= 1 && nPlanes <= 64,
       s"nPlanes must be in [1, 64] (embedding dim; got $nPlanes) — " +
         "element_at past the vector end throws under ANSI mode")
+    graft.functions.ArrayOps.register(spark)
     val e = Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("bucket", expr(
@@ -678,8 +679,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("bucket"), col("norm2").as("nb2"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("dot_double(va, vb)"))
       .withColumn("cos_raw", col("dot") / sqrt(col("na2") * col("nb2")))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), Fns.money(col("cos_raw")).as("cosine"))
@@ -702,6 +702,7 @@ object Dedup {
     require(nPlanes >= 1 && nPlanes <= 64,
       s"nPlanes must be in [1, 64] (embedding dim; got $nPlanes) — " +
         "element_at past the vector end throws under ANSI mode")
+    graft.functions.ArrayOps.register(spark)
     val e = Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("bucket", expr(
@@ -719,8 +720,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("bucket").as("pbucket"), col("norm2").as("nb2"))
     a.join(b, Seq("pbucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("dot_double(va, vb)"))
       .withColumn("cos_raw", col("dot") / sqrt(col("na2") * col("nb2")))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), Fns.money(col("cos_raw")).as("cosine"))

@@ -184,5 +184,75 @@ object ArrayOps {
       "simhash64",
       exprs => Simhash64(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_double",
+      exprs => DotDouble(exprs.head, exprs(1)),
+      "built-in")
   }
+}
+
+/** Dot product of two equal-length double arrays accumulated in INDEX
+  * ORDER — a native, codegen'd replacement for
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, x) -> acc + x)`
+  * in the embedding hot paths ([[graft.sim.Similarity]]): Catalyst
+  * evaluates higher-order lambdas INTERPRETED, per element (see
+  * [[Simhash64]]), so the HOF form pays object/closure overhead on
+  * every one of pairs × dims multiply-adds.
+  *
+  * Semantics match the HOF form exactly: the loop folds left-to-right
+  * (the same sequential order `aggregate` and DuckDB's `list_reduce`
+  * use, so the IEEE result is bit-identical across all three), a null
+  * ELEMENT on either side poisons the result to null (zip_with's
+  * null-product then null-sum), and unequal lengths yield null (the
+  * longer tail zips against null). */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_double expects (array<double>, array<double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |  else { $acc += $a.getDouble($i) * $b.getDouble($i); }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
 }

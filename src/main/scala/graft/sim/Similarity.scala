@@ -22,13 +22,18 @@ import graft.{Fns, Tables}
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  // native codegen'd dot (graft.functions.DotDouble) — the HOF
+  // formulation (aggregate over zip_with) evaluates lambdas INTERPRETED
+  // per element; at pairs x dims multiply-adds that dominated the
+  // embedding family. Bit-identical fold order, registered by prepared().
+  private val dotExpr = "dot_double(va, vb)"
 
-  private def prepared(spark: SparkSession, dir: String): DataFrame =
+  private def prepared(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+  }
 
   /** Exact top-k cosine neighbors for every query vector
     * (vec_id ≡ 0 mod 100 — a deterministic query workload).
@@ -157,7 +162,7 @@ object Similarity {
   private def norm2Of(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
 
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("dot_double", a, b)
 
   /** The centroid set collapsed to ONE row holding an array of
     * (cid, c, cn2) structs — the broadcast-distributable form of the
@@ -417,8 +422,7 @@ object Similarity {
       .crossJoin(broadcast(cbDf))
       .withColumn("lut", expr(
         s"""transform(cb, (sb, s) -> transform(sb, cw ->
-            aggregate(zip_with(slice(va, s * $subDim + 1, $subDim), cw.c, (x, y) -> x * y),
-                      CAST(0 AS DOUBLE), (a, x) -> a + x)))"""))
+            dot_double(slice(va, s * $subDim + 1, $subDim), cw.c)))"""))
       .select(col("query_id"), col("va"), col("na2"), col("lut"))
     // ADC shortlist via the bounded-heap topk_by aggregate — NOT a
     // row_number window: the window form shuffles every (code, query)
@@ -777,6 +781,7 @@ object Similarity {
     * partials; centroid assembly and the pair enumeration are bounded
     * by sources × dims. */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
     val comps = Tables.embeddings(spark, dir)
       .join(Tables.documents(spark, dir)
         .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
@@ -791,8 +796,7 @@ object Similarity {
     val a = vecs.select(col("source").as("src_a"), col("v").as("va"))
     val b = vecs.select(col("source").as("src_b"), col("v").as("vb"))
     a.crossJoin(b).filter(col("src_a") < col("src_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("dot_double(va, vb)"))
       .withColumn("na", expr(
         "aggregate(transform(va, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .withColumn("nb", expr(

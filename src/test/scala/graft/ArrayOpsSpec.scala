@@ -33,6 +33,36 @@ class ArrayOpsSpec extends SparkSpec {
     assert(rows.getInt(1) == 1 && rows.getInt(1) == rows.getInt(3))
   }
 
+  test("dot_double equals the HOF zip_with fold bit-for-bit, incl. null/length semantics") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)),     // non-exact doubles: fold order matters
+      (Seq.empty[Double], Seq.empty[Double]),        // empty -> 0.0
+      (Seq(1e300, 1.0), Seq(1e300, -1.0))            // extreme magnitudes
+    ).toDF("a", "b")
+    val out = df.select(
+      expr("dot_double(a, b)").as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("ref"))
+      .collect()
+    // exact double equality — same sequential fold, same IEEE ops
+    out.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString))
+    // unequal lengths and null elements poison to null, as the HOF does
+    val edge = Seq(
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(1.0)))),
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),
+      (None, Some(Seq(Some(1.0)))))
+      .toDF("a", "b")
+      .select(
+        expr("dot_double(a, b)").as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("ref"))
+      .collect()
+    edge.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), r.toString))
+  }
+
   test("null inputs propagate null") {
     ArrayOps.register(spark)
     val r = spark.sql(
