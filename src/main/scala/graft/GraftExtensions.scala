@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Simhash64, SortedIntersectSize, TopKByAgg}
+import graft.functions.{DotDouble, MinhashSig, Simhash64, SortedIntersectSize, TopKByAgg}
 
 /** SparkSessionExtensions entry point — makes graft's native expressions
   * available to any session via
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => Simhash64(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
+      (exprs: Seq[Expression]) => DotDouble(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSig(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),

@@ -54,9 +54,10 @@ object Dedup {
       .withColumn("th", expr(
         s"""transform(toks, t ->
             CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P)"""))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${K - 1}), i ->
-            array_min(transform(th, h -> ((2 * i + 1) * h + 7 * i + 3) % $P)))"""))
+      // native one-pass signature (graft.functions.MinhashSig; K/P pinned
+      // there to this object's constants) — the HOF nest evaluates
+      // interpreted at K x |th| lambda calls per row
+      .withColumn("sig", expr("minhash_sig(th)"))
 
   /** MinHash+LSH near-duplicate pairs: band-bucket candidate join, then
     * exact distinct-token Jaccard ≥ `threshold`.
@@ -152,9 +153,10 @@ object Dedup {
       .localCheckpoint(true)
     val groups = fpD.groupBy(col("th"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${K - 1}), i ->
-            array_min(transform(th, h -> ((2 * i + 1) * h + 7 * i + 3) % $P)))"""))
+      // native one-pass signature (graft.functions.MinhashSig; K/P pinned
+      // there to this object's constants) — the HOF nest evaluates
+      // interpreted at K x |th| lambda calls per row
+      .withColumn("sig", expr("minhash_sig(th)"))
       .localCheckpoint(true)
 
     val bandsAll = bandRows(groups.select(col("rep").as("doc_id"), col("sig")))

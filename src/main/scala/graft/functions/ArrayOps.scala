@@ -188,7 +188,74 @@ object ArrayOps {
       "dot_double",
       exprs => DotDouble(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinhashSig(exprs.head),
+      "built-in")
   }
+}
+
+/** 16-permutation MinHash signature in ONE pass over the token-hash
+  * array — a native replacement for the
+  * `transform(sequence(0, 15), i -> array_min(transform(th, …)))` HOF
+  * nest, which Catalyst evaluates interpreted at 16 × |tokens| lambda
+  * calls per row (the [[Simhash64]] finding again). One compiled loop
+  * updates all 16 minima per element instead.
+  *
+  * Constants are pinned to the repo-wide MinHash family
+  * (`graft.dedup.Dedup.K = 16`, `P = 1000000007`): permutation `i` maps
+  * `h → ((2i+1)·h + 7i+3) mod P` — all-long arithmetic, no overflow at
+  * 31 × P < 2⁶³, bit-identical to the HOF form and the DuckDB oracle.
+  * Null elements are skipped (array_min semantics); an empty or
+  * all-null input yields 16 NULL positions exactly as `array_min` of an
+  * empty transform does — downstream band keys go null and drop from
+  * the candidate equi-join on both engines alike.
+  *
+  * CodegenFallback: the expression evaluates as one compiled JVM call
+  * per row (the loop is compiled Scala); only the codegen SPAN splits,
+  * which is irrelevant next to removing the per-element lambda
+  * dispatch. */
+case class MinhashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val K = 16
+  private val P = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val mins = Array.fill(K)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        any = true
+        val h = x.getLong(i)
+        var k = 0
+        while (k < K) {
+          val v = ((2L * k + 1L) * h + 7L * k + 3L) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out: Array[Any] =
+      if (any) Array.tabulate[Any](K)(k => mins(k))
+      else Array.fill[Any](K)(null)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
 }
 
 /** Dot product of two equal-length double arrays accumulated in INDEX

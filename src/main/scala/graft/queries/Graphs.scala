@@ -14,14 +14,15 @@ import graft.Tables
   * symmetric), and the score is PageRank with damping 0.85.
   *
   * Scale design:
-  *  - The edge list is built by one self-equi-join of the raw
-  *    (order, part) relation on the order key — hash-bucketed candidate
-  *    generation, never an all-pairs scan over parts; the edge-level
-  *    DISTINCT dedups, so no pre-join dedup exchange is paid.
-  *  - Each power iteration is ONE shuffle: contributions grouped by
-  *    destination. Degrees ride along with the edges (joined once, before
-  *    the loop, then `localCheckpoint`ed) so iterations re-scan a
-  *    materialized narrow relation instead of replaying the joins.
+  *  - The whole family starts from ONE shared representation: the
+  *    checkpointed symmetric adjacency ([[coPurchaseAdjacency]]) built
+  *    by a single okey self-join + collect_set aggregate — hash-bucketed
+  *    candidate generation, never an all-pairs scan over parts, and no
+  *    separate edge-DISTINCT/degree exchanges.
+  *  - Each power iteration is one NODE-scale join (ranks onto the
+  *    adjacency) + one grouped aggregate; the per-edge contribution rows
+  *    are born inside an explode feeding the map-side partial combine,
+  *    so the edge-cardinality relation never crosses a join.
   *  - Driver state is O(1) (the node count); ranks stay distributed —
   *    the same pointer-jumping discipline as
   *    [[graft.dedup.Dedup.nearDupClusters]].
@@ -232,9 +233,8 @@ object Graphs {
       .withColumn("hs", expr(s"""array_sort(array_distinct(transform(nbrs,
         t -> CAST(conv(substr(md5(CAST(t AS STRING)), 1, 15), 16, 10) AS BIGINT) % $P)))"""))
       .select(col("n"), col("hs"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, 15), i ->
-            array_min(transform(hs, x -> ((2 * i + 1) * x + 7 * i + 3) % $P)))"""))
+      // native one-pass signature (graft.functions.MinhashSig)
+      .withColumn("sig", expr("minhash_sig(hs)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = nodes.select(col("n"),
         explode(expr("""transform(sequence(0, 7), b -> named_struct(

@@ -63,6 +63,29 @@ class ArrayOpsSpec extends SparkSpec {
     edge.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), r.toString))
   }
 
+  test("minhash_sig equals the nested-HOF signature, incl. empty input -> 16 nulls") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    val P = graft.dedup.Dedup.P
+    val df = Seq(
+      Seq(12345L, 987654321L, 42L),
+      Seq(0L, P - 1L),
+      Seq(999999999L),
+      Seq.empty[Long]
+    ).toDF("th")
+    val out = df.select(
+      expr("minhash_sig(th)").as("fast"),
+      expr(s"""transform(sequence(0, 15), i ->
+        array_min(transform(th, h -> ((2 * i + 1) * h + 7 * i + 3) % $P)))""").as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), r.toString)
+    }
+    // empty input: all 16 positions null (array_min of empty transform)
+    val empty = out.last.getSeq[Any](0)
+    assert(empty.length == 16 && empty.forall(_ == null))
+  }
+
   test("null inputs propagate null") {
     ArrayOps.register(spark)
     val r = spark.sql(
