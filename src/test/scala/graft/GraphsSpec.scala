@@ -126,6 +126,21 @@ class GraphsSpec extends SparkSpec {
     assert(sizes.size < labels.size)
   }
 
+  test("coPurchaseAdjacency is exactly the edge list regrouped: same nodes, neighbors, degrees") {
+    val adj = Graphs.coPurchaseAdjacency(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toList, r.getLong(2))).toMap
+    val fromEdges = Graphs.coPurchaseEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(adj.keySet == fromEdges.keySet)
+    fromEdges.foreach { case (n, es) =>
+      val (nbrs, deg) = adj(n)
+      assert(nbrs == es.map(_._2).sorted.toList, s"node $n neighbor mismatch")
+      assert(deg == es.head._3 && deg == nbrs.length, s"node $n degree mismatch")
+      assert(nbrs == nbrs.distinct, s"node $n duplicate neighbors")
+    }
+  }
+
   test("winsorized stats: mean clamped into [lo, hi], clips counted, raw mean off-bounds") {
     Extras.winsorizedStats(spark, sf).collect().foreach { r =>
       val (lo, hi) = (r.getDouble(6), r.getDouble(7))
