@@ -808,8 +808,12 @@ object Dedup {
     val cross = a.join(b, Seq("lang", "jband"))
       .filter(col("rep_a") < col("rep_b") &&
         abs(col("len_a") - col("len_b")) <= maxLenDiff)
-      .filter(expr("sorted_intersect_size(bga, bgb)") >=
-        greatest(size(col("bga")), size(col("bgb"))) - lit(2 * maxDist))
+      // threshold-aware merge with early abort (SortedIntersectAtLeast):
+      // identical predicate, but the scan stops once the remaining
+      // elements cannot reach the bound -- most of the ~10^6-pair band
+      // relation rejects within ~2x the mismatch budget
+      .filter(expr(
+        s"sorted_intersect_atleast(bga, bgb, greatest(size(bga), size(bgb)) - ${2 * maxDist})"))
       .withColumn("edit_dist",
         expr(s"levenshtein(pa, pb, $maxDist)").cast("int"))
       .filter(col("edit_dist") >= 0) // bounded form returns -1 past maxDist

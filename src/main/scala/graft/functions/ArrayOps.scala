@@ -192,7 +192,107 @@ object ArrayOps {
       "minhash_sig",
       exprs => MinhashSig(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_atleast",
+      exprs => SortedIntersectAtLeast(exprs(0), exprs(1), exprs(2)),
+      "built-in")
   }
+}
+
+/** Threshold-aware variant of [[SortedIntersectSize]]: TRUE iff the
+  * intersection size of two sorted distinct long arrays reaches
+  * `threshold`, with the merge ABORTING as soon as the remaining
+  * elements cannot reach it (`matched + min(remaining_a, remaining_b)
+  * < threshold`). For a count filter that rejects most candidates
+  * (the Gravano q-gram filter keeps ~10² of ~10⁶ band pairs), the scan
+  * typically stops within ~2× the mismatch budget of the divergence
+  * point instead of walking both arrays to the end — the classic
+  * adaptive-prefix trick of similarity joins, as a codegen'd predicate.
+  *
+  * Exactly equivalent to `sorted_intersect_size(a, b) >= threshold`
+  * (same merge steps, same null handling); survivors needing the exact
+  * count recompute it — they are rare by construction. */
+case class SortedIntersectAtLeast(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    def num(t: DataType) = t == LongType || t == IntegerType
+    if (arr(first.dataType) && arr(second.dataType) && num(third.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_atleast expects (array<bigint>, array<bigint>, int/bigint), " +
+        s"got (${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  private def thLong(t: Any): Long = t match {
+    case i: Integer => i.longValue()
+    case l: java.lang.Long => l.longValue()
+    case other => other.asInstanceOf[Number].longValue()
+  }
+
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val needed = thLong(t)
+    var i = 0; var j = 0; var n = 0L
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny &&
+        n + math.min(nx - i, ny - j) >= needed) {
+      val xNull = x.isNullAt(i); val yNull = y.isNullAt(j)
+      if (xNull && yNull) { n += 1; i += 1; j += 1 }
+      else if (xNull) j += 1
+      else if (yNull) i += 1
+      else {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi == yj) { n += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+    }
+    n >= needed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val need = ctx.freshName("need")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
+      s"""
+         |long $need = (long) $t;
+         |int $i = 0, $j = 0;
+         |long $n = 0;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny &&
+         |       $n + Math.min($nx - $i, $ny - $j) >= $need) {
+         |  boolean $xNull = $a.isNullAt($i);
+         |  boolean $yNull = $b.isNullAt($j);
+         |  if ($xNull && $yNull) { $n++; $i++; $j++; }
+         |  else if ($xNull) { $j++; }
+         |  else if ($yNull) { $i++; }
+         |  else {
+         |    long $xi = $a.getLong($i);
+         |    long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $n++; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; }
+         |    else { $j++; }
+         |  }
+         |}
+         |${ev.value} = ($n >= $need);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SortedIntersectAtLeast =
+    copy(first = f, second = s, third = t)
 }
 
 /** 16-permutation MinHash signature in ONE pass over the token-hash

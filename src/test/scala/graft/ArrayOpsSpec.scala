@@ -86,6 +86,24 @@ class ArrayOpsSpec extends SparkSpec {
     assert(empty.length == 16 && empty.forall(_ == null))
   }
 
+  test("sorted_intersect_atleast equals size(...) >= t for every threshold") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(3L, 4L, 5L, 10L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(7L), Seq(7L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(1L, 2L, 3L, 4L, 5L), Seq(1L, 2L, 3L, 4L, 5L))
+    ).toDF("a", "b")
+    (0 to 6).foreach { t =>
+      val out = df.select(
+        expr(s"sorted_intersect_atleast(a, b, $t)").as("fast"),
+        (expr("sorted_intersect_size(a, b)") >= t).as("ref")).collect()
+      out.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), s"t=$t $r"))
+    }
+  }
+
   test("null inputs propagate null") {
     ArrayOps.register(spark)
     val r = spark.sql(
