@@ -25,7 +25,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     def selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val spark = Sessions.tune(
+    val spark = Sessions.localTune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // measurement-environment echo (BASELINE.md attribution protocol):

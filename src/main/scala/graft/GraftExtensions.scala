@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotDouble, MinhashSig, Simhash64, SortedIntersectSize, TopKByAgg}
+import graft.functions.{DotDouble, MinhashSig, Simhash64, SortedIntersectAtLeast, SortedIntersectSize, TopKByAgg}
 
 /** SparkSessionExtensions entry point — makes graft's native expressions
   * available to any session via
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinhashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_atleast"),
+      new ExpressionInfo(classOf[SortedIntersectAtLeast].getName, "sorted_intersect_atleast"),
+      (exprs: Seq[Expression]) => SortedIntersectAtLeast(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),

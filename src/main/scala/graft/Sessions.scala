@@ -8,9 +8,19 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
 
   /** Confs required for correctness (not just speed) — e.g. reading the
-    * nanosecond-timestamp events fixture and UTC determinism. */
+    * nanosecond-timestamp events fixture and UTC determinism. Everything
+    * set here is CLUSTER-SAFE: a deploy that copies tune() verbatim gets
+    * correct, sane behavior. Local-only perf flips live in [[localTune]].
+    *
+    * Also installs [[GraftExtensions]], so every session built through
+    * here has the native functions (dot_double, minhash_sig, topk_by, …)
+    * in its registry from birth — operator correctness must never depend
+    * on which query happened to call an ArrayOps.register first
+    * (round-7 ADVICE: matryoshka_recall threw UNRESOLVED_ROUTINE in a
+    * fresh session because registration rode Map iteration order). */
   def tune(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cpus)
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -25,16 +35,24 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
-      // LOCAL-MODE ONLY: shuffle blocks never cross a network here, so
-      // lz4 on the shuffle path is pure CPU overhead against the page
-      // cache (measured: 12-query probe 50.3 -> 48.5 s). On a real
-      // cluster KEEP BOTH TRUE — network + disk bandwidth dominate and
-      // compression wins; this is a deploy-profile flip, not a default.
+
+  /** [[tune]] plus LOCAL-MODE-ONLY perf flips that would be HARMFUL on a
+    * real cluster — kept out of tune() so a deploy inheriting the shared
+    * confs never ships them (round-7 ADVICE). Entry points that are
+    * local by construction (Bench, MiniBench, Verify, tests) use this.
+    *
+    * Shuffle compression: shuffle blocks never cross a network in local
+    * mode, so lz4 on the shuffle path is pure CPU overhead against the
+    * page cache (measured: 12-query probe 50.3 -> 48.5 s). On a cluster
+    * KEEP BOTH TRUE — network + disk bandwidth dominate and compression
+    * wins. */
+  def localTune(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    tune(b, cpus)
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val s = tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    val s = localTune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

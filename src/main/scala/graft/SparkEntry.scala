@@ -206,6 +206,7 @@ object SparkEntry {
     "doremi_weights"          -> ((s, d) => TextAnalysis.doremiWeights(s, d)),
     "media_frames"            -> ((s, d) => Multimodal.frameManifest(s, d)),
     "dq_checks"               -> ((s, d) => DataQuality.dqChecks(s, d)),
+    "dq_gated_promotion"      -> ((s, d) => DataQuality.dqGatedPromotion(s, d)),
     "epoch_shards"            -> ((s, d) => TextAnalysis.epochShards(s, d)),
     "media_resize"            -> ((s, d) => Multimodal.mediaResize(s, d)),
     "media_dedup"             -> ((s, d) => Multimodal.mediaDedup(s, d)),
@@ -2793,6 +2794,58 @@ object SparkEntry {
              CAST(64 + ((('0x' || substr(md5(text), 1, 15))::BIGINT >> 9) % 512) AS INT) AS height,
              CAST(1 + strlen(text) % 24 AS INT) AS n_frames
       FROM documents ORDER BY doc_id
+    """,
+    // gated promotion replay: both batches' rule counts re-derived in
+    // SQL; `promoted` = every rule clean AND batch non-empty;
+    // rows_landed = the batch total iff promoted (the Spark side reads
+    // this back from the bronze dir it actually wrote)
+    "dq_gated_promotion" -> """
+      WITH cb AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      tb AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+               o_totalprice FROM orders),
+      cagg AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS uq
+        FROM cb),
+      corph AS (SELECT CAST(count(*) AS BIGINT) AS orph
+        FROM cb LEFT JOIN customer ON cb.o_custkey = customer.c_custkey
+        WHERE customer.c_custkey IS NULL),
+      tagg AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS uq
+        FROM tb),
+      torph AS (SELECT CAST(count(*) AS BIGINT) AS orph
+        FROM tb LEFT JOIN customer ON tb.o_custkey = customer.c_custkey
+        WHERE customer.c_custkey IS NULL),
+      rep AS (
+        SELECT 'clean' AS batch, r.rule, cagg.total AS n_rows,
+               CASE r.rule WHEN 'not_null_o_custkey' THEN nn
+                           WHEN 'range_o_totalprice' THEN rng
+                           WHEN 'unique_o_orderkey' THEN uq
+                           ELSE corph.orph END AS n_violations
+        FROM cagg, corph,
+          (VALUES ('not_null_o_custkey'), ('range_o_totalprice'),
+                  ('unique_o_orderkey'), ('fk_o_custkey_customer')) r(rule)
+        UNION ALL
+        SELECT 'tainted', r.rule, tagg.total,
+               CASE r.rule WHEN 'not_null_o_custkey' THEN nn
+                           WHEN 'range_o_totalprice' THEN rng
+                           WHEN 'unique_o_orderkey' THEN uq
+                           ELSE torph.orph END
+        FROM tagg, torph,
+          (VALUES ('not_null_o_custkey'), ('range_o_totalprice'),
+                  ('unique_o_orderkey'), ('fk_o_custkey_customer')) r(rule)),
+      fin AS (
+        SELECT batch, rule, n_rows, n_violations, n_violations = 0 AS passed,
+               (min(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY batch)) = 1 AND n_rows > 0 AS promoted
+        FROM rep)
+      SELECT batch, rule, n_rows, n_violations, passed, promoted,
+             CASE WHEN promoted THEN n_rows ELSE CAST(0 AS BIGINT) END AS rows_landed
+      FROM fin ORDER BY batch, rule
     """,
     // expectation suite: one violation counter per check, unioned; the
     // referential checks are anti-join counts

@@ -276,11 +276,16 @@ object Dedup {
     * the signature stage alone, and of candidate generation. The
     * signature probe SUMS a signature element — a bare count() would be
     * column-pruned down to a parquet footer read and measure nothing. */
-  private[graft] def signatureProbe(spark: SparkSession, dir: String): Long =
+  private[graft] def signatureProbe(spark: SparkSession, dir: String): Long = {
+    // self-registering: the probe must work against ANY session, not only
+    // one whose history already resolved minhash_sig (round-7 ADVICE)
+    graft.functions.ArrayOps.register(spark)
     withSignature(Tables.documents(spark, dir))
       .agg(sum(expr("element_at(sig, 1)"))).head().getLong(0)
+  }
 
   private[graft] def candidateProbe(spark: SparkSession, dir: String): Long = {
+    graft.functions.ArrayOps.register(spark)
     // persisted exactly like the real pipeline, so the probe isolates the
     // band join instead of re-running the signature stage per join side
     val docs = withSignature(Tables.documents(spark, dir))

@@ -20,12 +20,13 @@ object DataQuality {
     * a null is not a usable unique identifier. */
   case class Unique(colName: String) extends Rule { def name = s"unique_$colName" }
 
-  /** Evaluate rules against `df`. NotNull/InRange fold into one
-    * aggregation pass; each Unique adds one distinct-count aggregate in
-    * the same pass. */
-  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** Referential-integrity rule for [[gateReport]]: `fk` values of the
+    * checked batch must resolve in `parent.pk` (a null fk is an orphan —
+    * it identifies no parent). Evaluated as one left-anti-join count. */
+  case class Ri(name: String, fk: String, parent: DataFrame, pk: String)
+
+  /** One driver-side pass: (total rows, per-rule (name, violations)). */
+  private def checkRows(df: DataFrame, rules: Seq[Rule]): (Long, Seq[(String, Long)]) = {
     // aggregate aliases are indexed — two rules of the same type on the
     // same column (e.g. two InRange bounds) must not collide
     val aggs: Seq[Column] = rules.zipWithIndex.map {
@@ -37,11 +38,36 @@ object DataQuality {
         (count(lit(1)) - countDistinct(col(c))).cast("long").as(s"__r$i")
     } :+ count(lit(1)).cast("long").as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val total = row.getAs[Long]("__total")
-    rules.zipWithIndex.map { case (r, i) =>
-      val v = row.getAs[Long](s"__r$i")
-      (r.name, total, v, v == 0L)
-    }.toDF("rule", "n_rows", "n_violations", "passed")
+    (row.getAs[Long]("__total"),
+      rules.zipWithIndex.map { case (r, i) => (r.name, row.getAs[Long](s"__r$i")) })
+  }
+
+  /** Evaluate rules against `df`. NotNull/InRange fold into one
+    * aggregation pass; each Unique adds one distinct-count aggregate in
+    * the same pass. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (total, rows) = checkRows(df, rules)
+    rows.map { case (name, v) => (name, total, v, v == 0L) }
+      .toDF("rule", "n_rows", "n_violations", "passed")
+      .orderBy(col("rule"), col("n_violations"))
+  }
+
+  /** [[check]] plus referential-integrity rows — the full promotion-gate
+    * report: single-pass rule counts, one anti-join count per [[Ri]],
+    * every row carrying the batch total. A batch promotes iff every
+    * `passed` is true (see [[ExtractLoad.runGated]]). */
+  def gateReport(df: DataFrame, rules: Seq[Rule], ri: Seq[Ri]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (total, rows) = checkRows(df, rules)
+    val riRows = ri.map { r =>
+      val v = orphans(df, r.fk, r.parent, r.pk).count()
+      (r.name, v)
+    }
+    (rows ++ riRows).map { case (name, v) => (name, total, v, v == 0L) }
+      .toDF("rule", "n_rows", "n_violations", "passed")
       .orderBy(col("rule"), col("n_violations"))
   }
 

@@ -90,24 +90,69 @@ object ExtractLoad {
       .withColumn("ingestion_date", to_date(lit(ingestionDate)))
       .withColumn("batch_id", lit(batchId))
     val n = delta.count() // count gate (reference :78,166)
-    if (n > 0) {
-      // a retry can cross midnight: same work unit (batch_id) but a NEW
-      // ingestionDate — dynamic overwrite would leave the partial write
-      // under the old date in place and duplicate the delta. The work
-      // unit owns its batch_id everywhere: drop any leftover
-      // batch_id=<this> partition under a DIFFERENT ingestion_date first.
-      Fs.listDirs(spark, outDir)
-        .filter(d => d.getName.startsWith("ingestion_date=") &&
-          d.getName != s"ingestion_date=$ingestionDate")
-        .map(d => s"$d/batch_id=$batchId")
-        .foreach(Fs.deleteDir(spark, _))
-      Layers.replacePartitionsPath(delta, outDir, Seq("ingestion_date", "batch_id"))
-      val wm = delta.agg(
-        max(col(idCol)).cast("long"),
-        date_format(max(col(eventCol)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
-      saveCheckpoint(spark, ckptDir, Checkpoint(
-        tableName, wm.getLong(0), wm.getString(1), s"$ingestionDate 00:00:00"))
-    }
+    if (n > 0)
+      promote(spark, delta, tableName, idCol, eventCol, ckptDir, outDir,
+        ingestionDate, batchId)
     n
+  }
+
+  /** The write + watermark-advance half of [[run]]: replace this work
+    * unit's partition, then persist the new checkpoint. Only called once
+    * the batch has passed its gates — the checkpoint must never advance
+    * past data that was not durably written. */
+  private def promote(spark: SparkSession, delta: DataFrame, tableName: String,
+      idCol: String, eventCol: String, ckptDir: String, outDir: String,
+      ingestionDate: String, batchId: Long): Unit = {
+    // a retry can cross midnight: same work unit (batch_id) but a NEW
+    // ingestionDate — dynamic overwrite would leave the partial write
+    // under the old date in place and duplicate the delta. The work
+    // unit owns its batch_id everywhere: drop any leftover
+    // batch_id=<this> partition under a DIFFERENT ingestion_date first.
+    Fs.listDirs(spark, outDir)
+      .filter(d => d.getName.startsWith("ingestion_date=") &&
+        d.getName != s"ingestion_date=$ingestionDate")
+      .map(d => s"$d/batch_id=$batchId")
+      .foreach(Fs.deleteDir(spark, _))
+    Layers.replacePartitionsPath(delta, outDir, Seq("ingestion_date", "batch_id"))
+    val wm = delta.agg(
+      max(col(idCol)).cast("long"),
+      date_format(max(col(eventCol)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
+    saveCheckpoint(spark, ckptDir, Checkpoint(
+      tableName, wm.getLong(0), wm.getString(1), s"$ingestionDate 00:00:00"))
+  }
+
+  /** [[run]] with a DATA-QUALITY GATE between extract and load — the
+    * reference's bare count gate (`extract_load_template.py:78,166`)
+    * extended to declarative expectations ([[DataQuality.Rule]]) and
+    * referential integrity ([[DataQuality.Ri]]), the dbt-test /
+    * expectation-suite promotion contract. Any violation REJECTS the
+    * whole batch: nothing is written and the checkpoint does NOT
+    * advance, so after the upstream defect is repaired the identical
+    * watermark re-extracts the batch and promotion retries cleanly —
+    * rejecting without advancing is what makes the gate safe to automate.
+    *
+    * Returns (rows loaded — 0 when rejected or empty, the gate report
+    * with a `promoted` column). The rule counts run in ONE aggregation
+    * pass over the delta (which doubles as the count gate: `n_rows` is
+    * the batch count), plus one anti-join count per RI rule. */
+  def runGated(spark: SparkSession, source: DataFrame, tableName: String,
+      idCol: String, eventCol: String, ckptDir: String, outDir: String,
+      ingestionDate: String, rules: Seq[DataQuality.Rule],
+      ri: Seq[DataQuality.Ri] = Nil): (Long, DataFrame) = {
+    val ckpt = readCheckpoint(spark, ckptDir)
+    val batchId = ckpt.map(_.last_id).getOrElse(-1L)
+    val delta = incremental(source, idCol, eventCol, ckpt)
+      .withColumn("ingestion_date", to_date(lit(ingestionDate)))
+      .withColumn("batch_id", lit(batchId))
+    val report = DataQuality.gateReport(delta, rules, ri)
+    // the report is |rules| rows — a driver-side decision, not a scan
+    val rows = report.collect()
+    val n = rows.headOption.map(_.getAs[Long]("n_rows")).getOrElse(0L)
+    val clean = rows.forall(_.getAs[Boolean]("passed"))
+    val promoted = clean && n > 0
+    if (promoted)
+      promote(spark, delta, tableName, idCol, eventCol, ckptDir, outDir,
+        ingestionDate, batchId)
+    (if (promoted) n else 0L, report.withColumn("promoted", lit(promoted)))
   }
 }

@@ -311,13 +311,12 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
   * empty transform does — downstream band keys go null and drop from
   * the candidate equi-join on both engines alike.
   *
-  * CodegenFallback: the expression evaluates as one compiled JVM call
-  * per row (the loop is compiled Scala); only the codegen SPAN splits,
-  * which is irrelevant next to removing the per-element lambda
-  * dispatch. */
+  * Codegen'd like its siblings ([[Simhash64]], [[DotDouble]]) so the
+  * signature stage keeps one unbroken whole-stage span; the generated
+  * loop is the exact Java transliteration of [[nullSafeEval]]
+  * (bit-equality pinned in ArrayOpsSpec). */
 case class MinhashSig(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private val K = 16
   private val P = 1000000007L
@@ -353,6 +352,35 @@ case class MinhashSig(child: Expression)
       else Array.fill[Any](K)(null)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val v = ctx.freshName("v"); val mins = ctx.freshName("mins")
+      val any = ctx.freshName("any"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$K];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $any = true;
+         |    long $h = $a.getLong($i);
+         |    for (int $k = 0; $k < $K; $k++) {
+         |      long $v = ((2L * $k + 1L) * $h + 7L * $k + 3L) % ${P}L;
+         |      if ($v < $mins[$k]) $mins[$k] = $v;
+         |    }
+         |  }
+         |}
+         |Object[] $out = new Object[$K];
+         |if ($any) {
+         |  for (int $k = 0; $k < $K; $k++) $out[$k] = java.lang.Long.valueOf($mins[$k]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSig =
     copy(child = newChild)

@@ -78,4 +78,47 @@ object DataQuality {
         when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail")))
       .orderBy(col("table_name"), col("check_name"))
   }
+
+  /** END-TO-END gated promotion ([[graft.engine.ExtractLoad.runGated]]):
+    * two full extract→gate→load runs against scratch bronze dirs — a
+    * CLEAN batch (the orders fixture) that passes every expectation and
+    * promotes, and a TAINTED twin (nulls injected into o_custkey on a
+    * deterministic 1/97 slice) that must be REJECTED whole: `rows_landed`
+    * is read back FROM DISK, so the row proves the write actually
+    * happened (clean) or actually didn't (tainted) — not just that a
+    * flag was computed. The reference gates promotion only on count > 0
+    * (`extract_load_template.py:78`); this is that gate grown into the
+    * expectation suite every bronze→silver hop needs.
+    *
+    * Scale shape: the rule counts are ONE aggregation pass per batch
+    * (map-side partials), RI is one anti-join count; the load itself is
+    * the partitioned replace-partition write [[graft.engine.ExtractLoad.run]]
+    * uses. Nothing here is fixture-sized-only. */
+  def dqGatedPromotion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.{DataQuality => DQ, ExtractLoad, Fs}
+    val rules = Seq(
+      DQ.NotNull("o_custkey"),
+      DQ.InRange("o_totalprice", 0, 1000000000),
+      DQ.Unique("o_orderkey"))
+    val ri = Seq(DQ.Ri("fk_o_custkey_customer", "o_custkey",
+      Tables.customer(spark, dir).select(col("c_custkey")), "c_custkey"))
+    def runBatch(tag: String, src: DataFrame): DataFrame = {
+      val ck = Fs.scratch(s"graft_dqg_ck_$tag", dir)
+      val out = Fs.scratch(s"graft_dqg_out_$tag", dir)
+      Fs.deleteDir(spark, ck); Fs.deleteDir(spark, out)
+      val (_, report) = ExtractLoad.runGated(spark, src, "orders",
+        "o_orderkey", "o_orderdate", ck, out, "2024-01-01", rules, ri)
+      // landed count comes off DISK — the end-to-end proof
+      val landed = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+      report.withColumn("batch", lit(tag)).withColumn("rows_landed", lit(landed))
+    }
+    val clean = Tables.orders(spark, dir)
+    val tainted = clean.withColumn("o_custkey",
+      when(pmod(col("o_orderkey"), lit(97)) === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")))
+    runBatch("clean", clean).unionAll(runBatch("tainted", tainted))
+      .select(col("batch"), col("rule"), col("n_rows"), col("n_violations"),
+        col("passed"), col("promoted"), col("rows_landed"))
+      .orderBy(col("batch"), col("rule"))
+  }
 }

@@ -196,9 +196,16 @@ object TextAnalysis {
     * standard cheap proxy for the paper's character-coverage
     * computation. Modal-bigram ties break lexicographically.
     *
-    * Scale shape: explode + two doc-keyed aggregations (the
-    * vocab/postings shape); the only window runs per-doc over the
-    * already-aggregated bigram counts. */
+    * Scale shape: explode + doc-keyed aggregations only (the
+    * vocab/postings shape) — NO window. The modal bigram is a
+    * `min(struct(-cnt, g))` grouped aggregate: struct comparison is
+    * lexicographic on fields, so minimizing (-cnt, g) IS "cnt DESC,
+    * g ASC" — the row_number-over-window form this replaces (round-7
+    * VERDICT #1) shuffled and sorted the whole token-scale bigram-count
+    * relation onto per-doc reducers; the aggregate gets map-side
+    * partials and ships one 2-field struct per doc per task. Tie
+    * behavior (smallest bigram among equal counts) is bit-identical:
+    * both forms compare the same UTF8 binary string order. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
@@ -207,10 +214,10 @@ object TextAnalysis {
         """transform(sequence(1, size(toks) - 1), i ->
            concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g"))
-    val top = bgc.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("g").as("top_bigram"), col("cnt").as("top_bigram_n"))
+    val top = bgc.groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("g"))).as("m"))
+      .select(col("doc_id"), col("m.g").as("top_bigram"),
+        (-col("m.nc")).as("top_bigram_n"))
     val dupt = base.select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) < 3 THEN array()
            ELSE transform(sequence(1, size(toks) - 2), i ->

@@ -86,6 +86,34 @@ class ArrayOpsSpec extends SparkSpec {
     assert(empty.length == 16 && empty.forall(_ == null))
   }
 
+  test("native expressions COMPILE under codegen — no silent interpreter fallback") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    graft.functions.TopKByAgg.register(spark)
+    // with fallback disabled a Janino error in any doGenCode THROWS
+    // instead of quietly degrading to interpreted eval (which would pass
+    // every value-equality pin while losing the whole-stage span)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = Seq((Seq(12345L, 42L), Seq(1.5, 2.5), Seq(2.0, -1.0)))
+        .toDF("th", "a", "b")
+        .select(
+          expr("minhash_sig(th)").as("sig"),
+          expr("dot_double(a, b)").as("dot"),
+          expr("simhash64(th, th)").as("sh"),
+          expr("sorted_intersect_size(th, th)").as("sis"),
+          expr("sorted_intersect_atleast(th, th, 2)").as("sia"))
+        .collect()(0)
+      assert(r.getSeq[Long](0).length == 16)
+      assert(r.getDouble(1) == 1.5 * 2.0 + 2.5 * -1.0)
+      assert(r.getInt(3) == 2 && r.getBoolean(4))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("sorted_intersect_atleast equals size(...) >= t for every threshold") {
     import spark.implicits._
     ArrayOps.register(spark)

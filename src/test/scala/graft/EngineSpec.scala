@@ -109,6 +109,42 @@ class ExtractLoadSpec extends SparkSpec {
     assert(d3.count() == n3)
   }
 
+  test("gated promotion end-to-end: violating batch writes NOTHING and the watermark does not advance; repaired batch then promotes") {
+    import graft.engine.{DataQuality => DQ}
+    val tmp = Files.createTempDirectory("elg").toString
+    val ckpt = s"$tmp/ckpt"
+    val out = s"$tmp/bronze"
+    val ev = Tables.events(spark, sf)
+    val rules = Seq(DQ.NotNull("event_id"), DQ.Unique("event_id"))
+
+    // batch 1: nulls injected → every effect of promotion must be absent
+    val tainted = ev.withColumn("event_id",
+      when(pmod(col("event_id"), lit(50)) === 0, lit(null).cast("long"))
+        .otherwise(col("event_id")))
+    val (n1, rep1) = ExtractLoad.runGated(spark, tainted, "events",
+      "event_id", "ts", ckpt, out, "2024-02-01", rules)
+    assert(n1 == 0)
+    assert(rep1.filter(col("promoted")).count() == 0)
+    assert(rep1.filter(col("rule") === "not_null_event_id" && !col("passed")).count() == 1)
+    assert(!new java.io.File(out).exists(), "rejected batch must not write bronze")
+    assert(ExtractLoad.readCheckpoint(spark, ckpt).isEmpty,
+      "rejected batch must not advance the watermark")
+
+    // batch 2: the repaired source promotes from the SAME (unmoved) watermark
+    val (n2, rep2) = ExtractLoad.runGated(spark, ev, "events",
+      "event_id", "ts", ckpt, out, "2024-02-01", rules)
+    assert(n2 == ev.count())
+    assert(rep2.filter(!col("promoted")).count() == 0)
+    assert(spark.read.parquet(out).count() == ev.count())
+    assert(ExtractLoad.readCheckpoint(spark, ckpt).get.last_id ==
+      ev.agg(max("event_id")).head().getLong(0))
+
+    // batch 3: clean but EMPTY delta → count gate holds (no promote, no write)
+    val (n3, _) = ExtractLoad.runGated(spark, ev, "events",
+      "event_id", "ts", ckpt, out, "2024-02-02", rules)
+    assert(n3 == 0)
+  }
+
   test("watermark monotonicity: re-extract excludes rows ≤ watermark") {
     val ev = Tables.events(spark, sf)
     val ck = ExtractLoad.Checkpoint("events", 0L,

@@ -382,6 +382,41 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), plan)
   }
 
+  /** Logical Window nodes in the optimized plan — the shape the
+    * bounded-heap `topk_by` conversions must keep out. */
+  private def windowCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+
+  test("repetition_signals: modal bigram is a grouped struct-min — no window over the token-scale bigram counts") {
+    val df = graft.text.TextAnalysis.repetitionSignals(spark, sf)
+    assert(windowCount(df) == 0, formatted(df))
+    // both gram relations aggregate with map-side partials
+    assert(formatted(df).contains("HashAggregate"), formatted(df))
+  }
+
+  test("knn_bruteforce: per-query rank is the bounded-heap topk_by — no window over corpus×queries") {
+    val df = graft.sim.Similarity.knnBruteForce(spark, sf)
+    assert(windowCount(df) == 0, formatted(df))
+    assert(formatted(df).contains("topk_by"), formatted(df))
+  }
+
+  test("knn_ivf: probe routing AND list search rank via topk_by — no window anywhere") {
+    val df = graft.sim.Similarity.knnIvf(spark, sf)
+    assert(windowCount(df) == 0, formatted(df))
+    assert(formatted(df).contains("topk_by"), formatted(df))
+  }
+
+  test("knn_filtered + hard_negatives: label-scoped ranks via topk_by — no window over candidate sets") {
+    val f = graft.sim.Similarity.knnFilteredByLabel(spark, sf)
+    assert(windowCount(f) == 0, formatted(f))
+    val h = graft.sim.Similarity.hardNegatives(spark, sf)
+    assert(windowCount(h) == 0, formatted(h))
+    // the negative_label recovery joins the tiny shortlist BY BROADCAST
+    assert(formatted(h).contains("BroadcastHashJoin"), formatted(h))
+  }
+
   test("orc: round-trip with pushdown and pruning intact") {
     val tmp = java.nio.file.Files.createTempDirectory("orc").toString
     graft.sources.Formats.writeOrc(Tables.orders(spark, sf), tmp)
