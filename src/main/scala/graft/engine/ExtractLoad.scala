@@ -132,9 +132,10 @@ object ExtractLoad {
     * rejecting without advancing is what makes the gate safe to automate.
     *
     * Returns (rows loaded — 0 when rejected or empty, the gate report
-    * with a `promoted` column). The rule counts run in ONE aggregation
-    * pass over the delta (which doubles as the count gate: `n_rows` is
-    * the batch count), plus one anti-join count per RI rule. */
+    * with a `promoted` column). The whole report — rule counts AND RI
+    * orphan counts — is ONE aggregation job over the delta (which doubles
+    * as the count gate: `n_rows` is the batch count); see
+    * [[DataQuality.gateReport]]. */
   def runGated(spark: SparkSession, source: DataFrame, tableName: String,
       idCol: String, eventCol: String, ckptDir: String, outDir: String,
       ingestionDate: String, rules: Seq[DataQuality.Rule],

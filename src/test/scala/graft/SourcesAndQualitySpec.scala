@@ -49,6 +49,60 @@ class DataQualitySpec extends SparkSpec {
     assert(report("unique_k") == 2)
   }
 
+  test("gateReport evaluates rules AND referential integrity in ONE Spark action") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf).select(col("c_custkey"))
+    val rules = Seq(DataQuality.NotNull("o_custkey"), DataQuality.Unique("o_orderkey"))
+    // TWO RI rules: the old per-rule count() loop would make 3 actions
+    val ri = Seq(
+      DataQuality.Ri("fk_cust", "o_custkey", customer, "c_custkey"),
+      DataQuality.Ri("fk_cust_again", "o_custkey", customer, "c_custkey"))
+    spark.sparkContext.addSparkListener(listener)
+    val report = try {
+      val r = DataQuality.gateReport(orders, rules, ri)
+      // the listener bus is async: poll until the count is stable
+      var prev = -1
+      var tries = 0
+      while (execs.get() != prev && tries < 50) {
+        prev = execs.get(); Thread.sleep(100); tries += 1
+      }
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(execs.get() == 1,
+      s"gateReport must be a single aggregation action, saw ${execs.get()} SQL executions")
+    // and the fused counts are still right: clean fixture ⇒ all pass,
+    // including both RI rows
+    val rows = report.collect()
+    assert(rows.length == rules.length + ri.length)
+    assert(rows.forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("gateReport counts orphans of a truncated parent (fused RI path)") {
+    val orders = Tables.orders(spark, sf)
+    val truncated = Tables.customer(spark, sf)
+      .filter(col("c_custkey") < 100).select(col("c_custkey"))
+    val report = DataQuality.gateReport(orders, Nil,
+      Seq(DataQuality.Ri("fk_cust", "o_custkey", truncated, "c_custkey")))
+      .collect()
+    val expect = DataQuality.orphans(orders, "o_custkey",
+      truncated, "c_custkey").count()
+    assert(expect > 0)
+    assert(report.length == 1)
+    assert(report.head.getAs[Long]("n_violations") == expect)
+    assert(!report.head.getAs[Boolean]("passed"))
+    // the marker join must not perturb the batch total
+    assert(report.head.getAs[Long]("n_rows") == orders.count())
+  }
+
   test("orphans finds referentially-broken rows via left-anti join") {
     val li = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf)
