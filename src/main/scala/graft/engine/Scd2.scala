@@ -50,6 +50,11 @@ object Scd2 {
   def assignIds(df: DataFrame, orderCol: String, idCol: String, offset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    // NOTE (measured, round 9): persisting `sorted` before zipWithIndex
+    // to save its double traversal REGRESSED the whole SCD2 bench family
+    // ~2× at equal host band (columnar cache encode + cache→Row decode
+    // cost more than recomputing the dim-sized sort lineage). Keep the
+    // recompute; it pipelines inside whole-stage codegen.
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L + offset))
@@ -68,14 +73,19 @@ object Scd2 {
   private def hashAndDedup(src: DataFrame, cfg: Config): DataFrame = {
     val allColsHash = md5(concat_ws("",
       src.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
-    val dedupOrder: Seq[Column] =
-      cfg.recencyCol.map(c => col(c).desc_nulls_last).toSeq ++
-        Seq(col(cfg.hashCol).desc, allColsHash.desc)
-    src.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(cfg.businessKey)).orderBy(dedupOrder: _*)))
-      .filter(col("__rn") === 1).drop("__rn")
+    // max_by over the (recency, attr-hash, all-cols-hash) tuple -- the
+    // same total order the previous row_number window used (struct
+    // ordering puts a null recency first, i.e. it loses the max,
+    // matching desc_nulls_last). An aggregate instead of a window:
+    // map-side partial combine and no per-key sort, so a hot business
+    // key can never single-thread a window-partition sort.
+    val hashed = src.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
+    val ord = struct(cfg.recencyCol.map(col).toSeq ++
+      Seq(col(cfg.hashCol), allColsHash): _*)
+    val cols = hashed.columns.toIndexedSeq
+    hashed.groupBy(col(cfg.businessKey))
+      .agg(max_by(struct(cols.map(col): _*), ord).as("__w"))
+      .select(cols.map(c => col(s"__w.$c").as(c)): _*)
   }
 
   /** Initial dimension load: hash attributes, assign surrogate keys in
@@ -150,5 +160,185 @@ object Scd2 {
       .select(expired.columns.map(col): _*)
 
     expired.unionByName(newVersions)
+  }
+
+  /** Promotion gate for an SCD2 merge — the reference count-gates its
+    * dimension load before touching the table (`dags/product.py:123,304,315`);
+    * this grows that gate into the same declarative-expectation contract
+    * as [[DataQuality.gateReport]], plus two SCD2-specific invariants
+    * evaluated BEFORE any dimension write:
+    *
+    *  - `ambiguous_latest` — business keys carrying more than one
+    *    distinct attr-hash in the batch with no recency order to pick
+    *    "latest" (when `cfg.recencyCol` is set: distinct hashes TIED at
+    *    the max recency value). The merge would version one of them
+    *    arbitrarily; a batch that can't say which row wins is rejected.
+    *  - `expire_blast_radius` — the number of current versions this
+    *    batch would expire, counted as violations only when it exceeds
+    *    `maxExpirePct` percent of the current dimension. A fat-fingered
+    *    upstream reload (every attribute "changed") looks exactly like
+    *    this; no legitimate batch rewrites most of a dimension.
+    *
+    * Cost: ONE aggregation job for everything — per-key partials over the
+    * batch (row count, distinct-hash count, winning hash, and the
+    * NotNull/InRange rule sums, which compose through the grouping) are
+    * full-outer-joined onto the current versions' (key, hash) projection
+    * and collapsed by a single global aggregate; ambiguity, blast radius,
+    * batch total and the composable rule counts all come out of that one
+    * row. Only a [[DataQuality.Unique]] rule — which needs a global
+    * distinct on an arbitrary column — adds a second aggregation job.
+    * Nothing here reads more than the batch + the current dimension, and
+    * the join [[applyChanges]] pays the same join again on promote — a
+    * gate that reads nothing the merge wasn't about to read anyway is
+    * the 100 TB-safe shape. Returns [[DataQuality.check]]-shaped rows:
+    * (rule, n_rows, n_violations, passed) with `n_rows` the batch total. */
+  def gate(dim: DataFrame, src: DataFrame, cfg: Config,
+      rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame =
+    gateBatches(dim, Seq(("batch", src)), cfg, rules, maxExpirePct)
+      .drop("batch")
+
+  /** [[gate]] over SEVERAL independent batches in the SAME single
+    * aggregation job: the batches union with a tag column, the per-key
+    * partials group by (tag, key), the current versions replicate once
+    * per tag (a broadcast of |batches| tag rows — dimension-side rows
+    * scale by the batch count, never by data), and one global aggregate
+    * per tag yields every gate number. The shape a backfill runner
+    * needs: N queued batches gated against one dimension in one pass.
+    * Returns (batch, rule, n_rows, n_violations, passed). */
+  def gateBatches(dim: DataFrame, batches: Seq[(String, DataFrame)], cfg: Config,
+      rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame = {
+    val spark = dim.sparkSession
+    import spark.implicits._
+    val k = cfg.businessKey
+    val tagged = batches.map { case (tag, b) =>
+      b.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
+        .withColumn("__tag", lit(tag))
+    }.reduce(_.unionByName(_))
+
+    val (distRules, sumRules) = rules.partition(_.isInstanceOf[DataQuality.Unique])
+    def ruleSum(r: DataQuality.Rule): Column = r match {
+      case DataQuality.NotNull(c) => sum(when(col(c).isNull, 1).otherwise(0))
+      case DataQuality.InRange(c, lo, hi) =>
+        sum(when(col(c) < lo || col(c) > hi, 1).otherwise(0))
+      case _ => lit(0L) // Unique never reaches here
+    }
+
+    // per-(tag, key) partials: row count, an ambiguity flag (min hash ≠
+    // max hash — deliberately NOT countDistinct, whose planner rewrite
+    // costs a second exchange; at the max recency value when one exists,
+    // since ambiguity only matters where it decides the winner), the
+    // winning hash (what hashAndDedup would keep), and the composable
+    // rule sums. Grouped aggregates with map-side partials, never a
+    // window.
+    val perKey = cfg.recencyCol match {
+      case None =>
+        val aggs = Seq(
+          count(lit(1)).as("__cnt"),
+          (min(col(cfg.hashCol)) =!= max(col(cfg.hashCol)))
+            .cast("int").as("__ambf"),
+          // hashAndDedup's no-recency winner is hash-desc ⇒ max(hash)
+          max(col(cfg.hashCol)).as("__wh")) ++
+          sumRules.zipWithIndex.map { case (r, i) => ruleSum(r).as(s"__s$i") }
+        tagged.groupBy(col("__tag"), col(k)).agg(aggs.head, aggs.tail: _*)
+      case Some(rc) =>
+        val l1 = Seq(
+          count(lit(1)).as("__cnt"),
+          (min(col(cfg.hashCol)) =!= max(col(cfg.hashCol)))
+            .cast("int").as("__ambf1"),
+          max(col(cfg.hashCol)).as("__wh1")) ++
+          sumRules.zipWithIndex.map { case (r, i) => ruleSum(r).as(s"__s$i") }
+        val l2 = Seq(
+          sum(col("__cnt")).as("__cnt"),
+          // struct max picks the highest-recency row and carries its
+          // ambiguity flag + winning hash (null recency loses, like
+          // hashAndDedup's desc_nulls_last)
+          max(struct(col(rc), col("__ambf1"), col("__wh1"))).as("__m")) ++
+          sumRules.indices.map(i => sum(col(s"__s$i")).as(s"__s$i"))
+        tagged.groupBy(col("__tag"), col(k), col(rc)).agg(l1.head, l1.tail: _*)
+          .groupBy(col("__tag"), col(k)).agg(l2.head, l2.tail: _*)
+          .withColumn("__ambf", col("__m.__ambf1"))
+          .withColumn("__wh", col("__m.__wh1"))
+          .drop("__m")
+    }
+
+    // the per-key partials LEFT-join the current versions' (key, hash)
+    // projection — an equi-join Catalyst broadcasts for dimension-sized
+    // tables (and degrades to a shuffle join for giant ones, still
+    // inside this single job) — then ONE aggregate row per tag carries
+    // every batch-side gate number. The tag-independent current-version
+    // count rides the SAME single action as an extra union leg (a second
+    // flat scan of the current projection under a sentinel tag), so the
+    // whole gate is exactly one Spark action regardless of batch count.
+    val dimCur = dim.filter(col(cfg.currentCol))
+      .select(col(k).as("__dk"), col(cfg.hashCol).as("__dh"))
+    val batchLeg = perKey
+      .join(dimCur, col(k) === col("__dk"), "left")
+      .select(Seq(
+        col("__tag"), col("__cnt"), col("__ambf").cast("long").as("__ambf"),
+        when(col("__dh").isNotNull && col("__wh") =!= col("__dh"), 1L)
+          .otherwise(0L).as("__chgf"),
+        lit(0L).as("__curf")) ++
+        sumRules.indices.map(i => col(s"__s$i").cast("long").as(s"__s$i")): _*)
+    val dimTag = " __dim__"
+    val dimLeg = dimCur.select(Seq(
+      lit(dimTag).as("__tag"), lit(0L).as("__cnt"), lit(0L).as("__ambf"),
+      lit(0L).as("__chgf"), lit(1L).as("__curf")) ++
+      sumRules.indices.map(i => lit(0L).as(s"__s$i")): _*)
+    val globalAggs = Seq(
+      coalesce(sum(col("__cnt")), lit(0L)).as("__total"),
+      coalesce(sum(col("__ambf")), lit(0L)).as("__amb"),
+      coalesce(sum(col("__chgf")), lit(0L)).as("__nchg"),
+      coalesce(sum(col("__curf")), lit(0L)).as("__ncur")) ++
+      sumRules.indices.map(i =>
+        coalesce(sum(col(s"__s$i")), lit(0L)).as(s"__v$i"))
+    val byTag = batchLeg.unionByName(dimLeg)
+      .groupBy(col("__tag"))
+      .agg(globalAggs.head, globalAggs.tail: _*)
+      .collect()
+      .map(r => r.getAs[String]("__tag") -> r).toMap
+    val nCurrent = byTag.get(dimTag).map(_.getAs[Long]("__ncur")).getOrElse(0L)
+
+    val reportRows = batches.flatMap { case (tag, src) =>
+      val row = byTag.get(tag)
+      def get(f: String): Long = row.map(_.getAs[Long](f)).getOrElse(0L)
+      val total = get("__total")
+      val nAmbiguous = get("__amb")
+      val nChanged = get("__nchg")
+      val blast =
+        if (nChanged * 100L > nCurrent * maxExpirePct.toLong) nChanged else 0L
+      val sumMap = sumRules.zipWithIndex
+        .map { case (r, i) => r.name -> get(s"__v$i") }.toMap
+      val distMap =
+        if (distRules.isEmpty) Map.empty[String, Long]
+        else DataQuality.check(src, distRules).collect()
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val ruleRows = rules.map(r =>
+        (tag, r.name, total, sumMap.getOrElse(r.name, distMap(r.name))))
+      ruleRows ++ Seq(
+        (tag, "ambiguous_latest", total, nAmbiguous),
+        (tag, "expire_blast_radius", total, blast))
+    }
+    reportRows.map { case (b, n, t, v) => (b, n, t, v, v == 0L) }
+      .toDF("batch", "rule", "n_rows", "n_violations", "passed")
+      .orderBy(col("batch"), col("rule"), col("n_violations"))
+  }
+
+  /** [[applyChanges]] behind [[gate]]: evaluate the gate, merge ONLY when
+    * every rule passes and the batch is non-empty. Returns
+    * (promoted, resulting dimension — merged on promote, the input `dim`
+    * untouched on reject, report with a `promoted` column). Rejecting
+    * without merging keeps the retry contract of
+    * [[ExtractLoad.runGated]]: repair upstream, resubmit the batch,
+    * nothing to roll back. */
+  def applyChangesGated(dim: DataFrame, src: DataFrame, cfg: Config,
+      asOfDate: String, rules: Seq[DataQuality.Rule] = Nil,
+      maxExpirePct: Int = 50): (Boolean, DataFrame, DataFrame) = {
+    val report = gate(dim, src, cfg, rules, maxExpirePct)
+    val rows = report.collect()
+    val n = rows.headOption.map(_.getAs[Long]("n_rows")).getOrElse(0L)
+    val promoted = rows.forall(_.getAs[Boolean]("passed")) && n > 0
+    val out = if (promoted) applyChanges(dim, src, cfg, asOfDate) else dim
+    (promoted, out,
+      report.withColumn("promoted", lit(promoted)))
   }
 }

@@ -84,6 +84,101 @@ object Scd2Queries {
       .orderBy(col("part_key"))
   }
 
+  /** END-TO-END gated SCD2 promotion ([[Scd2.applyChangesGated]]) — the
+    * dimension-load twin of
+    * [[graft.queries.DataQuality.dqGatedPromotion]], covering the
+    * reference's count-gate on its dim load
+    * (`dags/product.py:123,304,315`) grown into declarative rules plus
+    * the SCD2 invariants. Two full write→gate→merge runs against a REAL
+    * on-disk dimension:
+    *
+    *  - CLEAN batch ([[secondSource]]: every 7th part price-bumped,
+    *    every 50th reappearing under a new key) — ~14% of current
+    *    versions would expire, under the 50% blast-radius cap; the merge
+    *    promotes and the v2 dimension lands on disk.
+    *  - TAINTED batch — a fat-fingered full reload (EVERY price bumped ⇒
+    *    100% of the dimension would expire) that also carries a
+    *    conflicting duplicate (one business key twice with different
+    *    prices and no recency order — "latest" is undefined). Both
+    *    SCD2 rules fire; the batch is REJECTED whole and the on-disk
+    *    dimension stays at v1.
+    *
+    * `versions_on_disk`/`current_on_disk` are read back FROM DISK after
+    * the run — the row proves the merge actually happened (clean) or
+    * actually didn't (tainted), not just that a flag was computed. */
+  def gated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.engine.{DataQuality => DQ, Fs}
+    val rules = Seq(DQ.NotNull("p_name"))
+    val base = partSource(spark, dir)
+    // ONE on-disk v1 dimension shared by both batch runs (each run only
+    // ever reads it); each batch owns its candidate v2 location, so the
+    // reject proof and the promote proof cannot contaminate each other.
+    // v1 is built with expression-only surrogate keys (the business key
+    // is unique, so it IS a valid initial key assignment) — this proof
+    // targets gate+merge; `scd2_initial` covers initialLoad's
+    // distributed key assigner. coalesce: dim-sized relation, few files.
+    val root = Fs.scratch("graft_scd2g", dir)
+    Fs.deleteDir(spark, root)
+    base.withColumn(cfg.hashCol, Scd2.attrHash(cfg.trackedCols))
+      .withColumn(cfg.surrogateKey, col("part_key"))
+      .withColumn(cfg.effectiveCol, to_date(lit("2024-01-01")))
+      .withColumn(cfg.expiryCol, lit(null).cast("date"))
+      .withColumn(cfg.currentCol, lit(true))
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$root/v1")
+    val dim0 = spark.read.parquet(s"$root/v1")
+
+    // the clean batch is INCREMENTAL — only the changed + new rows, the
+    // realistic delta shape (a full reload arriving as a "batch" is
+    // exactly the fat-finger the blast-radius rule exists to reject)
+    val clean = secondSource(spark, dir)
+      .filter(col("part_key") % 7 === 0 || col("part_key") >= 1000000)
+    val tainted = base
+      .withColumn("price_cents", col("price_cents") + 1)
+      .unionByName(base.filter(col("part_key") === 1)
+        .withColumn("price_cents", col("price_cents") + 999))
+    val batches = Seq("clean" -> clean, "tainted" -> tainted)
+
+    // BOTH batches gated in ONE aggregation job
+    val report = Scd2.gateBatches(dim0, batches, cfg, rules, maxExpirePct = 50)
+    val rows = report.collect()
+    def promoted(tag: String): Boolean = {
+      val rs = rows.filter(_.getAs[String]("batch") == tag)
+      rs.forall(_.getAs[Boolean]("passed")) &&
+        rs.headOption.exists(_.getAs[Long]("n_rows") > 0)
+    }
+    batches.foreach { case (tag, b) =>
+      if (promoted(tag))
+        Scd2.applyChanges(dim0, b, cfg, "2024-06-01")
+          .coalesce(4).write.mode("overwrite").parquet(s"$root/${tag}_v2")
+    }
+    // landed state comes off DISK in ONE union job: each batch's v2 if
+    // its merge committed, else the untouched shared v1
+    val landed = batches.map { case (tag, _) =>
+      spark.read.parquet(
+        if (Fs.exists(spark, s"$root/${tag}_v2")) s"$root/${tag}_v2"
+        else s"$root/v1")
+        .select(lit(tag).as("__b"), col(cfg.currentCol))
+    }.reduce(_.unionAll(_))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__versions"),
+        sum(when(col(cfg.currentCol), 1L).otherwise(0L)).as("__current"))
+      .collect()
+      .map(r => r.getAs[String]("__b") ->
+        (r.getAs[Long]("__versions"), r.getAs[Long]("__current"))).toMap
+
+    rows.toSeq.map { r =>
+      val tag = r.getAs[String]("batch")
+      val (versions, current) = landed(tag)
+      (tag, r.getAs[String]("rule"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"),
+        promoted(tag), versions, current)
+    }.toDF("batch", "rule", "n_rows", "n_violations", "passed",
+        "promoted", "versions_on_disk", "current_on_disk")
+      .orderBy(col("batch"), col("rule"))
+  }
+
   /** Fact ⋈ SCD2-dim AS-OF: every fact line joins the dimension version
     * that was CURRENT on its as-of date — the consumer pattern SCD2
     * exists for (the reference maintains its product dim,

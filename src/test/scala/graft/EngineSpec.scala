@@ -71,6 +71,59 @@ class Scd2Spec extends SparkSpec {
     assert(changedKey.filter(col("effective_date") =!= to_date(lit("2024-06-01"))).count() == 0)
   }
 
+  test("gate: recency-ordered duplicates are NOT ambiguous; ties at max recency are") {
+    import spark.implicits._
+    val cfg = Scd2.Config("k", Seq("attr"), "sk", recencyCol = Some("updated_at"))
+    val initial = Scd2.initialLoad(
+      Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"))
+        .toDF("k", "attr", "updated_at"), cfg, "2024-01-01")
+    // three updates to key 1, strictly ordered by recency: latest is
+    // well-defined, the gate must NOT flag ambiguity
+    val ordered = Seq(
+      (1L, "v1", "2024-02-01"), (1L, "v3", "2024-02-03"), (1L, "v2", "2024-02-02"))
+      .toDF("k", "attr", "updated_at")
+    val okRows = Scd2.gate(initial, ordered, cfg, maxExpirePct = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(okRows("ambiguous_latest") == 0)
+    // two DIFFERENT attrs tied at the same max recency: undefined latest
+    val tied = Seq(
+      (1L, "x", "2024-02-01"), (1L, "y", "2024-02-01"))
+      .toDF("k", "attr", "updated_at")
+    val tiedRows = Scd2.gate(initial, tied, cfg, maxExpirePct = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tiedRows("ambiguous_latest") == 1)
+    // an OLD duplicate under a distinct newer row is fine — ambiguity
+    // only counts where it decides the winner
+    val oldTie = Seq(
+      (1L, "x", "2024-02-01"), (1L, "y", "2024-02-01"), (1L, "z", "2024-02-02"))
+      .toDF("k", "attr", "updated_at")
+    val oldTieRows = Scd2.gate(initial, oldTie, cfg, maxExpirePct = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(oldTieRows("ambiguous_latest") == 0)
+  }
+
+  test("applyChangesGated: reject leaves the dimension untouched, promote merges") {
+    import spark.implicits._
+    val cfg = Scd2.Config("k", Seq("attr"), "sk")
+    val initial = Scd2.initialLoad(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "attr"),
+      cfg, "2024-01-01")
+    // 3 of 4 keys changed = 75% blast radius: rejected at the 50% cap
+    val fatFinger = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "d")).toDF("k", "attr")
+    val (promoted1, dim1, report1) =
+      Scd2.applyChangesGated(initial, fatFinger, cfg, "2024-02-01", maxExpirePct = 50)
+    assert(!promoted1)
+    assert(dim1.collect().toSet == initial.collect().toSet)
+    val r1 = report1.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r1("expire_blast_radius") == 3)
+    // the same batch promotes once the operator raises the cap
+    val (promoted2, dim2, _) =
+      Scd2.applyChangesGated(initial, fatFinger, cfg, "2024-02-01", maxExpirePct = 80)
+    assert(promoted2)
+    assert(dim2.filter(col("is_current")).count() == 4)
+    assert(dim2.count() == 7) // 4 initial + 3 new versions
+  }
+
   test("assignIds matches global row_number ordering") {
     val df = Tables.part(spark, sf).select(col("p_partkey"))
     val ids = Scd2.assignIds(df, "p_partkey", "id")
