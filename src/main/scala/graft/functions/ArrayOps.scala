@@ -88,6 +88,85 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection of two SORTED, DISTINCT long arrays via the same linear
+  * merge scan as [[SortedIntersectSize]], returning the matching
+  * ELEMENTS (sorted, distinct — the order both inputs share). The
+  * triangle-counting hot loop needs the sinks themselves, not just the
+  * count; Spark's generic `array_intersect` builds a hash set per call,
+  * while this merge is allocation-free until the single result buffer
+  * and lives inside whole-stage codegen. Null elements sort to the tail
+  * (array_sort order) and match only each other, exactly
+  * `array_intersect`'s null semantics. */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect expects (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    val buf = new Array[Any](math.min(nx, ny))
+    var i = 0; var j = 0; var n = 0
+    while (i < nx && j < ny) {
+      val xNull = x.isNullAt(i); val yNull = y.isNullAt(j)
+      if (xNull && yNull) { buf(n) = null; n += 1; i += 1; j += 1 }
+      else if (xNull) j += 1 // null sorts after every value
+      else if (yNull) i += 1
+      else {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi == yj) { buf(n) = xi; n += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(buf.asInstanceOf[Array[AnyRef]], n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val buf = ctx.freshName("buf")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
+      s"""
+         |int $i = 0, $j = 0, $n = 0;
+         |Object[] $buf = new Object[Math.min($a.numElements(), $b.numElements())];
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  boolean $xNull = $a.isNullAt($i);
+         |  boolean $yNull = $b.isNullAt($j);
+         |  if ($xNull && $yNull) { $buf[$n++] = null; $i++; $j++; }
+         |  else if ($xNull) { $j++; }
+         |  else if ($yNull) { $i++; }
+         |  else {
+         |    long $xi = $a.getLong($i);
+         |    long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $buf[$n++] = $xi; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; }
+         |    else { $j++; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($buf, $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash folded in ONE pass over two parallel arrays of 32-bit
   * token-hash halves (`lo` = bits 0-31, `hi` = bits 32-63): per-bit ±1
   * votes, output bit set when the vote is positive.
@@ -179,6 +258,10 @@ object ArrayOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size",
       exprs => SortedIntersectSize(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect",
+      exprs => SortedIntersect(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",

@@ -103,14 +103,36 @@ class ArrayOpsSpec extends SparkSpec {
           expr("dot_double(a, b)").as("dot"),
           expr("simhash64(th, th)").as("sh"),
           expr("sorted_intersect_size(th, th)").as("sis"),
-          expr("sorted_intersect_atleast(th, th, 2)").as("sia"))
+          expr("sorted_intersect_atleast(th, th, 2)").as("sia"),
+          expr("sorted_intersect(th, th)").as("si"))
         .collect()(0)
       assert(r.getSeq[Long](0).length == 16)
       assert(r.getDouble(1) == 1.5 * 2.0 + 2.5 * -1.0)
       assert(r.getInt(3) == 2 && r.getBoolean(4))
+      assert(r.getSeq[Long](5) == Seq(12345L, 42L))
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("sorted_intersect matches array_intersect on sorted distinct arrays") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(3L, 4L, 5L, 10L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(7L), Seq(7L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))
+    ).toDF("a", "b")
+    val rows = df.select(
+      expr("sorted_intersect(a, b)").as("mine"),
+      array_intersect(col("a"), col("b")).as("ref"),
+      expr("sorted_intersect_size(a, b)").as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+      assert(r.getSeq[Long](0).length == r.getInt(2))
     }
   }
 
