@@ -34,7 +34,6 @@ object Sessions {
       // default parallelism-first coalescing.
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost")
 
   /** [[tune]] plus LOCAL-MODE-ONLY perf flips that would be HARMFUL on a
     * real cluster — kept out of tune() so a deploy inheriting the shared
@@ -50,6 +49,9 @@ object Sessions {
     tune(b, cpus)
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // pinning the driver address is correct ONLY where driver and
+      // executors share a host — on a cluster it must stay resolvable
+      .config("spark.driver.host", "localhost")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = localTune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
