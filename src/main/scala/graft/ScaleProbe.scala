@@ -1,9 +1,12 @@
 package graft
 
-/** Ad-hoc scale probe for the round's new text operators: time the same
-  * operator at ×1/×2/×4 corpus replication to verify the claimed
-  * complexity empirically (findings recorded in the operators' scaladoc).
-  * Usage: runMain graft.ScaleProbe <dir> [dir ...]
+/** Ad-hoc scale probe: time the same operator at ×1/×2/×4 input
+  * replication to verify the claimed complexity empirically (findings
+  * recorded in the operators' scaladoc and BASELINE.md §Scaling probes).
+  * Usage:
+  *   runMain graft.ScaleProbe <dir> [dir ...]        (text-op probes)
+  *   runMain graft.ScaleProbe --span <dir> [mults]   (span-dedup probe)
+  *   runMain graft.ScaleProbe --families <dir>       (minhash/triangles/knn_pq)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -12,6 +15,55 @@ object ScaleProbe {
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+    // --families <baseDir>: ×1/×2/×4 replication probes for the three
+    // heaviest bench families (round-9 brief #4). Replication shapes:
+    //  - minhash: documents replicated under shifted doc_ids with the
+    //    SAME text — every clone family is a true near-dup clique, so
+    //    OUTPUT pairs grow ~quadratically by construction; the linearity
+    //    claim is per-OUTPUT-pair cost, which is printed alongside.
+    //  - triangles: lineitem replicated under shifted order/part keys —
+    //    m disjoint copies of the co-purchase graph, workload ∝ m.
+    //  - knn_pq: corpus replicated under ODD vec_ids (2·id+1+offset), so
+    //    replicas never hit the vec_id % 100 == 0 query predicate: the
+    //    query set stays FIXED while the coded corpus grows ∝ m — the
+    //    serving-scale axis (ADC cost ∝ Q·N with Q held).
+    if (args.headOption.contains("--families")) {
+      import org.apache.spark.sql.functions._
+      val base = args(1)
+      val mults = args.lift(2).map(_.split(',').toSeq.map(_.toInt)).getOrElse(Seq(1, 2, 4))
+      def timed2(label: String)(f: => Long): Unit = {
+        f; Sessions.releaseAll(spark) // warm pass: JIT + codegen + page cache
+        val t0 = System.nanoTime(); val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        Sessions.releaseAll(spark)
+      }
+      for (m <- mults) {
+        val root = s"/tmp/graft_scale_fam_x$m"
+        val docs = Tables.documents(spark, base).select(col("doc_id"), col("text"))
+        (0 until m).map(i => docs.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$root/documents.parquet")
+        val li = Tables.lineitem(spark, base)
+          .select(col("l_orderkey"), col("l_partkey"))
+        (0 until m).map(i => li.select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+            (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+        val emb = Tables.embeddings(spark, base)
+        val embReps = emb +: (1 until m).map(i => emb.withColumn("vec_id",
+          col("vec_id") * 2 + lit(1L) + lit(i * 100000000L)))
+        embReps.reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+
+        timed2(f"minhash_pairs   x$m")(graft.dedup.Dedup.minhashPairs(spark, root).count())
+        timed2(f"triangle_counts x$m")(
+          graft.queries.Graphs.triangleCounts(spark, root).count())
+        timed2(f"knn_pq          x$m")(graft.sim.Similarity.knnPq(spark, root).count())
+      }
+      spark.stop(); return
     }
     // --span <baseDir>: replicate documents ×1/×2/×4 with distinct ids
     // and time spanDedup — duplication depth grows, distinct chunks stay

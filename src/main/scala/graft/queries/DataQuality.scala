@@ -90,9 +90,11 @@ object DataQuality {
     * (`extract_load_template.py:78`); this is that gate grown into the
     * expectation suite every bronze→silver hop needs.
     *
-    * Scale shape: the rule counts are ONE aggregation pass per batch
-    * (map-side partials), RI is one anti-join count; the load itself is
-    * the partitioned replace-partition write [[graft.engine.ExtractLoad.run]]
+    * Scale shape: the whole gate — rule counts AND the RI orphan count —
+    * is ONE aggregation job per batch (map-side partials; the RI parent
+    * joins in as a distinct-key marker relation, see
+    * [[graft.engine.DataQuality.gateReport]]); the load itself is the
+    * partitioned replace-partition write [[graft.engine.ExtractLoad.run]]
     * uses. Nothing here is fixture-sized-only. */
   def dqGatedPromotion(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.{DataQuality => DQ, ExtractLoad, Fs}
