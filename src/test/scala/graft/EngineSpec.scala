@@ -102,6 +102,30 @@ class Scd2Spec extends SparkSpec {
     assert(oldTieRows("ambiguous_latest") == 0)
   }
 
+  test("gateBatches: per-batch numbers are isolated and match single-batch gates") {
+    import spark.implicits._
+    val cfg = Scd2.Config("k", Seq("attr"), "sk")
+    val initial = Scd2.initialLoad(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "attr"),
+      cfg, "2024-01-01")
+    val good = Seq((1L, "A")).toDF("k", "attr")                  // 25% expire
+    val bad = Seq((1L, "x"), (1L, "y")).toDF("k", "attr")        // ambiguous
+    val both = Scd2.gateBatches(initial, Seq("good" -> good, "bad" -> bad),
+      cfg, maxExpirePct = 50)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(both(("good", "ambiguous_latest")) == 0)
+    assert(both(("good", "expire_blast_radius")) == 0)
+    assert(both(("bad", "ambiguous_latest")) == 1)
+    // the fused single-job report must equal the one-batch gate rows
+    for ((tag, b) <- Seq("good" -> good, "bad" -> bad)) {
+      val single = Scd2.gate(initial, b, cfg, maxExpirePct = 50)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      single.foreach { case (rule, v) => assert(both((tag, rule)) == v,
+        s"batch $tag rule $rule: fused=${both((tag, rule))} single=$v") }
+    }
+  }
+
   test("applyChangesGated: reject leaves the dimension untouched, promote merges") {
     import spark.implicits._
     val cfg = Scd2.Config("k", Seq("attr"), "sk")
