@@ -396,9 +396,13 @@ object Dedup {
       .filter(col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
+      // hamming BEFORE the dedup exchange: bit_count is a codegen'd
+      // per-row op, so verifying first means only true near-pairs (not
+      // every band collision, up to nBands copies each) pay the
+      // distinct's shuffle — filter and distinct commute here
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** [[simhashPairs]] without the terminal presentation sort — the form
@@ -474,13 +478,21 @@ object Dedup {
     * stay distributed and the fixpoint is order-independent (min is
     * commutative), hence deterministic on any cluster size. Singleton
     * docs keep themselves as cluster id. */
-  def nearDupClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def nearDupClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    nearDupClustersUnsorted(spark, dir, maxHamming).orderBy(col("doc_id"))
+
+  /** [[nearDupClusters]] without the terminal presentation sort — for
+    * consumers that immediately join/aggregate/checkpoint the relation
+    * ([[canonicalDocs]], [[sourceDupRatio]]): the eager checkpoint in
+    * canonicalDocs was MATERIALIZING the range-exchange sort only to
+    * feed joins that destroy the order. */
+  private[graft] def nearDupClustersUnsorted(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
     val (fp, gl) = fpClusters(spark, dir, maxHamming)
     val sizes = gl.groupBy(col("cluster_id")).agg(sum(col("m")).as("cluster_size"))
     fp.join(gl.select(col("simhash"), col("cluster_id")), "simhash")
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** Group-level cluster resolution shared by the CC family: the
@@ -862,7 +874,7 @@ object Dedup {
     // without it each branch re-runs the whole cluster assembly
     // (doc scan + label join + size agg) on top of the checkpointed
     // fixpoint labels
-    val clusters = nearDupClusters(spark, dir, maxHamming).localCheckpoint(true)
+    val clusters = nearDupClustersUnsorted(spark, dir, maxHamming).localCheckpoint(true)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val kept = clusters.join(docs, "doc_id")
       .groupBy(col("cluster_id"))
@@ -901,7 +913,7 @@ object Dedup {
     * the rollup one grouped aggregate. */
   def sourceDupRatio(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-      .join(nearDupClusters(spark, dir), "doc_id")
+      .join(nearDupClustersUnsorted(spark, dir), "doc_id")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
