@@ -197,25 +197,19 @@ object Scd2 {
     gateBatches(dim, Seq(("batch", src)), cfg, rules, maxExpirePct)
       .drop("batch")
 
-  /** [[gate]] over SEVERAL independent batches in the SAME single
-    * aggregation job: the batches union with a tag column, the per-key
-    * partials group by (tag, key), the current versions replicate once
-    * per tag (a broadcast of |batches| tag rows — dimension-side rows
-    * scale by the batch count, never by data), and one global aggregate
-    * per tag yields every gate number. The shape a backfill runner
-    * needs: N queued batches gated against one dimension in one pass.
-    * Returns (batch, rule, n_rows, n_violations, passed). */
-  def gateBatches(dim: DataFrame, batches: Seq[(String, DataFrame)], cfg: Config,
-      rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame = {
-    val spark = dim.sparkSession
-    import spark.implicits._
+  /** Sentinel tag for the current-version union leg of [[gateAgg]]. */
+  private val DimTag = " __dim__"
+
+  /** The single aggregation plan behind [[gateBatches]] — exposed to the
+    * plan-quality spec so the no-window / no-Expand shape is pinned. */
+  private[graft] def gateAgg(dim: DataFrame, batches: Seq[(String, DataFrame)],
+      cfg: Config, sumRules: Seq[DataQuality.Rule]): DataFrame = {
     val k = cfg.businessKey
     val tagged = batches.map { case (tag, b) =>
       b.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
         .withColumn("__tag", lit(tag))
     }.reduce(_.unionByName(_))
 
-    val (distRules, sumRules) = rules.partition(_.isInstanceOf[DataQuality.Unique])
     def ruleSum(r: DataQuality.Rule): Column = r match {
       case DataQuality.NotNull(c) => sum(when(col(c).isNull, 1).otherwise(0))
       case DataQuality.InRange(c, lo, hi) =>
@@ -279,9 +273,8 @@ object Scd2 {
           .otherwise(0L).as("__chgf"),
         lit(0L).as("__curf")) ++
         sumRules.indices.map(i => col(s"__s$i").cast("long").as(s"__s$i")): _*)
-    val dimTag = " __dim__"
     val dimLeg = dimCur.select(Seq(
-      lit(dimTag).as("__tag"), lit(0L).as("__cnt"), lit(0L).as("__ambf"),
+      lit(DimTag).as("__tag"), lit(0L).as("__cnt"), lit(0L).as("__ambf"),
       lit(0L).as("__chgf"), lit(1L).as("__curf")) ++
       sumRules.indices.map(i => lit(0L).as(s"__s$i")): _*)
     val globalAggs = Seq(
@@ -291,12 +284,29 @@ object Scd2 {
       coalesce(sum(col("__curf")), lit(0L)).as("__ncur")) ++
       sumRules.indices.map(i =>
         coalesce(sum(col(s"__s$i")), lit(0L)).as(s"__v$i"))
-    val byTag = batchLeg.unionByName(dimLeg)
+    batchLeg.unionByName(dimLeg)
       .groupBy(col("__tag"))
       .agg(globalAggs.head, globalAggs.tail: _*)
+  }
+
+  /** [[gate]] over SEVERAL independent batches in the SAME single
+    * aggregation job: the batches union with a tag column, the per-key
+    * partials group by (tag, key), the current versions replicate once
+    * per tag (a broadcast of |batches| tag rows — dimension-side rows
+    * scale by the batch count, never by data), and one global aggregate
+    * per tag yields every gate number. The shape a backfill runner
+    * needs: N queued batches gated against one dimension in one pass.
+    * Returns (batch, rule, n_rows, n_violations, passed). */
+  def gateBatches(dim: DataFrame, batches: Seq[(String, DataFrame)], cfg: Config,
+      rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame = {
+    val spark = dim.sparkSession
+    import spark.implicits._
+    val k = cfg.businessKey
+    val (distRules, sumRules) = rules.partition(_.isInstanceOf[DataQuality.Unique])
+    val byTag = gateAgg(dim, batches, cfg, sumRules)
       .collect()
       .map(r => r.getAs[String]("__tag") -> r).toMap
-    val nCurrent = byTag.get(dimTag).map(_.getAs[Long]("__ncur")).getOrElse(0L)
+    val nCurrent = byTag.get(DimTag).map(_.getAs[Long]("__ncur")).getOrElse(0L)
 
     val reportRows = batches.flatMap { case (tag, src) =>
       val row = byTag.get(tag)

@@ -74,7 +74,13 @@ object Graphs {
     * state, the same bound the [[partSimilarity]] lists carry; the
     * 100 TB guard for pathological hubs is [[partSimilarityCapped]]'s
     * signature path. */
-  private[graft] def coPurchaseAdjacency(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseAdjacency(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseAdjacencyPlanProbe(spark, dir).localCheckpoint(true)
+
+  /** The adjacency build BEFORE the checkpoint — the plan-quality spec
+    * pins the one-exchange, join-free shape here (the checkpoint hides
+    * the lineage behind a LogicalRDD). */
+  private[graft] def coPurchaseAdjacencyPlanProbe(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").cast("long").as("part"))
     // ONE order-keyed exchange, not two: group each order's item set
@@ -92,7 +98,6 @@ object Graphs {
       .groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
       .withColumn("outdeg", size(col("nbrs")).cast("long"))
-      .localCheckpoint(true)
   }
 
   /** PageRank over the co-purchase part graph: `iters` fixed power

@@ -324,6 +324,47 @@ class PlanQualitySpec extends SparkSpec {
     }.size == 1, plan)
   }
 
+  test("triangle_counts + part_similarity: fat node relations join by MERGE, intersects are native") {
+    // round-9 finding: a broadcast-hash probe re-copies the matched
+    // row's O(deg) array out of the hashed relation per exploded edge
+    // (measured 9.4 s broadcast vs 1.4 s merge at sf0.1) — the node
+    // relation must stay on the sort-merge path, and the per-edge
+    // intersects must be the codegen'd merge scans, not the generic
+    // hash-set builtins
+    val tri = formatted(graft.queries.Graphs.triangleCounts(spark, sf))
+    assert(tri.contains("SortMergeJoin"), tri)
+    assert(tri.contains("sortedintersect("), tri)
+    assert(!tri.contains("array_intersect"), tri)
+    val sim = formatted(graft.queries.Graphs.partSimilarity(spark, sf))
+    assert(sim.contains("SortMergeJoin"), sim)
+    assert(sim.contains("sortedintersectsize("), sim)
+  }
+
+  test("coPurchaseAdjacency: ONE order-keyed exchange, no join in the build") {
+    // the pair relation is born from a pipelined double explode between
+    // the okey aggregate and the src aggregate — the old self-join shape
+    // paid two item exchanges plus a sort-merge join
+    val adjPlan = formatted(
+      graft.queries.Graphs.coPurchaseAdjacencyPlanProbe(spark, sf))
+    assert(!adjPlan.contains("SortMergeJoin") && !adjPlan.contains("BroadcastHashJoin"),
+      adjPlan)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(adjPlan).length
+    assert(exchanges == 2, s"expected exactly 2 exchanges (okey agg, src agg), got $exchanges\n$adjPlan")
+  }
+
+  test("scd2 gate: one aggregation action, no window, ambiguity without a distinct-aggregate expand") {
+    val dim = graft.engine.Scd2.initialLoad(
+      graft.queries.Scd2Queries.partSource(spark, sf), graft.queries.Scd2Queries.cfg,
+      "2024-01-01")
+    val plan = formatted(graft.engine.Scd2.gateAgg(
+      dim, Seq(("batch", graft.queries.Scd2Queries.secondSource(spark, sf))),
+      graft.queries.Scd2Queries.cfg, Nil))
+    assert(!plan.contains("Window"), plan)
+    // min/max-hash ambiguity flags — countDistinct's Expand rewrite
+    // would double the exchange count
+    assert(!plan.contains("Expand"), plan)
+  }
+
   test("span_dedup: keeper election and mark-back are hash joins/aggregates — no cross product, no corpus window") {
     val plan = formatted(graft.text.TextAnalysis.spanDedup(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
