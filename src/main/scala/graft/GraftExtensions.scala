@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotDouble, MinhashSig, Simhash64, SortedIntersect, SortedIntersectAtLeast, SortedIntersectSize, TopKByAgg}
+import graft.functions.{DotDouble, LutSum, MinhashSig, Simhash64, SortedIntersect, SortedIntersectAtLeast, SortedIntersectSize, TopKByAgg}
 
 /** SparkSessionExtensions entry point — makes graft's native expressions
   * available to any session via
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
       (exprs: Seq[Expression]) => SortedIntersect(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lut_sum"),
+      new ExpressionInfo(classOf[LutSum].getName, "lut_sum"),
+      (exprs: Seq[Expression]) => LutSum(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),

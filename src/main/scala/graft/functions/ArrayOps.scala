@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
 /** Intersection size of two SORTED, DISTINCT long arrays via a linear
@@ -167,6 +167,80 @@ case class SortedIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ asymmetric-distance lookup sum: `Σ_s lut[s][codes[s]]` over an
+  * `array<int>` of codebook assignments and a per-query
+  * `array<array<double>>` lookup table — the ADC inner loop of
+  * [[graft.sim.Similarity.knnPq]], evaluated per (query × coded-corpus)
+  * pair. A native expression because the HOF formulation
+  * (`aggregate(zip_with(codes, lut, (cd, l) -> element_at(l, cd + 1)), …)`)
+  * is interpreted per element: at 8 subspaces × queries × corpus it
+  * allocates a zipped array and evaluates 16 lambdas per pair.
+  * Null semantics match the HOF form exactly: length mismatch (zip_with
+  * null-padding) or any null element/lookup propagates null. An
+  * out-of-range code throws, like element_at. */
+case class LutSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"lut_sum expects (array<int>, array<array<double>>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    if (n != lut.numElements()) return null
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      if (codes.isNullAt(s) || lut.isNullAt(s)) return null
+      val row = lut.getArray(s)
+      val cd = codes.getInt(s)
+      if (cd < 0 || cd >= row.numElements())
+        throw new ArrayIndexOutOfBoundsException(cd)
+      if (row.isNullAt(cd)) return null
+      acc += row.getDouble(cd)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s"); val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row"); val cd = ctx.freshName("cd")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $s = 0; $s < $n; $s++) {
+         |    if ($a.isNullAt($s) || $b.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |    org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($s);
+         |    int $cd = $a.getInt($s);
+         |    if ($cd < 0 || $cd >= $row.numElements())
+         |      throw new ArrayIndexOutOfBoundsException($cd);
+         |    if ($row.isNullAt($cd)) { ${ev.isNull} = true; break; }
+         |    $acc += $row.getDouble($cd);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LutSum =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash folded in ONE pass over two parallel arrays of 32-bit
   * token-hash halves (`lo` = bits 0-31, `hi` = bits 32-63): per-bit ±1
   * votes, output bit set when the vote is positive.
@@ -262,6 +336,10 @@ object ArrayOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect",
       exprs => SortedIntersect(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lut_sum",
+      exprs => LutSum(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",

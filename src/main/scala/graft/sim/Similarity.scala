@@ -476,8 +476,9 @@ object Similarity {
     // riding the heap payload.
     val short = corpusCoded.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__adc", expr(
-        "aggregate(zip_with(codes, lut, (cd, l) -> element_at(l, cd + 1)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      // native codegen'd ADC loop (graft.functions.LutSum) — the HOF
+      // form evaluated 16 interpreted lambdas per (query, code) pair
+      .withColumn("__adc", expr("lut_sum(codes, lut)"))
       .withColumn("adc_cosine", Fns.money(col("__adc") / sqrt(col("na2") * col("recon_n2"))))
       .groupBy(col("query_id"))
       .agg(expr(s"topk_by(adc_cosine, neighbor_id, $shortlist)").as("tk"))

@@ -104,15 +104,35 @@ class ArrayOpsSpec extends SparkSpec {
           expr("simhash64(th, th)").as("sh"),
           expr("sorted_intersect_size(th, th)").as("sis"),
           expr("sorted_intersect_atleast(th, th, 2)").as("sia"),
-          expr("sorted_intersect(th, th)").as("si"))
+          expr("sorted_intersect(th, th)").as("si"),
+          expr("lut_sum(array(0, 1), array(array(CAST(2.5 AS DOUBLE)), array(CAST(1.0 AS DOUBLE), CAST(4.5 AS DOUBLE))))").as("ls"))
         .collect()(0)
       assert(r.getSeq[Long](0).length == 16)
       assert(r.getDouble(1) == 1.5 * 2.0 + 2.5 * -1.0)
       assert(r.getInt(3) == 2 && r.getBoolean(4))
       assert(r.getSeq[Long](5) == Seq(12345L, 42L))
+      assert(r.getDouble(6) == 2.5 + 4.5)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("lut_sum equals the zip_with/aggregate HOF form") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    val df = Seq(
+      (Seq(0, 2, 1), Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), Seq(7.0, 8.0, 9.0))),
+      (Seq(2, 2, 2), Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), Seq(7.0, 8.0, 9.0))),
+      (Seq(0, 0), Seq(Seq(1.5, 2.5), Seq(3.5, 4.5), Seq(9.9, 9.9))) // length mismatch -> null
+    ).toDF("codes", "lut")
+    val rows = df.select(
+      expr("lut_sum(codes, lut)").as("mine"),
+      expr("aggregate(zip_with(codes, lut, (cd, l) -> element_at(l, cd + 1)), CAST(0 AS DOUBLE), (a, x) -> a + x)").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
     }
   }
 
