@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotDouble, LutSum, MinhashSig, Simhash64, SortedIntersect, SortedIntersectAtLeast, SortedIntersectSize, TopKByAgg}
+import graft.functions.{AssignCid, DotDouble, LutSum, MinhashSig, Simhash64, SortedIntersect, SortedIntersectAtLeast, SortedIntersectSize, TopKByAgg}
 
 /** SparkSessionExtensions entry point — makes graft's native expressions
   * available to any session via
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lut_sum"),
       new ExpressionInfo(classOf[LutSum].getName, "lut_sum"),
       (exprs: Seq[Expression]) => LutSum(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("assign_cid"),
+      new ExpressionInfo(classOf[AssignCid].getName, "assign_cid"),
+      (exprs: Seq[Expression]) => AssignCid(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -241,6 +241,142 @@ case class LutSum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment by money-rounded cosine — the argmax at
+  * the heart of the kmeans/IVF/PQ family, as ONE codegen'd loop.
+  * Replaces the HOF form
+  * `array_max(transform(cents, s -> struct(money(dot/sqrt(n2*cn2)), -cid)))`
+  * whose per-centroid lambda Catalyst evaluates INTERPRETED — at
+  * k centroids x corpus rows x Lloyd iterations that lambda dominates
+  * the fit/encode stages. Bit-equivalent semantics, pinned by spec:
+  * the same multiply/divide/floor sequence as `Fns.money(dot_double/sqrt)`,
+  * Spark's double ordering (NaN greatest, -0.0 == 0.0), ties and
+  * all-null-cosine degenerate cases resolve to the smallest cid, empty
+  * centroid arrays yield null. Callers pass non-null inputs
+  * (`cents` = array<struct<cid:int, c:array<double>, cn2:double>>). */
+case class AssignCid(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+            ArrayType(org.apache.spark.sql.types.StructType(fields), _))
+        if fields.length == 3 && fields(0).dataType == IntegerType &&
+           (fields(1).dataType match {
+             case ArrayType(DoubleType, _) => true; case _ => false }) &&
+           fields(2).dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"assign_cid expects (array<double>, double, array<struct<cid:int,c:array<double>,cn2:double>>), " +
+          s"got (${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n2 = b.asInstanceOf[Double]
+    val cents = c.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    if (k == 0) return null
+    val dim = v.numElements()
+    var bestValid = false; var bestCos = 0.0; var bestCid = 0; var haveBest = false
+    var s = 0
+    while (s < k) {
+      val row = cents.getStruct(s, 3)
+      val cid = row.getInt(0)
+      // cosine (null when the dot is undefined) with the exact
+      // money(dot/sqrt(n2*cn2)) arithmetic
+      var cosValid = true; var cos = 0.0
+      if (row.isNullAt(1) || row.isNullAt(2)) cosValid = false
+      else {
+        val carr = row.getArray(1)
+        if (carr.numElements() != dim) cosValid = false
+        else {
+          var dot = 0.0; var i = 0
+          while (cosValid && i < dim) {
+            if (v.isNullAt(i) || carr.isNullAt(i)) cosValid = false
+            else { dot += v.getDouble(i) * carr.getDouble(i); i += 1 }
+          }
+          if (cosValid) {
+            val x = dot / math.sqrt(n2 * row.getDouble(2))
+            cos = math.floor(x * 10000.0 + 0.5) / 10000.0
+          }
+        }
+      }
+      val better =
+        if (!haveBest) true
+        else if (cosValid && !bestValid) true
+        else if (!cosValid && bestValid) false
+        else if (!cosValid && !bestValid) cid < bestCid
+        else {
+          val cmp = if (cos == bestCos) 0 else java.lang.Double.compare(cos, bestCos)
+          cmp > 0 || (cmp == 0 && cid < bestCid)
+        }
+      if (better) { haveBest = true; bestValid = cosValid; bestCos = cos; bestCid = cid }
+      s += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val k = ctx.freshName("k"); val dim = ctx.freshName("dim")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val row = ctx.freshName("row"); val cid = ctx.freshName("cid")
+      val carr = ctx.freshName("carr"); val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos"); val cosValid = ctx.freshName("cosValid")
+      val bestValid = ctx.freshName("bestValid"); val bestCos = ctx.freshName("bestCos")
+      val bestCid = ctx.freshName("bestCid"); val haveBest = ctx.freshName("haveBest")
+      val better = ctx.freshName("better"); val cmp = ctx.freshName("cmp")
+      val x = ctx.freshName("x")
+      s"""
+         |int $k = $c.numElements();
+         |if ($k == 0) { ${ev.isNull} = true; }
+         |else {
+         |  int $dim = $a.numElements();
+         |  boolean $bestValid = false; double $bestCos = 0.0;
+         |  int $bestCid = 0; boolean $haveBest = false;
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    InternalRow $row = $c.getStruct($s, 3);
+         |    int $cid = $row.getInt(0);
+         |    boolean $cosValid = true; double $cos = 0.0;
+         |    if ($row.isNullAt(1) || $row.isNullAt(2)) { $cosValid = false; }
+         |    else {
+         |      org.apache.spark.sql.catalyst.util.ArrayData $carr = $row.getArray(1);
+         |      if ($carr.numElements() != $dim) { $cosValid = false; }
+         |      else {
+         |        double $dot = 0.0;
+         |        for (int $i = 0; $cosValid && $i < $dim; $i++) {
+         |          if ($a.isNullAt($i) || $carr.isNullAt($i)) { $cosValid = false; }
+         |          else { $dot += $a.getDouble($i) * $carr.getDouble($i); }
+         |        }
+         |        if ($cosValid) {
+         |          double $x = $dot / java.lang.Math.sqrt($b * $row.getDouble(2));
+         |          $cos = java.lang.Math.floor($x * 10000.0 + 0.5) / 10000.0;
+         |        }
+         |      }
+         |    }
+         |    boolean $better;
+         |    if (!$haveBest) { $better = true; }
+         |    else if ($cosValid && !$bestValid) { $better = true; }
+         |    else if (!$cosValid && $bestValid) { $better = false; }
+         |    else if (!$cosValid) { $better = ($cid < $bestCid); }
+         |    else {
+         |      int $cmp = ($cos == $bestCos) ? 0 : java.lang.Double.compare($cos, $bestCos);
+         |      $better = ($cmp > 0 || ($cmp == 0 && $cid < $bestCid));
+         |    }
+         |    if ($better) { $haveBest = true; $bestValid = $cosValid; $bestCos = $cos; $bestCid = $cid; }
+         |  }
+         |  ${ev.value} = $bestCid;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): AssignCid =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** 64-bit SimHash folded in ONE pass over two parallel arrays of 32-bit
   * token-hash halves (`lo` = bits 0-31, `hi` = bits 32-63): per-bit ±1
   * votes, output bit set when the vote is positive.
@@ -340,6 +476,10 @@ object ArrayOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lut_sum",
       exprs => LutSum(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "assign_cid",
+      exprs => AssignCid(exprs(0), exprs(1), exprs(2)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",

@@ -218,11 +218,12 @@ object Similarity {
     * precomputed squared norm. */
   private def assignCid(df: DataFrame, cents: Seq[Centroid], vCol: String,
       n2Col: String): DataFrame = {
-    val best = array_max(transform(col("cents"), s => struct(
-      Fns.money(dotCol(col(vCol), s.getField("c")) / sqrt(col(n2Col) * s.getField("cn2"))).as("cos"),
-      (-s.getField("cid")).as("ncid"))))
+    // native codegen'd argmax (graft.functions.AssignCid) — the HOF
+    // form (array_max over transform) evaluated an interpreted lambda
+    // per centroid per row; semantics bit-identical, spec-pinned
     df.crossJoin(broadcast(centArrayDf(df.sparkSession, cents)))
-      .withColumn("cid", -best.getField("ncid"))
+      .withColumn("cid",
+        call_function("assign_cid", col(vCol), col(n2Col), col("cents")))
       .drop("cents")
   }
 

@@ -136,6 +136,49 @@ class ArrayOpsSpec extends SparkSpec {
     }
   }
 
+  test("assign_cid equals the array_max/transform HOF argmax; NaN and ties pinned") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    // equivalence vs the HOF form on the production domain (cn2 > 0):
+    // cid 0 duplicates cid 2 so the cosine TIES and the smaller cid
+    // must win on both paths; cid 1 is a distinct direction
+    val rows = Seq(
+      (Seq(1.0, 0.0), 1.0),
+      (Seq(0.6, 0.8), 1.0),
+      (Seq(-1.0, 0.0), 1.0),
+      (Seq(0.0, 2.0), 4.0)
+    ).toDF("v", "norm2")
+      .withColumn("cents", expr(
+        """array(named_struct('cid', 2, 'c', array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), 'cn2', CAST(1.0 AS DOUBLE)),
+                 named_struct('cid', 1, 'c', array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 'cn2', CAST(1.0 AS DOUBLE)),
+                 named_struct('cid', 0, 'c', array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), 'cn2', CAST(1.0 AS DOUBLE)))"""))
+    val out = rows.select(
+      expr("assign_cid(v, norm2, cents)").as("mine"),
+      expr("""-array_max(transform(cents, s -> named_struct(
+          'cos', floor((aggregate(zip_with(v, s.c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)
+                 / sqrt(norm2 * s.cn2)) * 10000 + 0.5) / 10000,
+          'ncid', -s.cid))).ncid""").as("ref")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // tie between cid 0 and cid 2 resolves to 0 for the x-axis vector;
+    // the y-leaning vectors pick the y-axis centroid
+    assert(out(0).getInt(0) == 0)
+    assert(out(1).getInt(0) == 1 && out(3).getInt(0) == 1)
+    // degenerate cn2 = 0 (a dead/zero codeword): the NaN cosine wins
+    // under Spark's NaN-greatest double ordering — pinned native-only,
+    // since constant-folding the HOF reference trips ANSI on the 0/0
+    val nan = rows.select(expr(
+      """assign_cid(v, norm2, array(
+           named_struct('cid', 5, 'c', array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), 'cn2', CAST(1.0 AS DOUBLE)),
+           named_struct('cid', 9, 'c', array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), 'cn2', CAST(0.0 AS DOUBLE))))"""))
+      .collect().map(_.getInt(0))
+    assert(nan.forall(_ == 9), nan.toSeq.toString)
+    // empty centroid set -> null (array_max of empty is null)
+    val empty = rows.limit(1).select(expr(
+      "assign_cid(v, norm2, CAST(array() AS array<struct<cid:int,c:array<double>,cn2:double>>))"))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
   test("sorted_intersect matches array_intersect on sorted distinct arrays") {
     import spark.implicits._
     ArrayOps.register(spark)
