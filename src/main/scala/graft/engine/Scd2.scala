@@ -290,18 +290,19 @@ object Scd2 {
   }
 
   /** [[gate]] over SEVERAL independent batches in the SAME single
-    * aggregation job: the batches union with a tag column, the per-key
-    * partials group by (tag, key), the current versions replicate once
-    * per tag (a broadcast of |batches| tag rows — dimension-side rows
-    * scale by the batch count, never by data), and one global aggregate
-    * per tag yields every gate number. The shape a backfill runner
-    * needs: N queued batches gated against one dimension in one pass.
+    * aggregation job ([[gateAgg]]): the batches union with a tag column,
+    * the per-key partials group by (tag, key), the current versions join
+    * once and ride the same action as a sentinel-tagged union leg, and
+    * one global aggregate row per tag yields every gate number. The
+    * shape a backfill runner needs: N queued batches gated against one
+    * dimension in one pass.
     * Returns (batch, rule, n_rows, n_violations, passed). */
   def gateBatches(dim: DataFrame, batches: Seq[(String, DataFrame)], cfg: Config,
       rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame = {
     val spark = dim.sparkSession
     import spark.implicits._
-    val k = cfg.businessKey
+    require(!batches.exists(_._1 == DimTag),
+      s"batch tag '$DimTag' is reserved for the current-version leg")
     val (distRules, sumRules) = rules.partition(_.isInstanceOf[DataQuality.Unique])
     val byTag = gateAgg(dim, batches, cfg, sumRules)
       .collect()
