@@ -52,6 +52,17 @@ object Sessions {
       // pinning the driver address is correct ONLY where driver and
       // executors share a host — on a cluster it must stay resolvable
       .config("spark.driver.host", "localhost")
+      // long-lived measurement session hygiene: the status store retains
+      // per-execution plan graphs and per-job/stage/task rows for the UI
+      // (even with the UI off) — across a 175-query × 3-pass bench that
+      // state grows without bound and the listener bookkeeping taxes
+      // LATE queries (queries measured mid-set read up to +45% over
+      // their isolated medians; the heavier the query's job count, the
+      // bigger the in-set penalty). Keep only a small tail.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "20")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = localTune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
