@@ -36,12 +36,21 @@ object Scd2 {
       currentCol: String = "is_current",
       recencyCol: Option[String] = None)
 
+  /** Backtick-quote a column NAME so `col()` resolves it literally — the
+    * generic [[Config]] contract allows names containing dots (which a
+    * bare `col("a.b")` would mis-parse as struct-field access); embedded
+    * backticks escape by doubling, per the SQL identifier grammar. */
+  private def q(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+  private def qa(alias: String, name: String): Column =
+    col(s"$alias.`" + name.replace("`", "``") + "`")
+
   /** md5 change-hash over tracked columns (reference `dags/product.py:160-167`):
     * `md5(concat_ws("|", coalesce(cast(c as string), "")...))`. Callers must
     * pre-format double columns deterministically (e.g. integer cents) —
     * raw double→string rendering is not portable across engines. */
   def attrHash(cols: Seq[String]): Column =
-    md5(concat_ws("|", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    md5(concat_ws("|", cols.map(c => coalesce(q(c).cast("string"), lit(""))): _*))
 
   /** Deterministic sequential ids 1..n (+offset) ordered by `orderCol`,
     * without a global single-partition sort: range repartition → local sort
@@ -49,7 +58,7 @@ object Scd2 {
     * `row_number() OVER (ORDER BY orderCol)` when `orderCol` is unique. */
   def assignIds(df: DataFrame, orderCol: String, idCol: String, offset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val sorted = df.repartitionByRange(q(orderCol)).sortWithinPartitions(q(orderCol))
     // NOTE (measured, round 9): persisting `sorted` before zipWithIndex
     // to save its double traversal REGRESSED the whole SCD2 bench family
     // ~2× at equal host band (columnar cache encode + cache→Row decode
@@ -72,7 +81,7 @@ object Scd2 {
     * versions and break the ≤1-current-per-key invariant. */
   private def hashAndDedup(src: DataFrame, cfg: Config): DataFrame = {
     val allColsHash = md5(concat_ws("",
-      src.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+      src.columns.toIndexedSeq.map(c => coalesce(q(c).cast("string"), lit(""))): _*))
     // max_by over the (recency, attr-hash, all-cols-hash) tuple -- the
     // same total order the previous row_number window used (struct
     // ordering puts a null recency first, i.e. it loses the max,
@@ -80,12 +89,15 @@ object Scd2 {
     // map-side partial combine and no per-key sort, so a hot business
     // key can never single-thread a window-partition sort.
     val hashed = src.withColumn(cfg.hashCol, attrHash(cfg.trackedCols))
-    val ord = struct(cfg.recencyCol.map(col).toSeq ++
-      Seq(col(cfg.hashCol), allColsHash): _*)
+    val ord = struct(cfg.recencyCol.map(q).toSeq ++
+      Seq(q(cfg.hashCol), allColsHash): _*)
     val cols = hashed.columns.toIndexedSeq
-    hashed.groupBy(col(cfg.businessKey))
-      .agg(max_by(struct(cols.map(col): _*), ord).as("__w"))
-      .select(cols.map(c => col(s"__w.$c").as(c)): _*)
+    hashed.groupBy(q(cfg.businessKey))
+      .agg(max_by(struct(cols.map(q): _*), ord).as("__w"))
+      // getField, not a string path: col("__w.a.b") would mis-parse a
+      // source column literally NAMED "a.b" (the generic Config contract
+      // allows any column name the window-based dedup used to accept)
+      .select(cols.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /** Initial dimension load: hash attributes, assign surrogate keys in
@@ -107,8 +119,8 @@ object Scd2 {
     * on the effective/expiry columns applies at scale. */
   def snapshotAsOf(dim: DataFrame, cfg: Config, asOfDate: String): DataFrame = {
     val d = to_date(lit(asOfDate))
-    dim.filter(col(cfg.effectiveCol) <= d &&
-      (col(cfg.expiryCol).isNull || col(cfg.expiryCol) > d))
+    dim.filter(q(cfg.effectiveCol) <= d &&
+      (q(cfg.expiryCol).isNull || q(cfg.expiryCol) > d))
   }
 
   /** Incremental SCD2 merge: detect new/changed source rows by hash-diff
@@ -123,36 +135,36 @@ object Scd2 {
     val k = cfg.businessKey
 
     val srcHashed = hashAndDedup(src, cfg)
-    val current = dim.filter(col(cfg.currentCol))
+    val current = dim.filter(q(cfg.currentCol))
 
     // J5: aliased left join, new/changed detection (dags/product.py:276-291)
     val detect = srcHashed.as("source")
-      .join(current.as("target"), col(s"source.$k") === col(s"target.$k"), "left")
-      .withColumn("is_new", col(s"target.$k").isNull)
+      .join(current.as("target"), qa("source", k) === qa("target", k), "left")
+      .withColumn("is_new", qa("target", k).isNull)
       .withColumn("is_changed",
-        col(s"target.$k").isNotNull &&
-          col(s"source.${cfg.hashCol}") =!= col(s"target.${cfg.hashCol}"))
+        qa("target", k).isNotNull &&
+          qa("source", cfg.hashCol) =!= qa("target", cfg.hashCol))
 
     val upserts = detect.filter(col("is_new") || col("is_changed"))
-      .select(srcHashed.columns.map(c => col(s"source.$c")): _*)
+      .select(srcHashed.columns.map(c => qa("source", c)): _*)
 
     // J6+F6: expire current versions superseded by a changed source row
-    val changedKeys = upserts.select(col(k).as("__changed_key")).distinct()
+    val changedKeys = upserts.select(q(k).as("__changed_key")).distinct()
     val expired = dim.as("dim")
       .join(changedKeys,
-        col(s"dim.$k") === col("__changed_key") && col(s"dim.${cfg.currentCol}"),
+        qa("dim", k) === col("__changed_key") && qa("dim", cfg.currentCol),
         "left")
       .withColumn(cfg.expiryCol,
         when(col("__changed_key").isNotNull, to_date(lit(asOfDate)))
-          .otherwise(col(s"dim.${cfg.expiryCol}")))
+          .otherwise(qa("dim", cfg.expiryCol)))
       .withColumn(cfg.currentCol,
         when(col("__changed_key").isNotNull, lit(false))
-          .otherwise(col(s"dim.${cfg.currentCol}")))
+          .otherwise(qa("dim", cfg.currentCol)))
       .drop("__changed_key")
 
     // W2+A2 redesign: continue surrogate keys after max(sk) without a
     // global sort (reference dags/product.py:262-263,349-352)
-    val maxSk = dim.agg(coalesce(max(col(cfg.surrogateKey)), lit(0L))).first().getLong(0)
+    val maxSk = dim.agg(coalesce(max(q(cfg.surrogateKey)), lit(0L))).first().getLong(0)
     val newVersions = assignIds(upserts, k, cfg.surrogateKey, maxSk)
       .withColumn(cfg.effectiveCol, to_date(lit(asOfDate)))
       .withColumn(cfg.expiryCol, lit(null).cast("date"))
@@ -228,28 +240,28 @@ object Scd2 {
       case None =>
         val aggs = Seq(
           count(lit(1)).as("__cnt"),
-          (min(col(cfg.hashCol)) =!= max(col(cfg.hashCol)))
+          (min(q(cfg.hashCol)) =!= max(q(cfg.hashCol)))
             .cast("int").as("__ambf"),
           // hashAndDedup's no-recency winner is hash-desc ⇒ max(hash)
-          max(col(cfg.hashCol)).as("__wh")) ++
+          max(q(cfg.hashCol)).as("__wh")) ++
           sumRules.zipWithIndex.map { case (r, i) => ruleSum(r).as(s"__s$i") }
-        tagged.groupBy(col("__tag"), col(k)).agg(aggs.head, aggs.tail: _*)
+        tagged.groupBy(col("__tag"), q(k)).agg(aggs.head, aggs.tail: _*)
       case Some(rc) =>
         val l1 = Seq(
           count(lit(1)).as("__cnt"),
-          (min(col(cfg.hashCol)) =!= max(col(cfg.hashCol)))
+          (min(q(cfg.hashCol)) =!= max(q(cfg.hashCol)))
             .cast("int").as("__ambf1"),
-          max(col(cfg.hashCol)).as("__wh1")) ++
+          max(q(cfg.hashCol)).as("__wh1")) ++
           sumRules.zipWithIndex.map { case (r, i) => ruleSum(r).as(s"__s$i") }
         val l2 = Seq(
           sum(col("__cnt")).as("__cnt"),
           // struct max picks the highest-recency row and carries its
           // ambiguity flag + winning hash (null recency loses, like
           // hashAndDedup's desc_nulls_last)
-          max(struct(col(rc), col("__ambf1"), col("__wh1"))).as("__m")) ++
+          max(struct(q(rc), col("__ambf1"), col("__wh1"))).as("__m")) ++
           sumRules.indices.map(i => sum(col(s"__s$i")).as(s"__s$i"))
-        tagged.groupBy(col("__tag"), col(k), col(rc)).agg(l1.head, l1.tail: _*)
-          .groupBy(col("__tag"), col(k)).agg(l2.head, l2.tail: _*)
+        tagged.groupBy(col("__tag"), q(k), q(rc)).agg(l1.head, l1.tail: _*)
+          .groupBy(col("__tag"), q(k)).agg(l2.head, l2.tail: _*)
           .withColumn("__ambf", col("__m.__ambf1"))
           .withColumn("__wh", col("__m.__wh1"))
           .drop("__m")
@@ -263,10 +275,10 @@ object Scd2 {
     // count rides the SAME single action as an extra union leg (a second
     // flat scan of the current projection under a sentinel tag), so the
     // whole gate is exactly one Spark action regardless of batch count.
-    val dimCur = dim.filter(col(cfg.currentCol))
-      .select(col(k).as("__dk"), col(cfg.hashCol).as("__dh"))
+    val dimCur = dim.filter(q(cfg.currentCol))
+      .select(q(k).as("__dk"), q(cfg.hashCol).as("__dh"))
     val batchLeg = perKey
-      .join(dimCur, col(k) === col("__dk"), "left")
+      .join(dimCur, q(k) === col("__dk"), "left")
       .select(Seq(
         col("__tag"), col("__cnt"), col("__ambf").cast("long").as("__ambf"),
         when(col("__dh").isNotNull && col("__wh") =!= col("__dh"), 1L)
@@ -303,6 +315,10 @@ object Scd2 {
     import spark.implicits._
     require(!batches.exists(_._1 == DimTag),
       s"batch tag '$DimTag' is reserved for the current-version leg")
+    // gateAgg groups by tag: two batches sharing one would silently merge
+    // into a single combined stats row reported for each duplicate entry
+    require(batches.map(_._1).distinct.size == batches.size,
+      s"duplicate batch tags: ${batches.map(_._1).diff(batches.map(_._1).distinct).distinct.mkString(", ")}")
     val (distRules, sumRules) = rules.partition(_.isInstanceOf[DataQuality.Unique])
     val byTag = gateAgg(dim, batches, cfg, sumRules)
       .collect()

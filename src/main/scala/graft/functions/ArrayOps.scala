@@ -16,11 +16,15 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   *
   * Semantics match `size(array_intersect(a, b))` exactly when both inputs
   * are sorted and duplicate-free (which the callers guarantee via
-  * `array_sort(array_distinct(...))`). Null elements are supported: the
-  * default ascending comparator sorts nulls to the TAIL and array_distinct
-  * keeps at most one, so the merge treats null as +infinity with
-  * null==null counting as a match — exactly array_intersect's null
-  * semantics. DuckDB-oracle parity is unaffected.
+  * `array_sort(array_distinct(...))`). REQUIRED sort order is
+  * `array_sort`'s (nulls LAST) — NOT `sort_array(asc)`'s, which places
+  * nulls first. Null elements in tail position are supported: the merge
+  * treats null as +infinity with null==null counting as a match — exactly
+  * array_intersect's null semantics. A null-LEADING array (sort_array
+  * order) would silently produce a wrong near-empty intersection, so the
+  * merge rejects it with a descriptive error instead (the function is
+  * registered session-wide as public SQL; callers outside this repo may
+  * hold either order). DuckDB-oracle parity is unaffected.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,6 +44,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    ArrayOps.requireNullsSortLast(x, y, "sorted_intersect_size")
     var i = 0; var j = 0; var n = 0
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
@@ -64,6 +69,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
       s"""
+         |graft.functions.ArrayOps.requireNullsSortLast($a, $b, "sorted_intersect_size");
          |int $i = 0, $j = 0, $n = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
          |  boolean $xNull = $a.isNullAt($i);
@@ -94,8 +100,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   * triangle-counting hot loop needs the sinks themselves, not just the
   * count; Spark's generic `array_intersect` builds a hash set per call,
   * while this merge is allocation-free until the single result buffer
-  * and lives inside whole-stage codegen. Null elements sort to the tail
-  * (array_sort order) and match only each other, exactly
+  * and lives inside whole-stage codegen. Null elements must sort to the
+  * tail (array_sort order — NOT sort_array, which leads with nulls; a
+  * null-leading input is rejected with a descriptive error, see
+  * [[SortedIntersectSize]]) and match only each other, exactly
   * `array_intersect`'s null semantics. */
 case class SortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -115,6 +123,7 @@ case class SortedIntersect(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    ArrayOps.requireNullsSortLast(x, y, "sorted_intersect")
     val nx = x.numElements(); val ny = y.numElements()
     val buf = new Array[Any](math.min(nx, ny))
     var i = 0; var j = 0; var n = 0
@@ -141,6 +150,7 @@ case class SortedIntersect(left: Expression, right: Expression)
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
       s"""
+         |graft.functions.ArrayOps.requireNullsSortLast($a, $b, "sorted_intersect");
          |int $i = 0, $j = 0, $n = 0;
          |Object[] $buf = new Object[Math.min($a.numElements(), $b.numElements())];
          |while ($i < $a.numElements() && $j < $b.numElements()) {
@@ -250,9 +260,14 @@ case class LutSum(left: Expression, right: Expression)
   * the fit/encode stages. Bit-equivalent semantics, pinned by spec:
   * the same multiply/divide/floor sequence as `Fns.money(dot_double/sqrt)`,
   * Spark's double ordering (NaN greatest, -0.0 == 0.0), ties and
-  * all-null-cosine degenerate cases resolve to the smallest cid, empty
-  * centroid arrays yield null. Callers pass non-null inputs
-  * (`cents` = array<struct<cid:int, c:array<double>, cn2:double>>). */
+  * all-null-cosine degenerate cases resolve to the smallest cid; empty
+  * centroid arrays yield null. A null ARRAY SLOT (a null struct element,
+  * which the HOF form's array_max would rank below every real struct) is
+  * SKIPPED — it can never win, and an array of only null slots yields
+  * null like the empty array — so public-SQL callers who don't honor the
+  * repo's non-null convention get graceful null-loses behavior, not a
+  * garbage struct read (`cents` = array<struct<cid:int, c:array<double>,
+  * cn2:double>>). */
 case class AssignCid(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
@@ -282,6 +297,7 @@ case class AssignCid(first: Expression, second: Expression, third: Expression)
     var bestValid = false; var bestCos = 0.0; var bestCid = 0; var haveBest = false
     var s = 0
     while (s < k) {
+      if (cents.isNullAt(s)) { s += 1 } else {
       val row = cents.getStruct(s, 3)
       val cid = row.getInt(0)
       // cosine (null when the dot is undefined) with the exact
@@ -314,8 +330,9 @@ case class AssignCid(first: Expression, second: Expression, third: Expression)
         }
       if (better) { haveBest = true; bestValid = cosValid; bestCos = cos; bestCid = cid }
       s += 1
+      }
     }
-    bestCid
+    if (haveBest) bestCid else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -337,6 +354,7 @@ case class AssignCid(first: Expression, second: Expression, third: Expression)
          |  boolean $bestValid = false; double $bestCos = 0.0;
          |  int $bestCid = 0; boolean $haveBest = false;
          |  for (int $s = 0; $s < $k; $s++) {
+         |    if ($c.isNullAt($s)) continue; // null slot: never wins (HOF array_max parity)
          |    InternalRow $row = $c.getStruct($s, 3);
          |    int $cid = $row.getInt(0);
          |    boolean $cosValid = true; double $cos = 0.0;
@@ -367,7 +385,7 @@ case class AssignCid(first: Expression, second: Expression, third: Expression)
          |    }
          |    if ($better) { $haveBest = true; $bestValid = $cosValid; $bestCos = $cos; $bestCid = $cid; }
          |  }
-         |  ${ev.value} = $bestCid;
+         |  if ($haveBest) { ${ev.value} = $bestCid; } else { ${ev.isNull} = true; }
          |}
        """.stripMargin
     })
@@ -462,6 +480,21 @@ case class Simhash64(left: Expression, right: Expression)
 }
 
 object ArrayOps {
+  /** Guard shared by the sorted-merge expressions: their merge treats a
+    * null element as +infinity, i.e. inputs must be in `array_sort` order
+    * (nulls LAST). `sort_array(asc)` — which leads with nulls — would make
+    * the merge silently advance the other side past every value and
+    * return a wrong, near-empty intersection, so a null-LEADING non-empty
+    * array is rejected loudly instead. Called from both the interpreted
+    * and the generated paths (standalone object ⇒ static forwarder). */
+  def requireNullsSortLast(x: ArrayData, y: ArrayData, fn: String): Unit = {
+    if ((x.numElements() > 0 && x.isNullAt(0)) ||
+        (y.numElements() > 0 && y.isNullAt(0)))
+      throw new IllegalArgumentException(
+        s"$fn requires array_sort order (nulls LAST); got a null-leading " +
+          "array — sort_array(asc) places nulls first and is not supported")
+  }
+
   /** Register graft's native expressions in a session's function registry
     * (idempotent) so they are usable via `expr("sorted_intersect_size(a,b)")`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -511,8 +544,9 @@ object ArrayOps {
   * adaptive-prefix trick of similarity joins, as a codegen'd predicate.
   *
   * Exactly equivalent to `sorted_intersect_size(a, b) >= threshold`
-  * (same merge steps, same null handling); survivors needing the exact
-  * count recompute it — they are rare by construction. */
+  * (same merge steps, same null handling — array_sort order required,
+  * null-leading inputs rejected); survivors needing the exact count
+  * recompute it — they are rare by construction. */
 case class SortedIntersectAtLeast(first: Expression, second: Expression,
     third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -541,6 +575,7 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
   override def nullSafeEval(a: Any, b: Any, t: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    ArrayOps.requireNullsSortLast(x, y, "sorted_intersect_atleast")
     val needed = thLong(t)
     var i = 0; var j = 0; var n = 0L
     val nx = x.numElements(); val ny = y.numElements()
@@ -568,6 +603,7 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
       s"""
+         |graft.functions.ArrayOps.requireNullsSortLast($a, $b, "sorted_intersect_atleast");
          |long $need = (long) $t;
          |int $i = 0, $j = 0;
          |long $n = 0;

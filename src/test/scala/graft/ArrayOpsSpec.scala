@@ -217,6 +217,48 @@ class ArrayOpsSpec extends SparkSpec {
     }
   }
 
+  test("null-LEADING arrays (sort_array order) are rejected loudly, never a wrong count") {
+    ArrayOps.register(spark)
+    // sort_array(asc) places the null FIRST — the merge's null-as-+infinity
+    // assumption would silently skip every real match; the guard throws
+    for (fn <- Seq("sorted_intersect_size(a, b)", "sorted_intersect(a, b)",
+        "sorted_intersect_atleast(a, b, 1)")) {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""SELECT $fn AS x FROM (SELECT
+             |  sort_array(array(3L, 1L, NULL)) AS a,
+             |  sort_array(array(5L, 3L, NULL)) AS b)""".stripMargin).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("array_sort order")), e.toString)
+    }
+    // tail nulls (array_sort order) still work
+    val ok = spark.sql(
+      "SELECT sorted_intersect_size(array_sort(array(3L, 1L, NULL)), array_sort(array(5L, 3L, NULL))) AS x")
+      .collect()(0)
+    assert(ok.getInt(0) == 2) // 3 and null==null
+  }
+
+  test("assign_cid skips null centroid SLOTS; all-null slots yield null like empty") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    val rows = Seq((Seq(1.0, 0.0), 1.0)).toDF("v", "norm2")
+    // a null slot between two real centroids: the real argmax must win
+    val mixed = rows.select(expr(
+      """assign_cid(v, norm2, array(
+           named_struct('cid', 4, 'c', array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 'cn2', CAST(1.0 AS DOUBLE)),
+           CAST(NULL AS struct<cid:int,c:array<double>,cn2:double>),
+           named_struct('cid', 7, 'c', array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), 'cn2', CAST(1.0 AS DOUBLE))))"""))
+      .collect()(0)
+    assert(mixed.getInt(0) == 7, mixed.toString)
+    // an array of ONLY null slots degenerates like the empty array: null
+    val allNull = rows.select(expr(
+      "assign_cid(v, norm2, array(CAST(NULL AS struct<cid:int,c:array<double>,cn2:double>)))"))
+      .collect()(0)
+    assert(allNull.isNullAt(0))
+  }
+
   test("null inputs propagate null") {
     ArrayOps.register(spark)
     val r = spark.sql(

@@ -126,6 +126,32 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("gateBatches rejects duplicate batch tags — per-batch attribution would silently merge") {
+    import spark.implicits._
+    val cfg = Scd2.Config("k", Seq("attr"), "sk")
+    val initial = Scd2.initialLoad(Seq((1L, "a")).toDF("k", "attr"), cfg, "2024-01-01")
+    val b = Seq((1L, "A")).toDF("k", "attr")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.gateBatches(initial, Seq("t" -> b, "t" -> b), cfg)
+    }
+    assert(e.getMessage.contains("duplicate batch tags"))
+  }
+
+  test("scd2 handles business/tracked column names containing dots") {
+    import spark.implicits._
+    // the generic Config contract allows any column name; the max_by
+    // winner re-projection must resolve by field, not by string path
+    val cfg = Scd2.Config("biz.key", Seq("the.attr"), "sk",
+      recencyCol = Some("updated.at"))
+    val src = Seq(
+      (1L, "old", "2024-01-01"), (1L, "new", "2024-01-02"), (2L, "b", "2024-01-01"))
+      .toDF("biz.key", "the.attr", "updated.at")
+    val dim = Scd2.initialLoad(src, cfg, "2024-01-01")
+    assert(dim.count() == 2)
+    val kept = dim.filter(col("`biz.key`") === 1L).collect()(0)
+    assert(kept.getAs[String]("the.attr") == "new") // latest by recency won
+  }
+
   test("applyChangesGated: reject leaves the dimension untouched, promote merges") {
     import spark.implicits._
     val cfg = Scd2.Config("k", Seq("attr"), "sk")
