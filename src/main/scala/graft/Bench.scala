@@ -16,6 +16,44 @@ import org.apache.spark.sql.SparkSession
   * so a truncated log tail still yields a parseable total.
   */
 object Bench {
+
+  /** Prior-round medians from a BENCH_TOTAL.json, for stall re-probing.
+    * A malformed artifact must NOT silently disable stall detection
+    * (round-9 verdict #7): parse failures warn loudly and return empty.
+    * Factored out of main so the parse + threshold logic is unit-testable. */
+  private[graft] def parsePriors(f: java.io.File): Map[String, Double] =
+    if (!f.exists) Map.empty
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val q = if (node == null) null else node.get("queries")
+      if (q == null) {
+        System.err.println(
+          s"[bench] WARN: ${f.getPath} has no 'queries' field — stall re-probing disabled this run")
+        Map.empty
+      } else {
+        val it = q.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] WARN: could not parse ${f.getPath} (${e.getClass.getSimpleName}: ${e.getMessage}) — stall re-probing disabled this run")
+        Map.empty
+    }
+
+  /** A query is a stall SUSPECT when its fresh median at least doubles its
+    * committed prior AND the absolute regression exceeds 1 s (sub-second
+    * queries double inside normal host jitter). Failed queries (-1
+    * sentinels) and queries without a prior are never suspects. */
+  private[graft] def stallSuspects(medians: Map[String, Double],
+      prior: Map[String, Double]): Seq[String] =
+    medians.collect {
+      case (k, v) if v > 0 &&
+        prior.get(k).exists(p => p > 0 && v > 2 * p && v - p > 1.0) => k
+    }.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -85,26 +123,8 @@ object Bench {
     // official median — a host stall then shows up as a re-probe far
     // below the median instead of living only in prose. Priors come
     // from the tracked BENCH_TOTAL.json in the working directory.
-    val prior: Map[String, Double] =
-      try {
-        val f = new java.io.File("BENCH_TOTAL.json")
-        if (!f.exists) Map.empty
-        else {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-          val q = node.get("queries")
-          if (q == null) Map.empty
-          else {
-            val it = q.fields()
-            val b = Map.newBuilder[String, Double]
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-            b.result()
-          }
-        }
-      } catch { case _: Throwable => Map.empty }
-    val suspects = medians.collect {
-      case (k, v) if v > 0 &&
-        prior.get(k).exists(p => p > 0 && v > 2 * p && v - p > 1.0) => k
-    }.toSeq.sorted
+    val prior = parsePriors(new java.io.File("BENCH_TOTAL.json"))
+    val suspects = stallSuspects(medians.toMap, prior)
     val reprobes = suspects.flatMap { name =>
       selected.get(name).map { fn =>
         isolate()
@@ -127,8 +147,16 @@ object Bench {
     // run provenance (round-8 ADVICE #2): the artifact itself records
     // who/when/under what JVM shape the medians were taken, so two
     // tracked totals for one round can never again be ambiguous
+    // recorder attribution: the builder's own runs set
+    // SPARK_GRAFT_RECORDER=builder; unset means the run was NOT started by
+    // the builder — i.e. the driver's contractual recording — so the
+    // default stamps that plus the OS user instead of "unspecified"
+    // (round-9 verdict #4: the artifact itself must say whose numbers
+    // these are)
+    val recorder = sys.env.getOrElse("SPARK_GRAFT_RECORDER",
+      "driver-or-unset-" + sys.props.getOrElse("user.name", "unknown"))
     val env =
-      s"""{"recorded_at":"${java.time.Instant.now()}","heap_mib":${Runtime.getRuntime.maxMemory / (1 << 20)},"cpus":$cpus,"passes":$passes,"recorded_by":"${sys.env.getOrElse("SPARK_GRAFT_RECORDER", "unspecified")}"}"""
+      s"""{"recorded_at":"${java.time.Instant.now()}","heap_mib":${Runtime.getRuntime.maxMemory / (1 << 20)},"cpus":$cpus,"passes":$passes,"recorded_by":"$recorder"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reprobe":$reprobeJson,"env":$env,"failed":$failedJson,"sf":"$sfDir"}"""
     // The full per-query line exceeds a 2000-char log tail at ~65+ queries
