@@ -353,24 +353,31 @@ object Dedup {
     simhashPairsUnsorted(spark, dir, maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** DISTINCT-FINGERPRINT groups: `(simhash, rep, m)` — one row per
-    * distinct 64-bit fingerprint with its smallest member doc_id and
-    * member count. The contraction backbone of the whole simhash family:
-    * the Hamming predicate is a pure function of the fingerprint, so
-    * docs sharing one are interchangeable in the near-dup graph —
-    * candidate generation, verification, and the CC fixpoint all run on
-    * this relation (bounded by DISTINCT fingerprints, not corpus rows)
-    * and expand back to docs only at output time. On a dup-heavy corpus
-    * the shrink is quadratic where it matters: a group of m identical
-    * fingerprints contributes m band rows per band (m² candidate rows
-    * per bucket) uncontracted, ONE row contracted — measured at sf0.1:
-    * 5 000 docs → 3 866 groups, 166 267 doc pairs → 8 746 fp pairs in
-    * the verify/fixpoint path. Takes the (materialized) fingerprint
-    * relation so the tokenize+bit-vote pipeline runs once; caller
-    * checkpoints the result. */
+  /** DISTINCT-FINGERPRINT groups: `(simhash, rep, m, members)` — one row
+    * per distinct 64-bit fingerprint with its smallest member doc_id,
+    * member count, and member list. The contraction backbone of the whole
+    * simhash family: the Hamming predicate is a pure function of the
+    * fingerprint, so docs sharing one are interchangeable in the near-dup
+    * graph — candidate generation, verification, and the CC fixpoint all
+    * run on this relation (bounded by DISTINCT fingerprints, not corpus
+    * rows) and expand back to docs only at output time. On a dup-heavy
+    * corpus the shrink is quadratic where it matters: a group of m
+    * identical fingerprints contributes m band rows per band (m²
+    * candidate rows per bucket) uncontracted, ONE row contracted —
+    * measured at sf0.1: 5 000 docs → 3 866 groups, 166 267 doc pairs →
+    * 8 746 fp pairs in the verify/fixpoint path.
+    *
+    * Carrying `members` (the [[minhashPairsContracted]] discipline) is
+    * what lets every consumer expand group→docs with a single `explode`
+    * instead of a doc-scale join back to a separately-checkpointed
+    * fingerprint relation — one materialization and one shuffle fewer per
+    * query (measured round 10). A pathological mega-group (millions of
+    * byte-identical docs) makes one row's array large; that corpus is
+    * [[exact]]-dedup's job first, same caveat as the minhash family. */
   private def fpGroups(fp: DataFrame): DataFrame =
     fp.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
+        collect_list(col("doc_id")).as("members"))
 
   /** Verified near-dup pairs between DISTINCT fingerprints:
     * `(sh_a, sh_b, rep_a, rep_b, hamming)` with `rep_a < rep_b`, via the
@@ -412,28 +419,33 @@ object Dedup {
     *
     * Contraction shape ([[fpGroups]]): band join + Hamming verify run
     * over distinct fingerprints; doc pairs come back by expansion —
-    * cross-group pairs join the member lists of both endpoint groups
-    * (normalized to doc_a < doc_b; group membership does not follow rep
-    * order), within-group pairs are the trivial Hamming-0 self-join on
-    * the fingerprint. Both expansions are output-bound. */
+    * cross-group pairs explode the member lists carried on both endpoint
+    * groups (normalized to doc_a < doc_b; group membership does not
+    * follow rep order), within-group pairs are the member×member explode
+    * at Hamming 0. Both expansions are output-bound, and neither needs a
+    * doc-scale join back to a fingerprint relation. */
   private def simhashPairsUnsorted(spark: SparkSession, dir: String,
       maxHamming: Int): DataFrame = {
-    // eager checkpoint, not persist: fp feeds the group agg AND both
-    // expansion joins of the returned lazy plan, which has no safe
-    // unpersist point; checkpoint blocks are freed by the context
-    // cleaner when the result is dereferenced
-    val fp = simhashFingerprints(spark, dir).localCheckpoint(true)
-    val groups = fpGroups(fp).localCheckpoint(true)
+    // eager checkpoint: groups feed the pair pipeline AND both expansion
+    // branches of the returned lazy plan, which has no safe unpersist
+    // point; checkpoint blocks are freed by the context cleaner when the
+    // result is dereferenced
+    val groups = fpGroups(simhashFingerprints(spark, dir)).localCheckpoint(true)
     val fpp = fpPairs(groups, maxHamming)
     val cross = fpp
-      .join(fp.select(col("doc_id").as("da"), col("simhash").as("sh_a")), "sh_a")
-      .join(fp.select(col("doc_id").as("db"), col("simhash").as("sh_b")), "sh_b")
+      .join(groups.select(col("simhash").as("sh_a"), col("members").as("mem_a")), "sh_a")
+      .join(groups.select(col("simhash").as("sh_b"), col("members").as("mem_b")), "sh_b")
+      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("hamming"))
+      .select(col("da"), explode(col("mem_b")).as("db"), col("hamming"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("hamming").cast("int").as("hamming"))
-    val within = fp.as("x").join(fp.as("y"), "simhash")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+    val within = groups
+      .filter(col("m") >= 2)
+      .select(explode(col("members")).as("da"), col("members"))
+      .select(col("da"), explode(col("members")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
         lit(0).cast("int").as("hamming"))
     cross.unionAll(within)
   }
@@ -488,105 +500,131 @@ object Dedup {
     * feed joins that destroy the order. */
   private[graft] def nearDupClustersUnsorted(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val (fp, gl) = fpClusters(spark, dir, maxHamming)
+    val gl = fpClusters(spark, dir, maxHamming)
     val sizes = gl.groupBy(col("cluster_id")).agg(sum(col("m")).as("cluster_size"))
-    fp.join(gl.select(col("simhash"), col("cluster_id")), "simhash")
+    gl.select(explode(col("members")).as("doc_id"), col("cluster_id"))
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
-  /** Group-level cluster resolution shared by the CC family: the
-    * fingerprint relation `(doc_id, simhash)` plus the labeled group
-    * relation `(simhash, rep, m, cluster_id)`. The fixpoint runs over
-    * the CONTRACTED rep graph ([[fpGroups]]/[[fpPairs]]): a fingerprint
-    * group is a clique (Hamming 0), so contracting it cannot change
-    * components, and the component's min doc_id equals the min rep
-    * (every rep is its group's min member). Untouched groups label
-    * themselves (`rep`), which also covers m ≥ 2 groups with no external
-    * edges (an all-identical cluster) and singletons uniformly.
-    * Operators that only need cluster-level numbers
-    * ([[clusterSizeHist]]) read `gl` alone and never expand to docs. */
+  /** Group-level cluster resolution shared by the CC family: the labeled
+    * group relation `(simhash, rep, m, members, cluster_id)`. The
+    * fixpoint runs over the CONTRACTED rep graph
+    * ([[fpGroups]]/[[fpPairs]]): a fingerprint group is a clique
+    * (Hamming 0), so contracting it cannot change components, and the
+    * component's min doc_id equals the min rep (every rep is its group's
+    * min member). Untouched groups label themselves (`rep`), which also
+    * covers m ≥ 2 groups with no external edges (an all-identical
+    * cluster) and singletons uniformly. Operators that only need
+    * cluster-level numbers ([[clusterSizeHist]]) aggregate `m` and never
+    * touch `members`; doc-level consumers expand via ONE explode — no
+    * doc-scale join, no separate fingerprint checkpoint. */
   private def fpClusters(spark: SparkSession, dir: String,
-      maxHamming: Int): (DataFrame, DataFrame) = {
-    val fp = simhashFingerprints(spark, dir).localCheckpoint(true)
-    val groups = fpGroups(fp).localCheckpoint(true)
+      maxHamming: Int): DataFrame = {
+    // eager checkpoint: groups feed the pair pipeline (via the fixpoint's
+    // edge materialization) AND the labeled output below
+    val groups = fpGroups(simhashFingerprints(spark, dir)).localCheckpoint(true)
     val labels = minLabelFixpoint(fpPairs(groups, maxHamming)
       .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
     // eager checkpoint: feeds both the size aggregate and the doc-level
-    // expansion join of the (lazy) consumer plans
-    val gl = groups
+    // expansion explode of the (lazy) consumer plans
+    groups
       .join(labels.withColumnRenamed("doc_id", "__m"),
         col("rep") === col("__m"), "left")
-      .select(col("simhash"), col("rep"), col("m"),
+      .select(col("simhash"), col("rep"), col("m"), col("members"),
         coalesce(col("label"), col("rep")).as("cluster_id"))
       .localCheckpoint(true)
-    (fp, gl)
   }
 
   /** Hash-to-min label-propagation fixpoint with pointer jumping over an
     * undirected pair list `(doc_a, doc_b)` — returns `(doc_id, label)`
-    * for every edge-touched node, label = smallest reachable id. */
+    * for every edge-touched node, label = smallest reachable id.
+    *
+    * The LOOP runs on pair RDDs under one shared [[HashPartitioner]] —
+    * the one place in this repo where dropping below the DataFrame API
+    * is the right call, for the same reason GraphX/Pregel lives on RDDs:
+    *
+    *  - The edge relation is partitioned ONCE and persisted; every
+    *    round's edges⋈labels lookup is then a NARROW co-partitioned join
+    *    (zero shuffle on the big side, ever). The DataFrame form could
+    *    only pre-partition edges and still re-shuffled the label relation
+    *    into place each round.
+    *  - A round is one job of three label-scale shuffles with no Catalyst
+    *    analysis, no AQE re-planning, and no per-round plan growth (so no
+    *    checkpoint-truncation machinery either) — measured ~4× less
+    *    per-round fixed cost than the DataFrame loop at equal round
+    *    count; at label scale the driver-side overhead WAS the round.
+    *
+    * Self-loop edges (u, u) make the neighbor-min include the own label,
+    * fusing keep-own-label into the single reduceByKey — the same
+    * one-shuffle fusion the DataFrame form achieved with a union leg.
+    * Each round then pointer-jumps (`label[label[u]]`, valid because a
+    * label is always a member id of the same component), so convergence
+    * is O(log diameter) rounds. Convergence detection rides the
+    * label-sum invariant: every update strictly decreases some label, so
+    * an O(scan) sum action per round doubles as the job that
+    * materializes the round's persist. Deterministic on any cluster
+    * size: min is commutative, the partitioner only routes. */
   private def minLabelFixpoint(pairs: DataFrame): DataFrame = {
-    // undirected propagation: each edge both ways, pre-partitioned on
-    // the per-round join key so the cached partitioning is reused
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_b"))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pr = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+    // partition count INHERITED from the (AQE-coalesced) pair relation:
+    // the label state is edge-scale, so the upstream's post-shuffle
+    // sizing is exactly the right parallelism for the loop — a fixed
+    // defaultParallelism was measured 4× slower here (32 near-empty
+    // tasks × 3 stages × rounds of pure scheduling latency), while at
+    // corpus scale AQE hands back proportionally more partitions
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, pr.getNumPartitions))
+    // edges keyed by the NEIGHBOR whose label flows across: (v, u) per
+    // direction, plus self-loops so a node's own label rides the same
+    // join (keep-own-label fused into the one reduceByKey). Self-loops
+    // are emitted per incident edge, NOT deduped — duplicates only add
+    // redundant candidate rows that the map-side combine squashes,
+    // cheaper than a whole setup-time distinct shuffle. Partitioned
+    // once, persisted MEMORY_AND_DISK (spills under pressure instead of
+    // evicting into a recompute storm — the pair pipeline above is the
+    // expensive part).
+    val edges = pr
+      .flatMap { case (a, b) => Iterator((a, b), (b, a), (a, a), (b, b)) }
+      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // iterate ONLY over edge-touched docs: singletons (label = own id by
-    // definition) would ride through every round's joins for nothing —
-    // on a realistic corpus near-dup members are ≪ 1% of docs, so this
-    // shrinks the per-round state by orders of magnitude. Derived from
-    // the PERSISTED edges so the pair pipeline materializes exactly once
-    // (deriving from `pairs` directly was measured to re-run the whole
-    // simhash candidate generation a second time). The init SEEDS the
-    // first neighbor-min step (label = min(self, neighbors)) — the same
-    // one-shuffle cost as a bare distinct, one fewer loop round — and is
-    // pointer-jumped once before the loop (two cheap joins inside the
-    // init job), which was measured to save a full loop round.
-    def jump(l: DataFrame): DataFrame =
-      l.join(l.select(col("doc_id").as("__ld"), col("label").as("__ll")),
-          col("label") === col("__ld"))
-        .select(col("doc_id"), col("__ll").as("label"))
-    var labels = jump(edges.groupBy(col("doc_a"))
-        .agg(min(col("doc_b")).as("__mn"))
-        .select(col("doc_a").as("doc_id"),
-          least(col("doc_a"), col("__mn")).as("label")))
-      .localCheckpoint(false)
-    // convergence via the label-sum invariant: every update strictly
-    // DECREASES some label (least of candidates includes the own label),
-    // so the sum is strictly decreasing until the fixpoint — an O(scan)
-    // scalar per round instead of a join-and-count job
-    def labelSum(df: DataFrame): Long =
-      // coalesce: sum over an EMPTY label set (a corpus with no near-dup
-      // pairs at all — the normal case off this fixture) is null
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+
+    def jump(l: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      l.map { case (u, lab) => (lab, u) }
+        .join(l, part)
+        .map { case (_, (u, ll)) => (u, ll) }
+        .partitionBy(part)
+
+    def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
+      l.aggregate(0L)((acc, kv) => acc + kv._2, _ + _)
+
+    // init: label = min(self, neighbors) via the self-loop edges — the
+    // same seed as one loop round without the jump — then one jump, which
+    // saves a full round on chain-shaped components (measured on the
+    // fixture's 179-doc chain)
+    var labels = jump(edges.reduceByKey(part, math.min(_: Long, _: Long)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
     var tRound = System.nanoTime()
-    // (Measured: disabling AQE for the loop — on the theory that
-    // per-stage re-planning dominates the tiny rounds — is ~1.4× SLOWER:
-    // AQE's shuffle coalescing saves more task-scheduling latency on the
-    // small label relations than its planning costs.)
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "connected components failed to converge in 64 rounds")
-      // neighbor-min FUSED with keep-own-label: candidates = own label ∪
-      // labels seen over edges, one min-aggregate — replaces the
-      // join + agg + left-join shape (one shuffle fewer per round)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "__n"), col("doc_b") === col("__n"))
-        .select(col("doc_a").as("doc_id"), col("label"))
-      val m1 = labels.unionAll(viaNeighbors)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-      val next = jump(m1)
-        .localCheckpoint(false) // LAZY: materialized by labelSum's action
+      // NARROW join (edges and labels share the partitioner): for edge
+      // (v, u), v's label becomes a candidate for u; the self-loop
+      // delivers u's own label; one reduceByKey folds the min
+      val m1 = edges.join(labels, part)
+        .map { case (_, (u, lv)) => (u, lv) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val next = jump(m1).persist(StorageLevel.MEMORY_AND_DISK)
       val newSum = labelSum(next)
       converged = newSum == prevSum
       prevSum = newSum
-      labels.unpersist()
+      labels.unpersist(false)
       labels = next
       if (ccDebug) {
         val now = System.nanoTime()
@@ -594,8 +632,8 @@ object Dedup {
         tRound = now
       }
     }
-    edges.unpersist()
-    labels
+    edges.unpersist(false)
+    labels.toDF("doc_id", "label")
   }
 
   /** Distinct word 3-gram shingles per doc. */
@@ -896,7 +934,7 @@ object Dedup {
     // cluster-LEVEL math only: sizes come from the group relation
     // (Σ members per cluster), so the histogram never expands to
     // per-doc rows — n_docs per size bucket is clusters × size
-    val (_, gl) = fpClusters(spark, dir, 3)
+    val gl = fpClusters(spark, dir, 3)
     gl.groupBy(col("cluster_id")).agg(sum(col("m")).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
