@@ -208,6 +208,7 @@ object SparkEntry {
     "dq_checks"               -> ((s, d) => DataQuality.dqChecks(s, d)),
     "dq_gated_promotion"      -> ((s, d) => DataQuality.dqGatedPromotion(s, d)),
     "scd2_gated"              -> ((s, d) => Scd2Queries.gated(s, d)),
+    "scd2_gate_reject"        -> ((s, d) => Scd2Queries.gateReject(s, d)),
     "epoch_shards"            -> ((s, d) => TextAnalysis.epochShards(s, d)),
     "media_resize"            -> ((s, d) => Multimodal.mediaResize(s, d)),
     "media_dedup"             -> ((s, d) => Multimodal.mediaDedup(s, d)),
@@ -2800,12 +2801,13 @@ object SparkEntry {
     // SQL; `promoted` = every rule clean AND batch non-empty;
     // rows_landed = the batch total iff promoted (the Spark side reads
     // this back from the bronze dir it actually wrote)
-    // gated SCD2 merge replay: per-batch rule counts re-derived in SQL
-    // (ambiguity = keys with >1 distinct attr-hash in the batch, blast
-    // radius = would-expire count iff over 50% of current versions);
-    // versions/current_on_disk = the post-run dimension state — the
-    // Spark side reads these back from the parquet dim it actually
-    // wrote (clean) or provably did not write (tainted)
+    // gated SCD2 merge replay, ACCEPT path: rule counts re-derived in
+    // SQL (ambiguity = keys with >1 distinct attr-hash in the batch,
+    // blast radius = would-expire count iff over 50% of current
+    // versions); versions/current_on_disk = the post-run dimension
+    // state — the Spark side reads these back from the parquet dim it
+    // actually wrote. The REJECT path is its own query below (round-9
+    // brief #2: one query per merge cycle).
     "scd2_gated" -> """
       WITH base AS (
         SELECT p_partkey AS part_key, p_name, p_brand, p_type, p_size,
@@ -2821,18 +2823,9 @@ object SparkEntry {
         UNION ALL
         SELECT part_key + 1000000, p_name || '_v2', p_brand, p_type, p_size, price_cents
         FROM base WHERE part_key % 50 = 0),
-      tb AS (
-        SELECT part_key, p_name, p_brand, p_type, p_size,
-               price_cents + 1 AS price_cents FROM base
-        UNION ALL
-        SELECT part_key, p_name, p_brand, p_type, p_size,
-               price_cents + 999 FROM base WHERE part_key = 1),
       cbh AS (SELECT part_key, p_name, md5(concat_ws('|', p_name, p_brand, p_type,
                CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS h
               FROM cb),
-      tbh AS (SELECT part_key, p_name, md5(concat_ws('|', p_name, p_brand, p_type,
-               CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS h
-              FROM tb),
       np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
       cs AS (SELECT
         (SELECT CAST(count(*) AS BIGINT) FROM cb) AS total,
@@ -2843,6 +2836,48 @@ object SparkEntry {
          FROM cbh c JOIN bh USING (part_key) WHERE c.h <> bh.h) AS chg,
         (SELECT CAST(count(DISTINCT c.part_key) AS BIGINT)
          FROM cbh c LEFT JOIN bh USING (part_key) WHERE bh.h IS NULL) AS newk),
+      rep AS (
+        SELECT 'clean' AS batch, r.rule, cs.total AS n_rows,
+               CASE r.rule WHEN 'not_null_p_name' THEN cs.nn
+                           WHEN 'ambiguous_latest' THEN cs.amb
+                           ELSE CASE WHEN cs.chg * 100 > np.n * 50 THEN cs.chg ELSE CAST(0 AS BIGINT) END
+               END AS n_violations,
+               cs.chg AS chg, cs.newk AS newk
+        FROM cs, np,
+          (VALUES ('not_null_p_name'), ('ambiguous_latest'),
+                  ('expire_blast_radius')) r(rule)),
+      fin AS (
+        SELECT batch, rule, n_rows, n_violations, n_violations = 0 AS passed,
+               (min(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY batch)) = 1 AND n_rows > 0 AS promoted,
+               chg, newk
+        FROM rep)
+      SELECT batch, rule, n_rows, n_violations, passed, promoted,
+             CASE WHEN promoted THEN np.n + chg + newk ELSE np.n END AS versions_on_disk,
+             CASE WHEN promoted THEN np.n + newk ELSE np.n END AS current_on_disk
+      FROM fin, np ORDER BY batch, rule
+    """,
+    // gated SCD2 merge replay, REJECT path: the fat-fingered full reload
+    // trips ambiguity + blast radius; promoted is false by construction
+    // and the dimension state equals v1 (n base rows, all current)
+    "scd2_gate_reject" -> """
+      WITH base AS (
+        SELECT p_partkey AS part_key, p_name, p_brand, p_type, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM part),
+      bh AS (SELECT part_key, md5(concat_ws('|', p_name, p_brand, p_type,
+               CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS h
+             FROM base),
+      tb AS (
+        SELECT part_key, p_name, p_brand, p_type, p_size,
+               price_cents + 1 AS price_cents FROM base
+        UNION ALL
+        SELECT part_key, p_name, p_brand, p_type, p_size,
+               price_cents + 999 FROM base WHERE part_key = 1),
+      tbh AS (SELECT part_key, p_name, md5(concat_ws('|', p_name, p_brand, p_type,
+               CAST(p_size AS VARCHAR), CAST(price_cents AS VARCHAR))) AS h
+              FROM tb),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
       ts AS (SELECT
         (SELECT CAST(count(*) AS BIGINT) FROM tb) AS total,
         (SELECT CAST(sum(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM tb) AS nn,
@@ -2853,22 +2888,12 @@ object SparkEntry {
         (SELECT CAST(count(DISTINCT t.part_key) AS BIGINT)
          FROM tbh t LEFT JOIN bh USING (part_key) WHERE bh.h IS NULL) AS newk),
       rep AS (
-        SELECT 'clean' AS batch, r.rule, cs.total AS n_rows,
-               CASE r.rule WHEN 'not_null_p_name' THEN cs.nn
-                           WHEN 'ambiguous_latest' THEN cs.amb
-                           ELSE CASE WHEN cs.chg * 100 > np.n * 50 THEN cs.chg ELSE CAST(0 AS BIGINT) END
-               END AS n_violations,
-               cs.chg AS chg, cs.newk AS newk
-        FROM cs, np,
-          (VALUES ('not_null_p_name'), ('ambiguous_latest'),
-                  ('expire_blast_radius')) r(rule)
-        UNION ALL
-        SELECT 'tainted', r.rule, ts.total,
+        SELECT 'tainted' AS batch, r.rule, ts.total AS n_rows,
                CASE r.rule WHEN 'not_null_p_name' THEN ts.nn
                            WHEN 'ambiguous_latest' THEN ts.amb
                            ELSE CASE WHEN ts.chg * 100 > np.n * 50 THEN ts.chg ELSE CAST(0 AS BIGINT) END
-               END,
-               ts.chg, ts.newk
+               END AS n_violations,
+               ts.chg AS chg, ts.newk AS newk
         FROM ts, np,
           (VALUES ('not_null_p_name'), ('ambiguous_latest'),
                   ('expire_blast_radius')) r(rule)),

@@ -129,8 +129,14 @@ object Scd2 {
     * surrogate keys continuing after max(sk) (`:349-361`).
     *
     * `dim` must be a prior [[initialLoad]]/[[applyChanges]] output; `src`
-    * carries the business key + tracked columns. */
-  def applyChanges(dim: DataFrame, src: DataFrame, cfg: Config, asOfDate: String): DataFrame = {
+    * carries the business key + tracked columns.
+    *
+    * @param maxSkHint the dimension's max surrogate key, when a caller
+    *   already holds it (the gate harvests it from its own single
+    *   aggregation job — [[gateBatchesWithMaxSk]]); None runs the
+    *   max-scan here, over the FULL dim. */
+  def applyChanges(dim: DataFrame, src: DataFrame, cfg: Config, asOfDate: String,
+      maxSkHint: Option[Long] = None): DataFrame = {
     val spark = dim.sparkSession
     val k = cfg.businessKey
 
@@ -164,7 +170,8 @@ object Scd2 {
 
     // W2+A2 redesign: continue surrogate keys after max(sk) without a
     // global sort (reference dags/product.py:262-263,349-352)
-    val maxSk = dim.agg(coalesce(max(q(cfg.surrogateKey)), lit(0L))).first().getLong(0)
+    val maxSk = maxSkHint.getOrElse(
+      dim.agg(coalesce(max(q(cfg.surrogateKey)), lit(0L))).first().getLong(0))
     val newVersions = assignIds(upserts, k, cfg.surrogateKey, maxSk)
       .withColumn(cfg.effectiveCol, to_date(lit(asOfDate)))
       .withColumn(cfg.expiryCol, lit(null).cast("date"))
@@ -275,25 +282,35 @@ object Scd2 {
     // count rides the SAME single action as an extra union leg (a second
     // flat scan of the current projection under a sentinel tag), so the
     // whole gate is exactly one Spark action regardless of batch count.
+    // the dim leg also carries the current surrogate keys (when the dim
+    // has them), so the SAME single action yields max(sk) for the merge
+    // that follows a promote — [[applyChanges]] then skips its own
+    // max-scan job. Valid because engine-maintained dims assign sks
+    // monotonically and expire only by supersession, so the global max
+    // always sits on a current version.
+    val dimSk =
+      if (dim.columns.contains(cfg.surrogateKey))
+        q(cfg.surrogateKey).cast("long") else lit(null).cast("long")
     val dimCur = dim.filter(q(cfg.currentCol))
-      .select(q(k).as("__dk"), q(cfg.hashCol).as("__dh"))
+      .select(q(k).as("__dk"), q(cfg.hashCol).as("__dh"), dimSk.as("__dsk"))
     val batchLeg = perKey
-      .join(dimCur, q(k) === col("__dk"), "left")
+      .join(dimCur.drop("__dsk"), q(k) === col("__dk"), "left")
       .select(Seq(
         col("__tag"), col("__cnt"), col("__ambf").cast("long").as("__ambf"),
         when(col("__dh").isNotNull && col("__wh") =!= col("__dh"), 1L)
           .otherwise(0L).as("__chgf"),
-        lit(0L).as("__curf")) ++
+        lit(0L).as("__curf"), lit(null).cast("long").as("__dsk")) ++
         sumRules.indices.map(i => col(s"__s$i").cast("long").as(s"__s$i")): _*)
     val dimLeg = dimCur.select(Seq(
       lit(DimTag).as("__tag"), lit(0L).as("__cnt"), lit(0L).as("__ambf"),
-      lit(0L).as("__chgf"), lit(1L).as("__curf")) ++
+      lit(0L).as("__chgf"), lit(1L).as("__curf"), col("__dsk")) ++
       sumRules.indices.map(i => lit(0L).as(s"__s$i")): _*)
     val globalAggs = Seq(
       coalesce(sum(col("__cnt")), lit(0L)).as("__total"),
       coalesce(sum(col("__ambf")), lit(0L)).as("__amb"),
       coalesce(sum(col("__chgf")), lit(0L)).as("__nchg"),
-      coalesce(sum(col("__curf")), lit(0L)).as("__ncur")) ++
+      coalesce(sum(col("__curf")), lit(0L)).as("__ncur"),
+      max(col("__dsk")).as("__msk")) ++
       sumRules.indices.map(i =>
         coalesce(sum(col(s"__s$i")), lit(0L)).as(s"__v$i"))
     batchLeg.unionByName(dimLeg)
@@ -310,7 +327,18 @@ object Scd2 {
     * dimension in one pass.
     * Returns (batch, rule, n_rows, n_violations, passed). */
   def gateBatches(dim: DataFrame, batches: Seq[(String, DataFrame)], cfg: Config,
-      rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame = {
+      rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame =
+    gateBatchesWithMaxSk(dim, batches, cfg, rules, maxExpirePct)._1
+
+  /** [[gateBatches]] plus the dimension's max CURRENT surrogate key,
+    * harvested from the same single aggregation job — the promote path
+    * hands it to [[applyChanges]] as `maxSkHint` so the merge skips its
+    * own max-scan action. 0 when the dim is empty or carries no
+    * surrogate-key column. */
+  private[graft] def gateBatchesWithMaxSk(dim: DataFrame,
+      batches: Seq[(String, DataFrame)], cfg: Config,
+      rules: Seq[DataQuality.Rule] = Nil,
+      maxExpirePct: Int = 50): (DataFrame, Long) = {
     val spark = dim.sparkSession
     import spark.implicits._
     require(!batches.exists(_._1 == DimTag),
@@ -324,6 +352,9 @@ object Scd2 {
       .collect()
       .map(r => r.getAs[String]("__tag") -> r).toMap
     val nCurrent = byTag.get(DimTag).map(_.getAs[Long]("__ncur")).getOrElse(0L)
+    val maxSk = byTag.get(DimTag)
+      .flatMap(r => Option(r.getAs[Any]("__msk")))
+      .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
 
     val reportRows = batches.flatMap { case (tag, src) =>
       val row = byTag.get(tag)
@@ -345,9 +376,10 @@ object Scd2 {
         (tag, "ambiguous_latest", total, nAmbiguous),
         (tag, "expire_blast_radius", total, blast))
     }
-    reportRows.map { case (b, n, t, v) => (b, n, t, v, v == 0L) }
+    (reportRows.map { case (b, n, t, v) => (b, n, t, v, v == 0L) }
       .toDF("batch", "rule", "n_rows", "n_violations", "passed")
-      .orderBy(col("batch"), col("rule"), col("n_violations"))
+      .orderBy(col("batch"), col("rule"), col("n_violations")),
+      maxSk)
   }
 
   /** [[applyChanges]] behind [[gate]]: evaluate the gate, merge ONLY when
@@ -360,11 +392,16 @@ object Scd2 {
   def applyChangesGated(dim: DataFrame, src: DataFrame, cfg: Config,
       asOfDate: String, rules: Seq[DataQuality.Rule] = Nil,
       maxExpirePct: Int = 50): (Boolean, DataFrame, DataFrame) = {
-    val report = gate(dim, src, cfg, rules, maxExpirePct)
+    val (reportB, maxSk) =
+      gateBatchesWithMaxSk(dim, Seq(("batch", src)), cfg, rules, maxExpirePct)
+    val report = reportB.drop("batch")
     val rows = report.collect()
     val n = rows.headOption.map(_.getAs[Long]("n_rows")).getOrElse(0L)
     val promoted = rows.forall(_.getAs[Boolean]("passed")) && n > 0
-    val out = if (promoted) applyChanges(dim, src, cfg, asOfDate) else dim
+    // the gate's one action already yielded max(sk) — the merge skips its
+    // own max-scan job
+    val out =
+      if (promoted) applyChanges(dim, src, cfg, asOfDate, Some(maxSk)) else dim
     (promoted, out,
       report.withColumn("promoted", lit(promoted)))
   }

@@ -84,99 +84,102 @@ object Scd2Queries {
       .orderBy(col("part_key"))
   }
 
-  /** END-TO-END gated SCD2 promotion ([[Scd2.applyChangesGated]]) — the
-    * dimension-load twin of
-    * [[graft.queries.DataQuality.dqGatedPromotion]], covering the
-    * reference's count-gate on its dim load
-    * (`dags/product.py:123,304,315`) grown into declarative rules plus
-    * the SCD2 invariants. Two full write→gate→merge runs against a REAL
-    * on-disk dimension:
+  /** Shared machinery of the gated-promotion proofs ([[gated]] /
+    * [[gateReject]]): write a REAL v1 dimension to `scratchName`'s own
+    * scratch root, gate ONE batch against it ([[Scd2.gateBatches]], one
+    * aggregation job), merge + write v2 only on promote, then read the
+    * landed state back FROM DISK — the row proves the merge actually
+    * happened (or provably didn't), not just that a flag was computed.
     *
-    *  - CLEAN batch ([[secondSource]]: every 7th part price-bumped,
-    *    every 50th reappearing under a new key) — ~14% of current
-    *    versions would expire, under the 50% blast-radius cap; the merge
-    *    promotes and the v2 dimension lands on disk.
-    *  - TAINTED batch — a fat-fingered full reload (EVERY price bumped ⇒
-    *    100% of the dimension would expire) that also carries a
-    *    conflicting duplicate (one business key twice with different
-    *    prices and no recency order — "latest" is undefined). Both
-    *    SCD2 rules fire; the batch is REJECTED whole and the on-disk
-    *    dimension stays at v1.
-    *
-    * `versions_on_disk`/`current_on_disk` are read back FROM DISK after
-    * the run — the row proves the merge actually happened (clean) or
-    * actually didn't (tainted), not just that a flag was computed. */
-  def gated(spark: SparkSession, dir: String): DataFrame = {
+    * v1 is built with expression-only surrogate keys (the business key is
+    * unique, so it IS a valid initial key assignment) — these proofs
+    * target gate+merge; `scd2_initial` covers initialLoad's distributed
+    * key assigner. coalesce: dim-sized relation, few files. Each query
+    * owns its scratch root, so the reject proof and the promote proof
+    * cannot contaminate each other even run concurrently. */
+  private def gatedRun(spark: SparkSession, dir: String, tag: String,
+      batch: DataFrame, scratchName: String): DataFrame = {
     import spark.implicits._
     import graft.engine.{DataQuality => DQ, Fs}
     val rules = Seq(DQ.NotNull("p_name"))
     val base = partSource(spark, dir)
-    // ONE on-disk v1 dimension shared by both batch runs (each run only
-    // ever reads it); each batch owns its candidate v2 location, so the
-    // reject proof and the promote proof cannot contaminate each other.
-    // v1 is built with expression-only surrogate keys (the business key
-    // is unique, so it IS a valid initial key assignment) — this proof
-    // targets gate+merge; `scd2_initial` covers initialLoad's
-    // distributed key assigner. coalesce: dim-sized relation, few files.
-    val root = Fs.scratch("graft_scd2g", dir)
+    val root = Fs.scratch(scratchName, dir)
     Fs.deleteDir(spark, root)
     base.withColumn(cfg.hashCol, Scd2.attrHash(cfg.trackedCols))
       .withColumn(cfg.surrogateKey, col("part_key"))
       .withColumn(cfg.effectiveCol, to_date(lit("2024-01-01")))
       .withColumn(cfg.expiryCol, lit(null).cast("date"))
       .withColumn(cfg.currentCol, lit(true))
-      .coalesce(4)
+      .coalesce(1) // dim-sized relation: one file reads fastest downstream
       .write.mode("overwrite").parquet(s"$root/v1")
     val dim0 = spark.read.parquet(s"$root/v1")
 
-    // the clean batch is INCREMENTAL — only the changed + new rows, the
-    // realistic delta shape (a full reload arriving as a "batch" is
-    // exactly the fat-finger the blast-radius rule exists to reject)
+    // the batch is scanned by BOTH the gate and the merge (plus the
+    // merge's two join legs); one eager materialization beats three
+    // re-derivations from the source table
+    val b = batch.localCheckpoint(true)
+    val (report, maxSk) = Scd2.gateBatchesWithMaxSk(dim0, Seq(tag -> b),
+      cfg, rules, maxExpirePct = 50)
+    val rows = report.collect()
+    val promoted = rows.forall(_.getAs[Boolean]("passed")) &&
+      rows.headOption.exists(_.getAs[Long]("n_rows") > 0)
+    if (promoted)
+      Scd2.applyChanges(dim0, b, cfg, "2024-06-01", Some(maxSk))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/v2")
+    // landed state comes off DISK: the batch's v2 if its merge committed,
+    // else the untouched v1
+    val landed = spark.read.parquet(
+        if (promoted) s"$root/v2" else s"$root/v1")
+      .agg(count(lit(1)).as("__versions"),
+        sum(when(col(cfg.currentCol), 1L).otherwise(0L)).as("__current"))
+      .collect()(0)
+    val (versions, current) = (landed.getAs[Long]("__versions"),
+      landed.getAs[Long]("__current"))
+
+    rows.toSeq.map { r =>
+      (tag, r.getAs[String]("rule"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"),
+        promoted, versions, current)
+    }.toDF("batch", "rule", "n_rows", "n_violations", "passed",
+        "promoted", "versions_on_disk", "current_on_disk")
+      .orderBy(col("batch"), col("rule"))
+  }
+
+  /** END-TO-END gated SCD2 promotion, ACCEPT path
+    * ([[Scd2.applyChangesGated]] semantics) — the dimension-load twin of
+    * [[graft.queries.DataQuality.dqGatedPromotion]], covering the
+    * reference's count-gate on its dim load
+    * (`dags/product.py:123,304,315`) grown into declarative rules plus
+    * the SCD2 invariants. One full write→gate→merge run against a REAL
+    * on-disk dimension: the CLEAN batch ([[secondSource]] deltas only —
+    * every 7th part price-bumped, every 50th reappearing under a new
+    * key; a full reload arriving as a "batch" is exactly the fat-finger
+    * the blast-radius rule exists to reject) expires ~14% of current
+    * versions, under the 50% cap; the merge promotes and the v2
+    * dimension lands on disk, read back to prove it.
+    *
+    * The REJECT path is its own query ([[gateReject]]) — round-9 brief
+    * #2: one query per merge cycle, each under the per-query perf line,
+    * instead of one composed query defining a 2-cycle cost. */
+  def gated(spark: SparkSession, dir: String): DataFrame = {
     val clean = secondSource(spark, dir)
       .filter(col("part_key") % 7 === 0 || col("part_key") >= 1000000)
+    gatedRun(spark, dir, "clean", clean, "graft_scd2g_accept")
+  }
+
+  /** END-TO-END gated SCD2 promotion, REJECT path: a fat-fingered full
+    * reload (EVERY price bumped ⇒ 100% of the dimension would expire)
+    * that also carries a conflicting duplicate (one business key twice
+    * with different prices and no recency order — "latest" is
+    * undefined). Both SCD2 invariants fire; the batch is REJECTED whole
+    * and the read-back proves the on-disk dimension stayed at v1. */
+  def gateReject(spark: SparkSession, dir: String): DataFrame = {
+    val base = partSource(spark, dir)
     val tainted = base
       .withColumn("price_cents", col("price_cents") + 1)
       .unionByName(base.filter(col("part_key") === 1)
         .withColumn("price_cents", col("price_cents") + 999))
-    val batches = Seq("clean" -> clean, "tainted" -> tainted)
-
-    // BOTH batches gated in ONE aggregation job
-    val report = Scd2.gateBatches(dim0, batches, cfg, rules, maxExpirePct = 50)
-    val rows = report.collect()
-    def promoted(tag: String): Boolean = {
-      val rs = rows.filter(_.getAs[String]("batch") == tag)
-      rs.forall(_.getAs[Boolean]("passed")) &&
-        rs.headOption.exists(_.getAs[Long]("n_rows") > 0)
-    }
-    batches.foreach { case (tag, b) =>
-      if (promoted(tag))
-        Scd2.applyChanges(dim0, b, cfg, "2024-06-01")
-          .coalesce(4).write.mode("overwrite").parquet(s"$root/${tag}_v2")
-    }
-    // landed state comes off DISK in ONE union job: each batch's v2 if
-    // its merge committed, else the untouched shared v1
-    val landed = batches.map { case (tag, _) =>
-      spark.read.parquet(
-        if (Fs.exists(spark, s"$root/${tag}_v2")) s"$root/${tag}_v2"
-        else s"$root/v1")
-        .select(lit(tag).as("__b"), col(cfg.currentCol))
-    }.reduce(_.unionAll(_))
-      .groupBy(col("__b"))
-      .agg(count(lit(1)).as("__versions"),
-        sum(when(col(cfg.currentCol), 1L).otherwise(0L)).as("__current"))
-      .collect()
-      .map(r => r.getAs[String]("__b") ->
-        (r.getAs[Long]("__versions"), r.getAs[Long]("__current"))).toMap
-
-    rows.toSeq.map { r =>
-      val tag = r.getAs[String]("batch")
-      val (versions, current) = landed(tag)
-      (tag, r.getAs[String]("rule"), r.getAs[Long]("n_rows"),
-        r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"),
-        promoted(tag), versions, current)
-    }.toDF("batch", "rule", "n_rows", "n_violations", "passed",
-        "promoted", "versions_on_disk", "current_on_disk")
-      .orderBy(col("batch"), col("rule"))
+    gatedRun(spark, dir, "tainted", tainted, "graft_scd2g_reject")
   }
 
   /** Fact ⋈ SCD2-dim AS-OF: every fact line joins the dimension version
