@@ -16,8 +16,9 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    // --families <baseDir>: ×1/×2/×4 replication probes for the three
-    // heaviest bench families (round-9 brief #4). Replication shapes:
+    // --families <baseDir>: ×1/×2/×4 replication probes for the heaviest
+    // bench families (round-9 brief #4, round-10 brief #1/#6).
+    // Replication shapes:
     //  - minhash: documents replicated under shifted doc_ids with the
     //    SAME text — every clone family is a true near-dup clique, so
     //    OUTPUT pairs grow ~quadratically by construction; the linearity
@@ -28,6 +29,17 @@ object ScaleProbe {
     //    replicas never hit the vec_id % 100 == 0 query predicate: the
     //    query set stays FIXED while the coded corpus grows ∝ m — the
     //    serving-scale axis (ADC cost ∝ Q·N with Q held).
+    //  - neardup_clusters (CC fixpoint): documents replicated with every
+    //    TOKEN salted per replica (t -> t_i, a bijection) — token-set
+    //    differences, hence the whole near-dup graph, are preserved
+    //    exactly within a replica while cross-replica token sets are
+    //    disjoint: m non-interacting copies of the same cluster graph,
+    //    so fixpoint workload grows ∝ m at CONSTANT round count.
+    //  - calendar mart: lineitem+orders replicated under shifted order
+    //    keys with dates/dims unchanged — fact rows grow ∝ m while the
+    //    18-key grouped keyspace stays FIXED: exactly the axis on which
+    //    a partial aggregate that stopped combining would go
+    //    super-linear.
     if (args.headOption.contains("--families")) {
       import org.apache.spark.sql.functions._
       val base = args(1)
@@ -58,10 +70,40 @@ object ScaleProbe {
         embReps.reduce(_.unionByName(_))
           .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
 
-        timed2(f"minhash_pairs   x$m")(graft.dedup.Dedup.minhashPairs(spark, root).count())
-        timed2(f"triangle_counts x$m")(
+        // CC-family root: token-salted replicas (disjoint graph copies)
+        val ccRoot = s"/tmp/graft_scale_cc_x$m"
+        (0 until m).map(i => docs.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            (if (i == 0) col("text")
+             else expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')"))
+              .as("text")))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$ccRoot/documents.parquet")
+
+        // calendar-mart root: facts grow, dims and group keyspace fixed
+        val martRoot = s"/tmp/graft_scale_mart_x$m"
+        val liFull = Tables.lineitem(spark, base)
+        (0 until m).map(i => liFull.withColumn("l_orderkey",
+            col("l_orderkey") + lit(i * 1000000000L)))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$martRoot/lineitem.parquet")
+        val ordFull = Tables.orders(spark, base)
+        (0 until m).map(i => ordFull.withColumn("o_orderkey",
+            col("o_orderkey") + lit(i * 1000000000L)))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$martRoot/orders.parquet")
+        for (t <- Seq("part", "customer", "nation", "region"))
+          Tables.read(spark, base, t)
+            .write.mode("overwrite").parquet(s"$martRoot/$t.parquet")
+
+        timed2(f"minhash_pairs    x$m")(graft.dedup.Dedup.minhashPairs(spark, root).count())
+        timed2(f"triangle_counts  x$m")(
           graft.queries.Graphs.triangleCounts(spark, root).count())
-        timed2(f"knn_pq          x$m")(graft.sim.Similarity.knnPq(spark, root).count())
+        timed2(f"knn_pq           x$m")(graft.sim.Similarity.knnPq(spark, root).count())
+        timed2(f"neardup_clusters x$m")(
+          graft.dedup.Dedup.nearDupClusters(spark, ccRoot).count())
+        timed2(f"calendar_mart    x$m")(
+          graft.queries.Marts.salesSummaryCalendar(spark, martRoot).count())
       }
       spark.stop(); return
     }

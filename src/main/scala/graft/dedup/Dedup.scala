@@ -565,7 +565,7 @@ object Dedup {
     * an O(scan) sum action per round doubles as the job that
     * materializes the round's persist. Deterministic on any cluster
     * size: min is commutative, the partitioner only routes. */
-  private def minLabelFixpoint(pairs: DataFrame): DataFrame = {
+  private[graft] def minLabelFixpoint(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val pr = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
