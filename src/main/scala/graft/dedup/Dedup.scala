@@ -555,6 +555,15 @@ object Dedup {
     *    per-round fixed cost than the DataFrame loop at equal round
     *    count; at label scale the driver-side overhead WAS the round.
     *
+    * The boundary of this trick (measured, round 10): it pays ONLY while
+    * per-round data is state-scale. The pagerank/LPA loops in
+    * [[graft.queries.Graphs]] emit EDGE-scale rows per round (millions
+    * of contribution tuples), and the same RDD port made them 1.4-3.6×
+    * SLOWER there — boxed tuple shuffles lose to Tungsten unsafe rows +
+    * codegen'd hash aggregation as soon as volume dominates fixed cost.
+    * Those loops stay on DataFrames by measurement (BASELINE.md
+    * round-10).
+    *
     * Self-loop edges (u, u) make the neighbor-min include the own label,
     * fusing keep-own-label into the single reduceByKey — the same
     * one-shuffle fusion the DataFrame form achieved with a union leg.

@@ -41,6 +41,33 @@ class MinLabelFixpointSpec extends SparkSpec {
     assert(labelsOf(Seq.empty).isEmpty)
   }
 
+  test("random graphs: labels equal a driver-side union-find reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    for (trial <- 1 to 5) {
+      // sparse random graph over a sparse id space: a mix of tiny
+      // components, chains, and the occasional larger blob
+      val nEdges = 20 + trial * 15
+      val pairs = draw(Gen.zip(Gen.choose(1L, 120L), Gen.choose(1L, 120L)),
+        nEdges, trial * 1000L).filter { case (a, b) => a != b }
+      // reference: naive union-find with min-root union
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(labelsOf(pairs) == expected, s"trial $trial: $pairs")
+    }
+  }
+
   test("labels are id-permutation consistent: relabeled graph gives relabeled result") {
     // same topology under two id assignments that hash to different
     // partitions — the min label must follow the ids, not the routing
