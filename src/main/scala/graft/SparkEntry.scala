@@ -216,6 +216,7 @@ object SparkEntry {
     "matryoshka_recall"       -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
     "ivf_balance"             -> ((s, d) => Similarity.ivfBalance(s, d)),
     "dedup_threshold_curve"   -> ((s, d) => Dedup.dedupThresholdCurve(s, d)),
+    "embedding_clusters"      -> ((s, d) => Dedup.embeddingClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2146,6 +2147,34 @@ object SparkEntry {
       SELECT id_a, id_b, floor(cos_raw * 10000 + 0.5) / 10000 AS cosine
       FROM c WHERE cos_raw >= 0.2
       ORDER BY id_a, id_b
+    """,
+    // transitive closure of the embedding-cosine pair graph: the same
+    // recursive-CTE min-label components as dedup_clusters, seeded with
+    // EVERY vec_id so singletons keep themselves
+    "embedding_clusters" -> """
+      WITH RECURSIVE p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST(list_sum(list_transform(range(0, 8), j ->
+                 CASE WHEN (embedding::DOUBLE[])[j+1] > 0 THEN (1 << j) ELSE 0 END)) AS INT) AS bucket,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      pr AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                          (x, y) -> x + y) / sqrt(a.norm2 * b.norm2) >= 0.2),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                UNION ALL SELECT id_b, id_a FROM pr),
+      reach(src, node) AS (
+        SELECT vec_id, vec_id FROM p
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      comp AS (SELECT src AS vec_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT c.vec_id, c.cluster_id, s.cluster_size
+      FROM comp c JOIN sizes s USING (cluster_id)
+      ORDER BY c.vec_id
     """,
     // Spark probes Hamming-1 neighbor buckets; the oracle states the
     // SEMANTICS directly (pairs whose sign-vectors differ in ≤1 plane)

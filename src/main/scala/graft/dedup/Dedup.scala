@@ -642,7 +642,60 @@ object Dedup {
       }
     }
     edges.unpersist(false)
-    labels.toDF("doc_id", "label")
+    // hand back an eagerly-checkpointed label-scale DataFrame so BOTH
+    // loop RDD persists can be released here and now — returning a
+    // DataFrame over the persisted `labels` would leak one pinned RDD
+    // per query (nothing downstream could safely unpersist it, and
+    // recomputing it after unpersist would re-run the whole pair
+    // pipeline). Checkpoint blocks are freed by the context cleaner
+    // when the result is dereferenced, the established pattern here.
+    val out = labels.toDF("doc_id", "label").localCheckpoint(true)
+    labels.unpersist(false)
+    out
+  }
+
+  /** Connected components over an ARBITRARY undirected pair relation —
+    * the [[minLabelFixpoint]] engine as a public operator: any near-dup
+    * pair source (MinHash, SimHash, embedding LSH, edit distance, a
+    * user's own join) resolves to transitive clusters with the same
+    * one-narrow-join-per-round RDD loop, O(log diameter) rounds, and
+    * deterministic min-id labels. Returns `(node, component)` for every
+    * edge-touched node (both columns cast to BIGINT); nodes absent from
+    * the pair relation are their own singleton components by definition —
+    * attach with a left join + coalesce, as [[embeddingClusters]] does. */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    minLabelFixpoint(pairs.select(
+        col(srcCol).cast("long").as("doc_a"),
+        col(dstCol).cast("long").as("doc_b")))
+      .select(col("doc_id").as("node"), col("label").as("component"))
+
+  /** Transitive near-duplicate CLUSTERS over the embedding-cosine pair
+    * graph — [[connectedComponents]] composed onto [[embeddingPairs]]:
+    * A≈B≈C with A¬≈C must still collapse to one cluster before a keep-one
+    * pass, exactly the [[nearDupClusters]] semantics but on the embedding
+    * modality (the complement of SemDeDup's centroid-capped variant,
+    * [[graft.sim.Similarity.semanticDedup]], which bounds work per
+    * k-means cell instead of chasing transitivity). Every vector gets a
+    * row; vectors with no qualifying pair are singleton clusters.
+    *
+    * Scale shape: pairs come from the hyperplane-bucketed candidate join
+    * (never all-pairs; `nPlanes` is the 100 TB bucket-population lever),
+    * the fixpoint is label-scale per round, and the final size/attach
+    * joins are node-scale. */
+  def embeddingClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, nPlanes: Int = 8): DataFrame = {
+    val labels = connectedComponents(
+      embeddingPairsUnsorted(spark, dir, threshold, nPlanes), "id_a", "id_b")
+    val assigned = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(labels.withColumnRenamed("node", "__n"),
+        col("vec_id") === col("__n"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
   }
 
   /** Distinct word 3-gram shingles per doc. */
@@ -726,7 +779,16 @@ object Dedup {
     *   counts stay bounded, and/or multi-probe neighboring buckets to
     *   recover recall. Must be ≤ the embedding dimension. */
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.2,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8): DataFrame =
+    embeddingPairsUnsorted(spark, dir, threshold, nPlanes)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[embeddingPairs]] without the terminal presentation sort — for
+    * consumers that immediately aggregate or iterate
+    * ([[embeddingClusters]]), the same discipline as
+    * [[nearDupClustersUnsorted]]. */
+  private[graft] def embeddingPairsUnsorted(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, nPlanes: Int = 8): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 64,
       s"nPlanes must be in [1, 64] (embedding dim; got $nPlanes) — " +
         "element_at past the vector end throws under ANSI mode")
@@ -749,7 +811,6 @@ object Dedup {
       .withColumn("cos_raw", col("dot") / sqrt(col("na2") * col("nb2")))
       .filter(col("cos_raw") >= threshold)
       .select(col("id_a"), col("id_b"), Fns.money(col("cos_raw")).as("cosine"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Multi-probe variant of [[embeddingPairs]]: each vector probes its
