@@ -44,11 +44,18 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    ArrayOps.requireNullsSortLast(x, y, "sorted_intersect_size")
     var i = 0; var j = 0; var n = 0
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
       val xNull = x.isNullAt(i); val yNull = y.isNullAt(j)
+      // null-order checks live INSIDE the null branches: the all-non-null
+      // hot path pays zero extra instructions (the per-call entry guard
+      // was measured at +20% on dedup_minhash). Nulls-last order means a
+      // null head implies a null tail; anything else is sort_array order.
+      if (xNull && i == 0 && !x.isNullAt(nx - 1))
+        ArrayOps.nullLeadingError("sorted_intersect_size")
+      if (yNull && j == 0 && !y.isNullAt(ny - 1))
+        ArrayOps.nullLeadingError("sorted_intersect_size")
       if (xNull && yNull) { n += 1; i += 1; j += 1 }
       else if (xNull) j += 1 // null sorts after every value
       else if (yNull) i += 1
@@ -69,11 +76,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
       s"""
-         |graft.functions.ArrayOps.requireNullsSortLast($a, $b, "sorted_intersect_size");
          |int $i = 0, $j = 0, $n = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
          |  boolean $xNull = $a.isNullAt($i);
          |  boolean $yNull = $b.isNullAt($j);
+         |  if ($xNull && $i == 0 && !$a.isNullAt($a.numElements() - 1))
+         |    graft.functions.ArrayOps.nullLeadingError("sorted_intersect_size");
+         |  if ($yNull && $j == 0 && !$b.isNullAt($b.numElements() - 1))
+         |    graft.functions.ArrayOps.nullLeadingError("sorted_intersect_size");
          |  if ($xNull && $yNull) { $n++; $i++; $j++; }
          |  else if ($xNull) { $j++; }
          |  else if ($yNull) { $i++; }
@@ -123,12 +133,15 @@ case class SortedIntersect(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    ArrayOps.requireNullsSortLast(x, y, "sorted_intersect")
     val nx = x.numElements(); val ny = y.numElements()
     val buf = new Array[Any](math.min(nx, ny))
     var i = 0; var j = 0; var n = 0
     while (i < nx && j < ny) {
       val xNull = x.isNullAt(i); val yNull = y.isNullAt(j)
+      if (xNull && i == 0 && !x.isNullAt(nx - 1))
+        ArrayOps.nullLeadingError("sorted_intersect")
+      if (yNull && j == 0 && !y.isNullAt(ny - 1))
+        ArrayOps.nullLeadingError("sorted_intersect")
       if (xNull && yNull) { buf(n) = null; n += 1; i += 1; j += 1 }
       else if (xNull) j += 1 // null sorts after every value
       else if (yNull) i += 1
@@ -150,12 +163,15 @@ case class SortedIntersect(left: Expression, right: Expression)
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
       s"""
-         |graft.functions.ArrayOps.requireNullsSortLast($a, $b, "sorted_intersect");
          |int $i = 0, $j = 0, $n = 0;
          |Object[] $buf = new Object[Math.min($a.numElements(), $b.numElements())];
          |while ($i < $a.numElements() && $j < $b.numElements()) {
          |  boolean $xNull = $a.isNullAt($i);
          |  boolean $yNull = $b.isNullAt($j);
+         |  if ($xNull && $i == 0 && !$a.isNullAt($a.numElements() - 1))
+         |    graft.functions.ArrayOps.nullLeadingError("sorted_intersect");
+         |  if ($yNull && $j == 0 && !$b.isNullAt($b.numElements() - 1))
+         |    graft.functions.ArrayOps.nullLeadingError("sorted_intersect");
          |  if ($xNull && $yNull) { $buf[$n++] = null; $i++; $j++; }
          |  else if ($xNull) { $j++; }
          |  else if ($yNull) { $i++; }
@@ -480,20 +496,21 @@ case class Simhash64(left: Expression, right: Expression)
 }
 
 object ArrayOps {
-  /** Guard shared by the sorted-merge expressions: their merge treats a
-    * null element as +infinity, i.e. inputs must be in `array_sort` order
-    * (nulls LAST). `sort_array(asc)` — which leads with nulls — would make
-    * the merge silently advance the other side past every value and
-    * return a wrong, near-empty intersection, so a null-LEADING non-empty
-    * array is rejected loudly instead. Called from both the interpreted
-    * and the generated paths (standalone object ⇒ static forwarder). */
-  def requireNullsSortLast(x: ArrayData, y: ArrayData, fn: String): Unit = {
-    if ((x.numElements() > 0 && x.isNullAt(0)) ||
-        (y.numElements() > 0 && y.isNullAt(0)))
-      throw new IllegalArgumentException(
-        s"$fn requires array_sort order (nulls LAST); got a null-leading " +
-          "array — sort_array(asc) places nulls first and is not supported")
-  }
+  /** Error raised by the sorted-merge expressions when a null-LEADING
+    * array is detected: their merge treats a null element as +infinity,
+    * i.e. inputs must be in `array_sort` order (nulls LAST).
+    * `sort_array(asc)` — which leads with nulls — would make the merge
+    * silently advance the other side past every value and return a
+    * wrong, near-empty intersection. The detection sits INSIDE the
+    * merges' null branches (null at the head while the tail is
+    * non-null), so the all-non-null hot path pays nothing — a per-call
+    * entry guard was measured at +20% on `dedup_minhash`. Called from
+    * both interpreted and generated paths (standalone object ⇒ static
+    * forwarder). */
+  def nullLeadingError(fn: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn requires array_sort order (nulls LAST); got a null-leading " +
+        "array — sort_array(asc) places nulls first and is not supported")
 
   /** Register graft's native expressions in a session's function registry
     * (idempotent) so they are usable via `expr("sorted_intersect_size(a,b)")`. */
@@ -575,13 +592,16 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
   override def nullSafeEval(a: Any, b: Any, t: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    ArrayOps.requireNullsSortLast(x, y, "sorted_intersect_atleast")
     val needed = thLong(t)
     var i = 0; var j = 0; var n = 0L
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny &&
         n + math.min(nx - i, ny - j) >= needed) {
       val xNull = x.isNullAt(i); val yNull = y.isNullAt(j)
+      if (xNull && i == 0 && !x.isNullAt(nx - 1))
+        ArrayOps.nullLeadingError("sorted_intersect_atleast")
+      if (yNull && j == 0 && !y.isNullAt(ny - 1))
+        ArrayOps.nullLeadingError("sorted_intersect_atleast")
       if (xNull && yNull) { n += 1; i += 1; j += 1 }
       else if (xNull) j += 1
       else if (yNull) i += 1
@@ -603,7 +623,6 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       val xNull = ctx.freshName("xNull"); val yNull = ctx.freshName("yNull")
       s"""
-         |graft.functions.ArrayOps.requireNullsSortLast($a, $b, "sorted_intersect_atleast");
          |long $need = (long) $t;
          |int $i = 0, $j = 0;
          |long $n = 0;
@@ -612,6 +631,10 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
          |       $n + Math.min($nx - $i, $ny - $j) >= $need) {
          |  boolean $xNull = $a.isNullAt($i);
          |  boolean $yNull = $b.isNullAt($j);
+         |  if ($xNull && $i == 0 && !$a.isNullAt($nx - 1))
+         |    graft.functions.ArrayOps.nullLeadingError("sorted_intersect_atleast");
+         |  if ($yNull && $j == 0 && !$b.isNullAt($ny - 1))
+         |    graft.functions.ArrayOps.nullLeadingError("sorted_intersect_atleast");
          |  if ($xNull && $yNull) { $n++; $i++; $j++; }
          |  else if ($xNull) { $j++; }
          |  else if ($yNull) { $i++; }
