@@ -238,6 +238,13 @@ class ArrayOpsSpec extends SparkSpec {
       "SELECT sorted_intersect_size(array_sort(array(3L, 1L, NULL)), array_sort(array(5L, 3L, NULL))) AS x")
       .collect()(0)
     assert(ok.getInt(0) == 2) // 3 and null==null
+    // ALL-null arrays are legal nulls-last inputs (a null head implies a
+    // null tail) and merge like array_intersect, never a false rejection
+    val allNull = spark.sql(
+      """SELECT sorted_intersect_size(CAST(array(NULL, NULL) AS ARRAY<BIGINT>),
+         |                            CAST(array(NULL) AS ARRAY<BIGINT>)) AS x""".stripMargin)
+      .collect()(0)
+    assert(allNull.getInt(0) == 1)
   }
 
   test("assign_cid skips null centroid SLOTS; all-null slots yield null like empty") {
