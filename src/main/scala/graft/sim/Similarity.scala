@@ -359,6 +359,14 @@ object Similarity {
     assignCid(e, cents, "v", "norm2")
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
         col("norm2").as("nb2"), col("cid"))
+      // Measured alternative (rejected at bench scale): a
+      // rebalance-on-cid hint before the write (the Manifest.commitData
+      // discipline, which at nClusters=4096 avoids a tasks × nClusters
+      // file-count explosion) regressed this query 2.5 → 3.6 s — with
+      // only 10 lists AQE coalesces the rebalanced shuffle into 1-2
+      // write tasks, serializing a write 32 scan tasks otherwise do in
+      // parallel. At production cluster counts add the hint back; it is
+      // a one-line deployment lever, not a default.
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexPath/lists")
   }
 

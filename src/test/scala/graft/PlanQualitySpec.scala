@@ -285,15 +285,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
-  test("dsir_weights: ratio broadcasts back; model derives from counts — exactly 2 corpus scans") {
+  test("dsir_weights: ratio broadcasts back; model derives from counts — 1 corpus scan") {
     val plan = formatted(graft.text.TextAnalysis.dsirWeights(spark, sf))
     // the 4096-row bucket-ratio relation must broadcast onto the
     // (doc, bucket) counts — never shuffle the counts by bucket alone
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // one scan feeds the model chain (per-doc → per-bucket → totals all
-    // re-aggregate counts), one feeds the scoring join — never more
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 2, plan)
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"), plan)
+    // the checkpointed (doc, bucket) count relation feeds BOTH the model
+    // chain (per-bucket counts + totals) and the scoring join, so the
+    // tokenize + bigram explode touches the parquet corpus exactly once
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 0, plan)
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(plan).size == 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
