@@ -28,7 +28,7 @@ object Similarity {
   // embedding family. Bit-identical fold order, registered by prepared().
   private val dotExpr = "dot_double(va, vb)"
 
-  private def prepared(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def prepared(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayOps.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -282,6 +282,64 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** FUSED per-subspace Lloyd — all `m` PQ codebooks trained in one job
+    * chain (replaces m concurrent [[kmeansFitOn]] calls; measured: the
+    * concurrent form was still ~m×(persist + seed + iters) tiny jobs
+    * and dominated `knn_pq` at ~2.1 of ~3.9 s on a 2000-row corpus,
+    * i.e. pure scheduling latency, not compute):
+    *
+    *  - ONE seed job — the seed rank (h64(vec_id), vec_id) does not
+    *    depend on the slice, so all m subspaces share the same seed
+    *    rows and slice them driver-side;
+    *  - ONE job per iteration — rows explode to (s, sub-vector), the
+    *    per-subspace codebooks arrive by a broadcast join on `s`, and
+    *    the update is one (s, cid, pos) aggregate with the SAME
+    *    money-rounded decimal accumulation per group, so every centroid
+    *    value is bit-identical to the per-slice [[kmeansFitOn]] fits
+    *    the DuckDB oracle unrolls (spec-pinned: PqFitSpec).
+    *
+    * Expects `e` to be the [[prepared]] corpus, ideally checkpointed —
+    * the seed pass and each iteration re-read it. */
+  private[graft] def pqFitFused(e: DataFrame, m: Int, subDim: Int,
+      codes: Int, iters: Int): Seq[Seq[Centroid]] = {
+    import e.sparkSession.implicits._
+    graft.functions.ArrayOps.register(e.sparkSession)
+    val seedRows = e
+      .withColumn("h", Fns.h64(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(codes)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var cur: Seq[Seq[Centroid]] = (0 until m).map { s =>
+      seedRows.zipWithIndex.map { case (full, i) =>
+        val c = full.slice(s * subDim, (s + 1) * subDim)
+        Centroid(i, c, norm2Of(c))
+      }.toSeq
+    }
+    val sliced = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "sv")))
+      .withColumn("sn2", expr("aggregate(sv, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+    for (_ <- 1 to iters) {
+      val cb = cur.zipWithIndex.map { case (cents, s) =>
+        (s, cents.map(c => (c.cid, c.c, c.cn2)))
+      }.toDF("s", "__cb")
+        .select(col("s"), expr(
+          "transform(__cb, x -> struct(x._1 AS cid, x._2 AS c, x._3 AS cn2))").as("cents"))
+      val rows = sliced.join(broadcast(cb), "s")
+        .withColumn("cid", call_function("assign_cid", col("sv"), col("sn2"), col("cents")))
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
+        .collect()
+      cur = (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s).groupBy(_.getInt(1)).map { case (cid, rs) =>
+          val c: Seq[Double] = rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+          Centroid(cid, c, norm2Of(c))
+        }.toSeq.sortBy(_.cid)
+      }
+    }
+    cur
+  }
+
   /** Learned centroids as a DataFrame `(cid, centroid)` — the persisted
     * form an index-maintenance job would write alongside the corpus. */
   def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 10, iters: Int = 3): DataFrame = {
@@ -410,8 +468,9 @@ object Similarity {
     * positional LUT indexing stays dense (padding is unreachable by
     * construction: assignment only ever emits surviving cids).
     *
-    * Scale shape: training = m independent bounded-state fits (each one
-    * corpus scan per iteration over a SLICE); encoding = m narrow
+    * Scale shape: training = ONE fused bounded-state fit for all m
+    * subspaces ([[pqFitFused]] — one seed job, one job per Lloyd
+    * iteration over the (s, sub-vector) explode); encoding = m narrow
     * per-row assignments against 1-row broadcast codebooks, no shuffle;
     * scoring = one scan of the coded corpus per bounded query-chunk
     * broadcast (the [[knnBruteForce]] chunk discipline applies
@@ -423,25 +482,12 @@ object Similarity {
     import spark.implicits._
     graft.functions.TopKByAgg.register(spark)
     val subDim = 64 / m
-    val e = prepared(spark, dir)
-    // the m codebook fits are INDEPENDENT (disjoint vector slices), so
-    // they run as concurrent Spark jobs from driver threads instead of
-    // sequentially — the fit stage is scheduling-latency-bound (each
-    // Lloyd iteration on a slice is a small job), and concurrency
-    // collapses ~m×iters sequential job waits into ~iters. Determinism
-    // is untouched: each fit's result depends only on its own slice.
-    val fits: Seq[Seq[Centroid]] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      Await.result(
-        Future.sequence((0 until m).toList.map { s => Future {
-          kmeansFitOn(
-            e.select(col("vec_id"), expr(s"slice(v, ${s * subDim + 1}, $subDim)").as("v"))
-              .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")),
-            codes, iters)
-        }}), Duration.Inf).toSeq
-    }
+    // eager checkpoint: the fused fit, the encode pass, the query-LUT
+    // build and the exact re-rank are four consumers of the prepared
+    // corpus — one materialization instead of four parquet+prepare
+    // chains (and the fit below iterates over it)
+    val e = prepared(spark, dir).localCheckpoint(true)
+    val fits: Seq[Seq[Centroid]] = pqFitFused(e, m, subDim, codes, iters)
     // dense (s, cid)-indexed codebook, zero-padded where a codeword died
     val padded = for (s <- 0 until m; cid <- 0 until codes) yield
       fits(s).find(_.cid == cid)
