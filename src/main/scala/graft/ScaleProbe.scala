@@ -6,7 +6,8 @@ package graft
   * Usage:
   *   runMain graft.ScaleProbe <dir> [dir ...]        (text-op probes)
   *   runMain graft.ScaleProbe --span <dir> [mults]   (span-dedup probe)
-  *   runMain graft.ScaleProbe --families <dir>       (minhash/triangles/knn_pq)
+  *   runMain graft.ScaleProbe --families <dir>       (minhash/triangles/knn_pq/
+  *                                                    cc/mart/edit_dist ×2 axes)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -40,10 +41,25 @@ object ScaleProbe {
     //    18-key grouped keyspace stays FIXED: exactly the axis on which
     //    a partial aggregate that stopped combining would go
     //    super-linear.
+    //  - edit_dist, two axes matching its two scale claims:
+    //    (a) CLONE replicas (same text, shifted doc_id) — clones land in
+    //    the SAME (lang, n_chars, prefix) contraction groups, so the
+    //    band join / count filter / DP workload stays CONSTANT and only
+    //    member lists (hence output pairs, ~m² within clone families)
+    //    grow: probes the minhashPairsContracted-style contraction.
+    //    (b) LANG-SALTED replicas (lang -> lang_i, text/n_chars/prefix
+    //    unchanged) — lang is the leading join key, so replicas are m
+    //    exactly-disjoint copies of the ×1 group graph: distinct-group
+    //    join load ∝ m at identical candidate structure.
     if (args.headOption.contains("--families")) {
       import org.apache.spark.sql.functions._
       val base = args(1)
       val mults = args.lift(2).map(_.split(',').toSeq.map(_.toInt)).getOrElse(Seq(1, 2, 4))
+      // optional 4th arg: comma-set of family keys to probe (skips the
+      // other families' root builds too) — minhash, triangles, knn_pq,
+      // cc, mart, edit_dist. Absent = all.
+      val onlyFam = args.lift(3).map(_.split(',').toSet)
+      def want(fam: String): Boolean = onlyFam.forall(_.contains(fam))
       def timed2(label: String)(f: => Long): Unit = {
         f; Sessions.releaseAll(spark) // warm pass: JIT + codegen + page cache
         val t0 = System.nanoTime(); val n = f
@@ -53,57 +69,95 @@ object ScaleProbe {
       for (m <- mults) {
         val root = s"/tmp/graft_scale_fam_x$m"
         val docs = Tables.documents(spark, base).select(col("doc_id"), col("text"))
-        (0 until m).map(i => docs.select(
-            (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
-          .reduce(_.unionAll(_))
-          .write.mode("overwrite").parquet(s"$root/documents.parquet")
-        val li = Tables.lineitem(spark, base)
-          .select(col("l_orderkey"), col("l_partkey"))
-        (0 until m).map(i => li.select(
-            (col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
-            (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
-          .reduce(_.unionAll(_))
-          .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
-        val emb = Tables.embeddings(spark, base)
-        val embReps = emb +: (1 until m).map(i => emb.withColumn("vec_id",
-          col("vec_id") * 2 + lit(1L) + lit(i * 100000000L)))
-        embReps.reduce(_.unionByName(_))
-          .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+        if (want("minhash"))
+          (0 until m).map(i => docs.select(
+              (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+            .reduce(_.unionAll(_))
+            .write.mode("overwrite").parquet(s"$root/documents.parquet")
+        if (want("triangles")) {
+          val li = Tables.lineitem(spark, base)
+            .select(col("l_orderkey"), col("l_partkey"))
+          (0 until m).map(i => li.select(
+              (col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+              (col("l_partkey") + lit(i * 10000000L)).as("l_partkey")))
+            .reduce(_.unionAll(_))
+            .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+        }
+        if (want("knn_pq")) {
+          val emb = Tables.embeddings(spark, base)
+          val embReps = emb +: (1 until m).map(i => emb.withColumn("vec_id",
+            col("vec_id") * 2 + lit(1L) + lit(i * 100000000L)))
+          embReps.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+        }
 
         // CC-family root: token-salted replicas (disjoint graph copies)
         val ccRoot = s"/tmp/graft_scale_cc_x$m"
-        (0 until m).map(i => docs.select(
-            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            (if (i == 0) col("text")
-             else expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')"))
-              .as("text")))
-          .reduce(_.unionAll(_))
-          .write.mode("overwrite").parquet(s"$ccRoot/documents.parquet")
+        if (want("cc"))
+          (0 until m).map(i => docs.select(
+              (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              (if (i == 0) col("text")
+               else expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')"))
+                .as("text")))
+            .reduce(_.unionAll(_))
+            .write.mode("overwrite").parquet(s"$ccRoot/documents.parquet")
 
         // calendar-mart root: facts grow, dims and group keyspace fixed
         val martRoot = s"/tmp/graft_scale_mart_x$m"
-        val liFull = Tables.lineitem(spark, base)
-        (0 until m).map(i => liFull.withColumn("l_orderkey",
-            col("l_orderkey") + lit(i * 1000000000L)))
-          .reduce(_.unionAll(_))
-          .write.mode("overwrite").parquet(s"$martRoot/lineitem.parquet")
-        val ordFull = Tables.orders(spark, base)
-        (0 until m).map(i => ordFull.withColumn("o_orderkey",
-            col("o_orderkey") + lit(i * 1000000000L)))
-          .reduce(_.unionAll(_))
-          .write.mode("overwrite").parquet(s"$martRoot/orders.parquet")
-        for (t <- Seq("part", "customer", "nation", "region"))
-          Tables.read(spark, base, t)
-            .write.mode("overwrite").parquet(s"$martRoot/$t.parquet")
+        if (want("mart")) {
+          val liFull = Tables.lineitem(spark, base)
+          (0 until m).map(i => liFull.withColumn("l_orderkey",
+              col("l_orderkey") + lit(i * 1000000000L)))
+            .reduce(_.unionAll(_))
+            .write.mode("overwrite").parquet(s"$martRoot/lineitem.parquet")
+          val ordFull = Tables.orders(spark, base)
+          (0 until m).map(i => ordFull.withColumn("o_orderkey",
+              col("o_orderkey") + lit(i * 1000000000L)))
+            .reduce(_.unionAll(_))
+            .write.mode("overwrite").parquet(s"$martRoot/orders.parquet")
+          for (t <- Seq("part", "customer", "nation", "region"))
+            Tables.read(spark, base, t)
+              .write.mode("overwrite").parquet(s"$martRoot/$t.parquet")
+        }
 
-        timed2(f"minhash_pairs    x$m")(graft.dedup.Dedup.minhashPairs(spark, root).count())
-        timed2(f"triangle_counts  x$m")(
-          graft.queries.Graphs.triangleCounts(spark, root).count())
-        timed2(f"knn_pq           x$m")(graft.sim.Similarity.knnPq(spark, root).count())
-        timed2(f"neardup_clusters x$m")(
-          graft.dedup.Dedup.nearDupClusters(spark, ccRoot).count())
-        timed2(f"calendar_mart    x$m")(
-          graft.queries.Marts.salesSummaryCalendar(spark, martRoot).count())
+        // edit-distance roots: clone axis (contraction) + lang-salt axis
+        // (disjoint group copies) — see the replication-shape notes above
+        val edClone = s"/tmp/graft_scale_edc_x$m"
+        val edLang = s"/tmp/graft_scale_edl_x$m"
+        if (want("edit_dist")) {
+          val docsEd = Tables.documents(spark, base)
+            .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          (0 until m).map(i => docsEd.withColumn("doc_id",
+              col("doc_id") + lit(i * 10000000L)))
+            .reduce(_.unionAll(_))
+            .write.mode("overwrite").parquet(s"$edClone/documents.parquet")
+          (0 until m).map(i => docsEd
+              .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+              .withColumn("lang",
+                if (i == 0) col("lang") else concat(col("lang"), lit(s"_$i"))))
+            .reduce(_.unionAll(_))
+            .write.mode("overwrite").parquet(s"$edLang/documents.parquet")
+        }
+
+        if (want("minhash"))
+          timed2(f"minhash_pairs    x$m")(graft.dedup.Dedup.minhashPairs(spark, root).count())
+        if (want("triangles"))
+          timed2(f"triangle_counts  x$m")(
+            graft.queries.Graphs.triangleCounts(spark, root).count())
+        if (want("knn_pq"))
+          timed2(f"knn_pq           x$m")(graft.sim.Similarity.knnPq(spark, root).count())
+        if (want("cc"))
+          timed2(f"neardup_clusters x$m")(
+            graft.dedup.Dedup.nearDupClusters(spark, ccRoot).count())
+        if (want("mart"))
+          timed2(f"calendar_mart    x$m")(
+            graft.queries.Marts.salesSummaryCalendar(spark, martRoot).count())
+        if (want("edit_dist")) {
+          timed2(f"edit_dist clones x$m")(
+            graft.dedup.Dedup.editDistancePairs(spark, edClone).count())
+          timed2(f"edit_dist langs  x$m")(
+            graft.dedup.Dedup.editDistancePairs(spark, edLang).count())
+        }
       }
       spark.stop(); return
     }

@@ -893,6 +893,12 @@ object Dedup {
     * instead bounded by the cheapness of the count filter (~240 fused
     * ops/pair, no DP) and by `maxLenDiff` narrowing the bands.
     *
+    * Probed ×1/×2/×4 on both scale axes (BASELINE.md §Scaling probes
+    * round 10): clone replicas (contraction axis) keep the wall FLAT
+    * while output pairs grow ~m² (79 → 31 264); lang-salted replicas
+    * (disjoint-group axis, m× the distinct groups) add ~0.14 s per
+    * copy against a ~3.2 s fixed floor — sub-linear on both.
+    *
     * Oracle caveat: DuckDB's `levenshtein` is byte-based while Spark's is
     * codepoint-based; they agree on this fixture (all-ASCII corpus — the
     * spec pins it) and on any single-byte corpus. */
