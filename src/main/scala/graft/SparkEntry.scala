@@ -61,6 +61,7 @@ object SparkEntry {
     }),
     "dedup_exact"        -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_minhash_capped" -> ((s, d) => Dedup.minhashPairs(s, d, maxBucketSize = Some(10))),
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -1953,6 +1954,57 @@ object SparkEntry {
       FROM pairs
       WHERE inter / (na + nb - inter) >= 0.9
       ORDER BY doc_a, doc_b
+    """,
+    // Incremental admission: batch = doc_id % 10 = 0, corpus = the rest.
+    // The oracle states the semantics DOC-level (band join over all
+    // cross-side doc pairs, then a per-batch-doc rank); Spark's batch-set
+    // contraction and argmax-absorbed band duplicates are invisible to it
+    "dedup_incremental" -> """
+      WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      th AS (
+        SELECT doc_id,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                 list_min(list_transform(h, x -> ((2*i+1) * x + 7*i+3) % 1000000007))) AS sig
+        FROM th),
+      bands AS (
+        SELECT doc_id, bs.b AS band,
+               sig[bs.b*4+1] AS k1, sig[bs.b*4+2] AS k2,
+               sig[bs.b*4+3] AS k3, sig[bs.b*4+4] AS k4
+        FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+      hsets AS (SELECT doc_id, list_distinct(h) AS hs FROM th),
+      cand AS (
+        SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS cdoc
+        FROM bands nb JOIN bands cb
+          ON nb.band = cb.band AND nb.k1 = cb.k1 AND nb.k2 = cb.k2
+         AND nb.k3 = cb.k3 AND nb.k4 = cb.k4
+        WHERE nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0),
+      pairs AS (
+        SELECT new_id, cdoc,
+               len(list_intersect(ta.hs, tb.hs)) AS inter,
+               len(ta.hs) AS na, len(tb.hs) AS nb
+        FROM cand
+          JOIN hsets ta ON cand.new_id = ta.doc_id
+          JOIN hsets tb ON cand.cdoc = tb.doc_id),
+      best AS (
+        SELECT new_id, cdoc,
+               floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS j,
+               row_number() OVER (PARTITION BY new_id
+                 ORDER BY floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 DESC,
+                          cdoc ASC) AS rn
+        FROM pairs
+        WHERE inter / (na + nb - inter) >= 0.9)
+      SELECT d.doc_id,
+             b.cdoc IS NOT NULL AS is_dup,
+             b.cdoc AS match_id,
+             b.j AS jaccard
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.new_id
+      ORDER BY d.doc_id
     """,
     "dedup_minhash" -> """
       WITH docs AS (

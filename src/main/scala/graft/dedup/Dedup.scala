@@ -233,6 +233,80 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental near-dup admission — the nightly-ingest question a
+    * 100 TB corpus actually asks: for each document of an incoming
+    * BATCH, is it a MinHash near-duplicate (exact Jaccard ≥ `threshold`)
+    * of anything already IN the corpus, and of what? One row per batch
+    * doc: `(doc_id, is_dup, match_id, jaccard)` with `match_id` the
+    * best corpus match (highest rounded Jaccard, ties to the smallest
+    * corpus doc_id) and nulls when nothing matches. Batch-INTERNAL
+    * duplicates are out of scope by design ([[minhashPairs]] over the
+    * batch answers that); the fixture split is `doc_id % batchMod == 0`
+    * = batch, the rest = corpus.
+    *
+    * Scale shape — the point of the operator: the corpus side is
+    * MAP-ONLY. Token hashes, signature, and band keys are per-row
+    * expressions; the batch's band index arrives by broadcast; and only
+    * broadcast-join SURVIVORS ever reach an exchange — the corpus is
+    * scanned once and never shuffled, the [[graft.text.TextAnalysis
+    * .decontaminate]] discipline applied to LSH. There is no DISTINCT
+    * anywhere: a pair colliding in several bands produces duplicate
+    * candidate rows that collapse inside the per-batch-doc argmax
+    * aggregate (map-side-combining), which is also what bounds the
+    * exchange to survivor scale. The batch side contracts to distinct
+    * token sets first (identical sets share signature, candidates, and
+    * verdict), so a clone-heavy batch probes once per distinct set and
+    * fans out to docs only at output.
+    *
+    * The per-set signatures the batch side computes here are exactly
+    * the stored index [[signaturesFor]] maintains
+    * ([[graft.streaming.CorpusIngest]]); a deployment reads that index
+    * instead of re-deriving corpus bands per ingest. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, batchMod: Int = 10): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
+    val all = Tables.documents(spark, dir)
+      .withColumn("th", expr(
+        s"""array_sort(array_distinct(transform(array_distinct(split(text, ' ')),
+            t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P)))"""))
+      .select(col("doc_id"), col("th"))
+    val isBatch = col("doc_id") % batchMod === 0
+    // batch side, contracted + checkpointed: feeds the band probe, the
+    // verify arrays, and the final member expansion
+    val bGroups = all.filter(isBatch)
+      .groupBy(col("th"))
+      .agg(min(col("doc_id")).as("brep"), collect_list(col("doc_id")).as("bmem"))
+      .withColumn("sig", expr("minhash_sig(th)"))
+      .localCheckpoint(true)
+    val bBands = bandRows(
+        bGroups.select(col("brep").as("doc_id"), col("sig"), col("th").as("th_b")),
+        carry = Seq("th_b"))
+      .withColumnRenamed("doc_id", "brep")
+    // corpus side: doc-level and map-only; th rides the band explode so
+    // the verify needs no join back against the corpus (the array is
+    // copied per band row WITHIN the scan task — CPU for zero shuffle)
+    val cBands = bandRows(
+        all.filter(!isBatch)
+          .withColumn("sig", expr("minhash_sig(th)"))
+          .withColumnRenamed("th", "th_a"),
+        carry = Seq("th_a"))
+      .withColumnRenamed("doc_id", "cdoc")
+    val verified = jaccardAtLeast(
+        cBands.join(broadcast(bBands), Seq("band", "k1", "k2", "k3", "k4")),
+        "th_a", "th_b", threshold)
+      .select(col("brep"), col("cdoc"), Fns.money(col("jaccard_raw")).as("jaccard"))
+    // per-batch-set argmax: (rounded jaccard DESC, corpus doc ASC) —
+    // multi-band duplicates are absorbed by the max, never distinct'd
+    val best = verified.groupBy(col("brep"))
+      .agg(max(struct(col("jaccard"), (-col("cdoc")).as("nm"))).as("b"))
+      .select(col("brep"), (-col("b.nm")).as("match_id"), col("b.jaccard").as("jaccard"))
+    bGroups.select(explode(col("bmem")).as("doc_id"), col("brep"))
+      .join(broadcast(best), Seq("brep"), "left")
+      .select(col("doc_id"), col("match_id").isNotNull.as("is_dup"),
+        col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-Jaccard gate shared by every verification path (minhash,
     * n-gram cut, streaming ingest admission): size-ratio prefilter
     * (jaccard ≤ min/max, so failing pairs can't reach the threshold),
@@ -260,17 +334,18 @@ object Dedup {
   /** MinHash band rows for a signature relation — shared by the pair
     * pipeline, the streaming ingest index probe, and the perf probe so
     * all measure the identical plan. */
-  private[graft] def bandRows(docs: DataFrame): DataFrame =
+  private[graft] def bandRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs.select(
-      col("doc_id"),
+      (col("doc_id") +: carry.map(col)) :+
       explode(expr(
         s"""transform(sequence(0, ${B - 1}), b -> named_struct(
             'band', b,
             'k1', element_at(sig, b * $R + 1), 'k2', element_at(sig, b * $R + 2),
             'k3', element_at(sig, b * $R + 3), 'k4', element_at(sig, b * $R + 4)))"""))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.k1").as("k1"),
-        col("bb.k2").as("k2"), col("bb.k3").as("k3"), col("bb.k4").as("k4"))
+        .as("bb"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("bb.band").as("band") :+
+        col("bb.k1").as("k1") :+ col("bb.k2").as("k2") :+ col("bb.k3").as("k3") :+
+        col("bb.k4").as("k4"): _*)
 
   /** Perf probes for MiniBench (not part of the query surface): cost of
     * the signature stage alone, and of candidate generation. The

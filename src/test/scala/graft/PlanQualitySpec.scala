@@ -104,6 +104,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("dedup_incremental: batch index broadcasts; corpus is map-only into the probe join") {
+    val plan = formatted(graft.dedup.Dedup.dedupIncremental(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the only shuffles are the survivor-scale argmax and the final
+    // presentation sort: the corpus relation never shuffles, and the
+    // multi-band candidate duplicates are absorbed by the argmax — no
+    // DISTINCT exchange exists anywhere (BroadcastExchange is not
+    // matched by the node-header regex below)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges\n$plan")
+  }
+
   test("gopher_quality: documents scan reads only the needed columns") {
     val plan = formatted(graft.text.TextAnalysis.gopherQuality(spark, sf))
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), plan)
