@@ -159,7 +159,15 @@ object Dedup {
       .withColumn("sig", expr("minhash_sig(th)"))
       .localCheckpoint(true)
 
-    val bandsAll = bandRows(groups.select(col("rep").as("doc_id"), col("sig")))
+    // band rows carry size(th) (ONE int) so the size-ratio prefilter —
+    // jaccard ≤ min/max, the same lossless cut jaccardAtLeast re-applies
+    // after the th join — runs directly on the band-join output, BEFORE
+    // the distinct: measured at sf0.1 it cuts the distinct input
+    // 4.17 M → 2.19 M rows, the distinct output (= th-join probes)
+    // 2.86 M → 1.33 M pairs, and changes no survivor (28 690 either way)
+    val bandsAll = bandRows(
+      groups.select(col("rep").as("doc_id"), col("sig"),
+        size(col("th")).as("sz")), carry = Seq("sz"))
     val bands = bandSubset match {
       case Some(bs) => bandsAll.filter(col("band").isin(bs: _*))
       case None     => bandsAll
@@ -171,7 +179,9 @@ object Dedup {
     val cand0 = bands.as("a")
       .join(bands.as("b"),
         Seq("band", "k1", "k2", "k3", "k4"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")) >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
     // single-band sampling can't duplicate a pair (one row per group) —
     // the distinct shuffle is pure cost there
@@ -202,14 +212,20 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // band rows keyed by the R raw signature longs — no string building,
-    // the shuffle key is (band, k1..k4)
+    // the shuffle key is (band, k1..k4); size(th) rides along (one int)
+    // for the pre-distinct size-ratio cut below
+    val bandsSz = bandRows(
+      docs.select(col("doc_id"), col("sig"), size(col("th")).as("sz")),
+      carry = Seq("sz"))
     val bands0 = bandSubset match {
-      case Some(bs) => bandRows(docs).filter(col("band").isin(bs: _*))
-      case None     => bandRows(docs)
+      case Some(bs) => bandsSz.filter(col("band").isin(bs: _*))
+      case None     => bandsSz
     }
 
     // hot-bucket cut: the count window shuffles on the same key as the
-    // self-join below, so AQE reuses the exchange
+    // self-join below, so AQE reuses the exchange. The window counts
+    // docs BEFORE the size-ratio cut (the cap's oracle-replayed
+    // semantics count bucket membership, not qualifying pairs)
     val bands = maxBucketSize match {
       case Some(cap) =>
         val w = Window.partitionBy(col("band"), col("k1"), col("k2"), col("k3"), col("k4"))
@@ -218,10 +234,15 @@ object Dedup {
       case None => bands0
     }
 
+    // the same lossless size-ratio prefilter as the contracted path:
+    // jaccard ≤ min/max, so pairs failing it cannot reach the threshold
+    // — identical to the cut jaccardAtLeast re-applies after the th join
     val cand0 = bands.as("a")
       .join(bands.as("b"),
         Seq("band", "k1", "k2", "k3", "k4"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")) >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand =
       if (bandSubset.exists(_.size == 1)) cand0 else cand0.distinct()
