@@ -832,9 +832,14 @@ object Dedup {
 
     maxShingleFreq match {
       case None =>
-        // exact path: the shared-shingle count IS the intersection size
+        // exact path: the shared-shingle count IS the intersection size.
+        // The size-ratio cut (jaccard ≤ min/max, lossless) sits IN the
+        // join condition so non-qualifying pairs never reach the grouped
+        // count — same discipline as the minhash pre-distinct cut
         val shared = inv.as("a")
-          .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n_sh"), col("b.n_sh")) >=
+              lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
           .groupBy(
             col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
@@ -852,7 +857,9 @@ object Dedup {
         val invCut = inv.withColumn("__f", count(lit(1)).over(w))
           .filter(col("__f") <= f).drop("__f")
         val cand = invCut.as("a")
-          .join(invCut.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .join(invCut.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n_sh"), col("b.n_sh")) >=
+              lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         val sa = docs.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"))
