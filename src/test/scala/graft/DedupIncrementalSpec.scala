@@ -48,4 +48,31 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(dups > 0 && dups < batchIds.size,
       s"degenerate fixture split: $dups dups of ${batchIds.size} batch docs")
   }
+
+  test("degenerate splits: empty batch, empty corpus, cross-side exact clone") {
+    import spark.implicits._
+    def dirWith(rows: Seq[(Long, String)], tag: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    // no doc_id % 10 == 0 ⇒ nothing to admit, empty output (not an error)
+    val noBatch = dirWith(Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i")), "edi_nb")
+    assert(Dedup.dedupIncremental(spark, noBatch).collect().isEmpty)
+    // corpus empty ⇒ every batch doc comes back is_dup=false with nulls
+    val noCorpus = dirWith(Seq((10L, "a b c"), (20L, "d e f")), "edi_nc")
+    val nc = Dedup.dedupIncremental(spark, noCorpus).collect()
+    assert(nc.map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    assert(nc.forall(r => !r.getBoolean(1) && r.isNullAt(2) && r.isNullAt(3)))
+    // an exact cross-side clone must flag at jaccard 1.0 via the band join
+    val clone = dirWith(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated set of corpus words here")), "edi_cl")
+    val cl = Dedup.dedupIncremental(spark, clone).collect()
+    assert(cl.length == 1 && cl.head.getLong(0) == 10L)
+    assert(cl.head.getBoolean(1) && cl.head.getLong(2) == 1L
+      && cl.head.getDouble(3) == 1.0, cl.mkString(","))
+  }
 }
