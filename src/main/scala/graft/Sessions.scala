@@ -84,4 +84,43 @@ object Sessions {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     System.gc()
   }
+
+  /** [[releaseAll]] + BLOCK until the ContextCleaner settles. The gc()
+    * above only ENQUEUES cleanup: broadcast/shuffle/checkpoint removal
+    * runs on the cleaner thread asynchronously — i.e., by default DURING
+    * whatever is timed next (round-10 verdict #3: late-set queries pay a
+    * tax that isolated re-probes of the same JVM don't). Draining here
+    * charges the cleanup to the isolation gap, where it belongs.
+    *
+    * The cleaner's tracked-reference buffer is reached reflectively
+    * (`SparkContext.cleaner` is private[spark] — public in bytecode —
+    * and `referenceBuffer` is a private field); measurement-harness-only
+    * code, never on a query path. Waits until the buffer size is stable
+    * across two 50 ms polls (cleanup completed, nothing in flight) or
+    * 2 s elapse; any reflection failure degrades to plain releaseAll. */
+  def releaseAndDrain(spark: SparkSession): Unit = {
+    releaseAll(spark)
+    try {
+      val sc = spark.sparkContext
+      val cleaner = sc.getClass.getMethod("cleaner").invoke(sc)
+        .asInstanceOf[Option[AnyRef]]
+      cleaner.foreach { c =>
+        // scalac may or may not mangle the private field name depending
+        // on inner-class access — match by suffix
+        val f = c.getClass.getDeclaredFields
+          .find(_.getName.endsWith("referenceBuffer"))
+          .getOrElse(throw new NoSuchFieldException("referenceBuffer"))
+        f.setAccessible(true)
+        val buf = f.get(c).asInstanceOf[java.util.Set[_]]
+        val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+        var prev = -1
+        var stable = 0
+        while (stable < 2 && System.nanoTime() < deadline) {
+          val s = buf.size()
+          if (s == prev) stable += 1 else { stable = 0; prev = s }
+          Thread.sleep(50)
+        }
+      }
+    } catch { case _: Throwable => () }
+  }
 }

@@ -282,9 +282,21 @@ object Dedup {
     * The per-set signatures the batch side computes here are exactly
     * the stored index [[signaturesFor]] maintains
     * ([[graft.streaming.CorpusIngest]]); a deployment reads that index
-    * instead of re-deriving corpus bands per ingest. */
+    * instead of re-deriving corpus bands per ingest.
+    *
+    * Batch-size assumption (round-10 ADVICE #2): the band index
+    * broadcast carries the token-hash array per band row — B rows per
+    * distinct batch set — so it scales with the BATCH, not the corpus,
+    * and a nightly batch must fit the driver/broadcast budget. The
+    * guard is enforced: above `maxBroadcastSets` distinct sets (counted
+    * on the already-checkpointed batch relation, a metadata-scale job)
+    * the probe DEGRADES to a shuffled band join — same survivors, but
+    * the corpus band rows now cross an exchange, so the map-only
+    * promise is traded for not OOMing the driver. A batch that big is
+    * really a backfill: run [[minhashPairs]] over the union instead. */
   def dedupIncremental(spark: SparkSession, dir: String,
-      threshold: Double = 0.9, batchMod: Int = 10): DataFrame = {
+      threshold: Double = 0.9, batchMod: Int = 10,
+      maxBroadcastSets: Long = 500000L): DataFrame = {
     graft.functions.ArrayOps.register(spark)
     val all = Tables.documents(spark, dir)
       .withColumn("th", expr(
@@ -312,9 +324,20 @@ object Dedup {
           .withColumnRenamed("th", "th_a"),
         carry = Seq("th_a"))
       .withColumnRenamed("doc_id", "cdoc")
-    val verified = jaccardAtLeast(
-        cBands.join(broadcast(bBands), Seq("band", "k1", "k2", "k3", "k4")),
-        "th_a", "th_b", threshold)
+    // enforced broadcast guard (see scaladoc): the count reads the
+    // checkpoint just materialized, not the documents scan
+    val nSets = bGroups.count()
+    val probe =
+      if (nSets <= maxBroadcastSets)
+        cBands.join(broadcast(bBands), Seq("band", "k1", "k2", "k3", "k4"))
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dedupIncremental: $nSets distinct batch sets exceed " +
+            s"maxBroadcastSets=$maxBroadcastSets — degrading to a shuffled " +
+            "band join (corpus bands will cross an exchange)")
+        cBands.join(bBands, Seq("band", "k1", "k2", "k3", "k4"))
+      }
+    val verified = jaccardAtLeast(probe, "th_a", "th_b", threshold)
       .select(col("brep"), col("cdoc"), Fns.money(col("jaccard_raw")).as("jaccard"))
     // per-batch-set argmax: (rounded jaccard DESC, corpus doc ASC) —
     // multi-band duplicates are absorbed by the max, never distinct'd

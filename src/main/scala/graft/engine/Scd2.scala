@@ -282,28 +282,33 @@ object Scd2 {
     // count rides the SAME single action as an extra union leg (a second
     // flat scan of the current projection under a sentinel tag), so the
     // whole gate is exactly one Spark action regardless of batch count.
-    // the dim leg also carries the current surrogate keys (when the dim
-    // has them), so the SAME single action yields max(sk) for the merge
+    // the dim leg also carries the surrogate keys (when the dim has
+    // them), so the SAME single action yields max(sk) for the merge
     // that follows a promote — [[applyChanges]] then skips its own
-    // max-scan job. Valid because engine-maintained dims assign sks
-    // monotonically and expire only by supersession, so the global max
-    // always sits on a current version.
+    // max-scan job. The sentinel leg scans the FULL dim (current flag
+    // folded into __curf), not just current versions: max(sk) is then
+    // correct for ANY caller-supplied dim, including one whose max sk
+    // sits on an expired row — the old current-only harvest silently
+    // minted colliding sks there (round-10 ADVICE #1). The batch join
+    // leg still sees only current versions, as change detection must.
     val dimSk =
       if (dim.columns.contains(cfg.surrogateKey))
         q(cfg.surrogateKey).cast("long") else lit(null).cast("long")
     val dimCur = dim.filter(q(cfg.currentCol))
-      .select(q(k).as("__dk"), q(cfg.hashCol).as("__dh"), dimSk.as("__dsk"))
+      .select(q(k).as("__dk"), q(cfg.hashCol).as("__dh"))
     val batchLeg = perKey
-      .join(dimCur.drop("__dsk"), q(k) === col("__dk"), "left")
+      .join(dimCur, q(k) === col("__dk"), "left")
       .select(Seq(
         col("__tag"), col("__cnt"), col("__ambf").cast("long").as("__ambf"),
         when(col("__dh").isNotNull && col("__wh") =!= col("__dh"), 1L)
           .otherwise(0L).as("__chgf"),
         lit(0L).as("__curf"), lit(null).cast("long").as("__dsk")) ++
         sumRules.indices.map(i => col(s"__s$i").cast("long").as(s"__s$i")): _*)
-    val dimLeg = dimCur.select(Seq(
+    val dimLeg = dim.select(Seq(
       lit(DimTag).as("__tag"), lit(0L).as("__cnt"), lit(0L).as("__ambf"),
-      lit(0L).as("__chgf"), lit(1L).as("__curf"), col("__dsk")) ++
+      lit(0L).as("__chgf"),
+      when(q(cfg.currentCol) === true, 1L).otherwise(0L).as("__curf"),
+      dimSk.as("__dsk")) ++
       sumRules.indices.map(i => lit(0L).as(s"__s$i")): _*)
     val globalAggs = Seq(
       coalesce(sum(col("__cnt")), lit(0L)).as("__total"),
@@ -330,11 +335,11 @@ object Scd2 {
       rules: Seq[DataQuality.Rule] = Nil, maxExpirePct: Int = 50): DataFrame =
     gateBatchesWithMaxSk(dim, batches, cfg, rules, maxExpirePct)._1
 
-  /** [[gateBatches]] plus the dimension's max CURRENT surrogate key,
-    * harvested from the same single aggregation job — the promote path
-    * hands it to [[applyChanges]] as `maxSkHint` so the merge skips its
-    * own max-scan action. 0 when the dim is empty or carries no
-    * surrogate-key column. */
+  /** [[gateBatches]] plus the dimension's max surrogate key over ALL
+    * versions (current and expired), harvested from the same single
+    * aggregation job — the promote path hands it to [[applyChanges]] as
+    * `maxSkHint` so the merge skips its own max-scan action. 0 when the
+    * dim is empty or carries no surrogate-key column. */
   private[graft] def gateBatchesWithMaxSk(dim: DataFrame,
       batches: Seq[(String, DataFrame)], cfg: Config,
       rules: Seq[DataQuality.Rule] = Nil,

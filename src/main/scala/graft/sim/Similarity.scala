@@ -35,6 +35,18 @@ object Similarity {
       .withColumn("norm2", expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
   }
 
+  /** [[prepared]] pruned to `(vec_id, v, norm2)` and EAGERLY checkpointed
+    * — the shared corpus for every query that both FITS a quantizer and
+    * then CONSUMES the corpus (IVF, SemDeDup, topics, outliers, balance):
+    * one scan + one v/norm2 derivation total, where the un-shared form
+    * paid one per consumer. Pruning drops the raw float `embedding`
+    * column so the checkpoint stores half the bytes. Blocks are freed by
+    * the context cleaner (or Bench's releaseAll) once the result is
+    * dereferenced — the knnPq checkpoint discipline. */
+  private[graft] def preparedCk(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir).select(col("vec_id"), col("v"), col("norm2"))
+      .localCheckpoint(true)
+
   /** Exact top-k cosine neighbors for every query vector
     * (vec_id ≡ 0 mod 100 — a deterministic query workload).
     *
@@ -255,31 +267,38 @@ object Similarity {
     // iters+1 times (spill-safe, released before returning)
     val e = input
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val seeds = e
-        .withColumn("h", Fns.h64(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(k)
-        .select(col("v")).collect().map(_.getSeq[Double](0))
-      var cents: Seq[Centroid] =
-        seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, norm2Of(c)) }.toSeq
-      for (_ <- 1 to iters) {
-        // one shuffle per iteration: the (cid, pos) means come back as
-        // k×dim rows and assemble into centroid arrays ON THE DRIVER —
-        // the second per-cid collect_list aggregate this replaces was a
-        // whole extra shuffle+stage per iteration for state the driver
-        // already holds (O(k·dim) doubles, the declared footprint)
-        val rows = assignCid(e, cents, "v", "norm2")
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
-          .collect()
-        cents = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
-          val c: Seq[Double] = rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          Centroid(cid, c, norm2Of(c))
-        }.toSeq.sortBy(_.cid)
-      }
-      cents
-    } finally e.unpersist()
+    try kmeansLloyd(e, k, iters) finally e.unpersist()
+  }
+
+  /** The Lloyd loop itself, over an ALREADY-MATERIALIZED `(vec_id, v,
+    * norm2)` relation — callers that hold a checkpointed corpus anyway
+    * ([[knnIvf]], [[buildIvfIndexOn]], [[ivfBalance]]) enter here so the
+    * fit adds NO extra persist/materialization of its own: exactly one
+    * seed job plus one job per iteration (pinned by IvfBuildSpec). */
+  private[graft] def kmeansLloyd(e: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    val seeds = e
+      .withColumn("h", Fns.h64(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var cents: Seq[Centroid] =
+      seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, norm2Of(c)) }.toSeq
+    for (_ <- 1 to iters) {
+      // one shuffle per iteration: the (cid, pos) means come back as
+      // k×dim rows and assemble into centroid arrays ON THE DRIVER —
+      // the second per-cid collect_list aggregate this replaces was a
+      // whole extra shuffle+stage per iteration for state the driver
+      // already holds (O(k·dim) doubles, the declared footprint)
+      val rows = assignCid(e, cents, "v", "norm2")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
+        .collect()
+      cents = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val c: Seq[Double] = rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        Centroid(cid, c, norm2Of(c))
+      }.toSeq.sortBy(_.cid)
+    }
+    cents
   }
 
   /** FUSED per-subspace Lloyd — all `m` PQ codebooks trained in one job
@@ -387,10 +406,20 @@ object Similarity {
     * narrow projection used during the fit — one scan, then a broadcast
     * join against the (tiny) probe set. */
   def knnIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
-      nClusters: Int = 10, iters: Int = 3): DataFrame = {
+      nClusters: Int = 10, iters: Int = 3): DataFrame =
+    // eager checkpoint: the fit iterates over the corpus and BOTH serve
+    // legs (query slice, list assignment) re-read it — one scan + one
+    // v/norm2 derivation instead of one per consumer
+    knnIvfOn(preparedCk(spark, dir), k, nprobe, nClusters, iters)
+
+  /** [[knnIvf]] over a caller-held checkpointed corpus — [[annRecall]]
+    * passes the SAME materialization its brute-force ground truth
+    * consumes, so the eval pays one derivation, not two. */
+  private[graft] def knnIvfOn(e: DataFrame, k: Int, nprobe: Int,
+      nClusters: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = prepared(spark, dir)
-    val cents = kmeansFit(spark, dir, nClusters, iters)
+    val cents = kmeansLloyd(e, nClusters, iters)
     val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
@@ -408,10 +437,21 @@ object Similarity {
     * (partition pruning on `cid`), which is the entire point of IVF
     * at 100 TB. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-      nClusters: Int = 10, iters: Int = 3): Unit = {
-    import spark.implicits._
-    val e = prepared(spark, dir)
-    val cents = kmeansFit(spark, dir, nClusters, iters)
+      nClusters: Int = 10, iters: Int = 3): Unit =
+    buildIvfIndexOn(preparedCk(spark, dir), indexPath, nClusters, iters)
+
+  /** [[buildIvfIndex]] over an already-checkpointed prepared corpus — the
+    * FUSED build phase (the pqFitFused discipline applied to IVF, round-10
+    * verdict #2): the fit's former internal persist + its own
+    * materialization are gone because `e` is already materialized, and
+    * the assignment write re-reads the checkpoint instead of re-deriving
+    * v/norm2 from parquet. Schedules exactly 1 seed + `iters` iteration
+    * jobs + 1 centroid write + 1 list write — job COUNT pinned by
+    * IvfBuildSpec (a plan pin can't see scheduling count). */
+  private[graft] def buildIvfIndexOn(e: DataFrame, indexPath: String,
+      nClusters: Int, iters: Int): Unit = {
+    import e.sparkSession.implicits._
+    val cents = kmeansLloyd(e, nClusters, iters)
     cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     assignCid(e, cents, "v", "norm2")
@@ -433,10 +473,18 @@ object Similarity {
     * Bit-identical to [[knnIvf]] at the same fit parameters (parquet
     * round-trips doubles exactly). */
   def knnIvfFromIndex(spark: SparkSession, dir: String, indexPath: String,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
+      k: Int = 5, nprobe: Int = 2): DataFrame =
+    knnIvfFromIndexOn(prepared(spark, dir), indexPath, k, nprobe)
+
+  /** [[knnIvfFromIndex]] with the query slice taken from a caller-held
+    * prepared relation — [[knnIvfServed]] passes its build-phase
+    * checkpoint so serving re-reads materialized rows, not parquet. */
+  private[graft] def knnIvfFromIndexOn(e: DataFrame, indexPath: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = e.sparkSession
     val centDf = spark.read.parquet(s"$indexPath/centroids")
     val corpus = spark.read.parquet(s"$indexPath/lists")
-    val queries = prepared(spark, dir).filter(col("vec_id") % 100 === 0)
+    val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
     probeSearch(corpus, probesFor(queries, centDf, nprobe), k)
   }
@@ -478,15 +526,23 @@ object Similarity {
     * `shortlist × queries` rows back to the full vectors — the only
     * touch of wide data, output-bound. */
   def knnPq(spark: SparkSession, dir: String, k: Int = 5, m: Int = 8,
-      codes: Int = 32, iters: Int = 2, shortlist: Int = 50): DataFrame = {
-    import spark.implicits._
-    graft.functions.TopKByAgg.register(spark)
-    val subDim = 64 / m
+      codes: Int = 32, iters: Int = 2, shortlist: Int = 50): DataFrame =
     // eager checkpoint: the fused fit, the encode pass, the query-LUT
     // build and the exact re-rank are four consumers of the prepared
     // corpus — one materialization instead of four parquet+prepare
-    // chains (and the fit below iterates over it)
-    val e = prepared(spark, dir).localCheckpoint(true)
+    // chains (and the fit below iterates over it); pruned to the three
+    // consumed columns (see [[preparedCk]])
+    knnPqOn(preparedCk(spark, dir), k, m, codes, iters, shortlist)
+
+  /** [[knnPq]] over a caller-held checkpointed corpus — [[pqRecall]]
+    * passes the SAME materialization its brute-force ground truth
+    * consumes. */
+  private[graft] def knnPqOn(e: DataFrame, k: Int, m: Int,
+      codes: Int, iters: Int, shortlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    graft.functions.TopKByAgg.register(spark)
+    val subDim = 64 / m
     val fits: Seq[Seq[Centroid]] = pqFitFused(e, m, subDim, codes, iters)
     // dense (s, cid)-indexed codebook, zero-padded where a codeword died
     val padded = for (s <- 0 until m; cid <- 0 until codes) yield
@@ -679,8 +735,10 @@ object Similarity {
       nClusters: Int = 10, iters: Int = 3,
       maxClusterSize: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val e = prepared(spark, dir)
-    val cents = kmeansFit(spark, dir, nClusters, iters)
+    // shared fit+consume corpus: the Lloyd fit and the scored projection
+    // below read ONE checkpointed derivation (see [[preparedCk]])
+    val e = preparedCk(spark, dir)
+    val cents = kmeansLloyd(e, nClusters, iters)
     val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
     // localCheckpoint (not persist): feeds both sides of the self-join;
     // the lazy return plan has no safe unpersist point
@@ -743,8 +801,13 @@ object Similarity {
       nClusters: Int = 10, iters: Int = 3): DataFrame = {
     val idx = graft.engine.Fs.scratch("graft_ivf", dir)
     graft.engine.Fs.deleteDir(spark, idx)
-    buildIvfIndex(spark, dir, idx, nClusters, iters)
-    knnIvfFromIndex(spark, dir, idx, k, nprobe)
+    // ONE checkpointed corpus feeds the whole round trip: the fit, the
+    // list-assignment write, and the serve-time query slice (round-10
+    // verdict #2 — build-phase fusion; before this the corpus was
+    // scanned + v/norm2-derived three separate times per execution)
+    val e = prepared(spark, dir).localCheckpoint(true)
+    buildIvfIndexOn(e, idx, nClusters, iters)
+    knnIvfFromIndexOn(e, idx, k, nprobe)
   }
 
   /** Topic labels for the semantic clusters: assign every document to
@@ -762,8 +825,8 @@ object Similarity {
     * [[graft.text.TextAnalysis.vocabTopTerms]]' global sort. */
   def clusterTopics(spark: SparkSession, dir: String, nClusters: Int = 10,
       topK: Int = 5): DataFrame = {
-    val e = prepared(spark, dir)
-    val cents = kmeansFit(spark, dir, nClusters, 3)
+    val e = preparedCk(spark, dir)
+    val cents = kmeansLloyd(e, nClusters, 3)
     val assigned = assignCid(e, cents, "v", "norm2")
       .select(col("vec_id").as("doc_id"), col("cid"))
     val tf = Tables.documents(spark, dir)
@@ -846,8 +909,8 @@ object Similarity {
   def embeddingOutliers(spark: SparkSession, dir: String, nClusters: Int = 10,
       kOut: Int = 3): DataFrame = {
     graft.functions.TopKByAgg.register(spark)
-    val e = prepared(spark, dir)
-    val cents = kmeansFit(spark, dir, nClusters, 3)
+    val e = preparedCk(spark, dir)
+    val cents = kmeansLloyd(e, nClusters, 3)
     val best = array_max(transform(col("cents"), s => struct(
       Fns.money(dotCol(col("v"), s.getField("c")) /
         sqrt(col("norm2") * s.getField("cn2"))).as("cos"),
@@ -911,15 +974,23 @@ object Similarity {
     * reduced by their own top-k — so the pair-membership join and the
     * per-query rollup are query-scale work, independent of corpus size.
     */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    recallVsBruteForce(spark, dir, knnIvf(spark, dir, k), k)
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // ONE checkpointed corpus under both the IVF search and the exact
+    // ground truth (round-10 brief #6): before this the eval re-ran
+    // prepared()'s scan + derivation once per side
+    val e = preparedCk(spark, dir)
+    recallOn(e, knnIvfOn(e, k, nprobe = 2, nClusters = 10, iters = 3), k)
+  }
 
   /** [[annRecall]] for the PQ/ADC search path: recall@k of
     * [[knnPq]]'s re-ranked shortlist against the same brute-force
     * ground truth — the second dial (codebook size / shortlist depth)
     * audited with the same yardstick as nprobe. */
-  def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    recallVsBruteForce(spark, dir, knnPq(spark, dir, k), k)
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // shared corpus checkpoint, as in [[annRecall]]
+    val e = preparedCk(spark, dir)
+    recallOn(e, knnPqOn(e, k, m = 8, codes = 32, iters = 2, shortlist = 50), k)
+  }
 
   /** Matryoshka truncation eval (Kusupati et al. 2022, "Matryoshka
     * Representation Learning", re-expressed): recall@k of an exact kNN
@@ -959,8 +1030,8 @@ object Similarity {
     * aggregate with map-side partials. */
   def ivfBalance(spark: SparkSession, dir: String, nClusters: Int = 10,
       iters: Int = 3): DataFrame = {
-    val e = prepared(spark, dir)
-    val cents = kmeansFit(spark, dir, nClusters, iters)
+    val e = preparedCk(spark, dir)
+    val cents = kmeansLloyd(e, nClusters, iters)
     val grouped = assignCid(e, cents, "v", "norm2")
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"))
@@ -982,8 +1053,14 @@ object Similarity {
   }
 
   private def recallVsBruteForce(spark: SparkSession, dir: String,
-      approx: DataFrame, k: Int): DataFrame = {
-    val bf = knnBruteForce(spark, dir, k)
+      approx: DataFrame, k: Int): DataFrame =
+    recallOn(prepared(spark, dir), approx, k)
+
+  /** Recall@k with the exact ground truth computed over a CALLER-HELD
+    * corpus relation — [[annRecall]]/[[pqRecall]] pass the same
+    * checkpoint their approximate side consumed. */
+  private def recallOn(e: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val bf = bruteForceOn(e, k, 1 << 20)
       .select(col("query_id"), col("neighbor_id"))
     val ap = approx
       .select(col("query_id").as("qi"), col("neighbor_id").as("ni"),

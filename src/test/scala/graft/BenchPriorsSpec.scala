@@ -42,4 +42,26 @@ class BenchPriorsSpec extends AnyFunSuite {
     // exactly 2x is NOT a suspect (strictly greater required)
     assert(Bench.stallSuspects(Map("slow" -> 4.0), prior).isEmpty)
   }
+
+  test("bandFactor: median of probe/prior ratios; probes without a positive prior drop out") {
+    val prior = Map("a" -> 2.0, "b" -> 1.0, "c" -> 0.0)
+    // ratios: a->1.25, a->1.35, b->1.30; median = 1.30
+    val probes = Seq("a" -> 2.5, "a" -> 2.7, "b" -> 1.3,
+      "c" -> 9.0 /* zero prior: dropped */, "d" -> 5.0 /* no prior: dropped */,
+      "b" -> -1.0 /* failed probe: dropped */)
+    assert(Bench.bandFactor(probes, prior).contains(1.30))
+    // no usable ratio -> None, never NaN/0
+    assert(Bench.bandFactor(Seq("d" -> 5.0), prior).isEmpty)
+    assert(Bench.bandFactor(Seq.empty, prior).isEmpty)
+    // lower-middle median for even counts (consistent with the query median)
+    assert(Bench.bandFactor(Seq("a" -> 2.0, "b" -> 3.0), prior).contains(1.0))
+  }
+
+  test("heapOffProfile: flags >2x above or below the tuned 16 GiB, not the tuned band itself") {
+    assert(!Bench.heapOffProfile(16384))
+    assert(!Bench.heapOffProfile(32768))  // exactly 2x: still in-profile
+    assert(Bench.heapOffProfile(91136))   // round-10 driver JVM
+    assert(Bench.heapOffProfile(4096))    // starved JVM is off-profile too
+    assert(!Bench.heapOffProfile(8192))
+  }
 }

@@ -49,6 +49,18 @@ class DedupIncrementalSpec extends SparkSpec {
       s"degenerate fixture split: $dups dups of ${batchIds.size} batch docs")
   }
 
+  test("broadcast guard: maxBroadcastSets=0 degrades to the shuffled band join with identical verdicts") {
+    // forcing the fallback path (every real batch exceeds a 0 bound)
+    // must change the PLAN, never the result — same candidates, same
+    // verify, same argmax
+    val viaBroadcast = Dedup.dedupIncremental(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val viaShuffle = Dedup.dedupIncremental(spark, sf, maxBroadcastSets = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(viaShuffle == viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("degenerate splits: empty batch, empty corpus, cross-side exact clone") {
     import spark.implicits._
     def dirWith(rows: Seq[(Long, String)], tag: String): String = {

@@ -174,6 +174,32 @@ class Scd2Spec extends SparkSpec {
     assert(dim2.count() == 7) // 4 initial + 3 new versions
   }
 
+  test("gate max(sk) scans ALL versions: expired-row max sk mints no colliding keys") {
+    import spark.implicits._
+    val cfg = Scd2.Config("k", Seq("attr"), "sk")
+    // hand-built dim (NOT an engine output): the max sk (9) sits on an
+    // EXPIRED row — the round-10 ADVICE scenario where the gate's old
+    // current-only harvest returned 3 and the promoted merge minted
+    // sk=4 colliding with nothing current but breaking key uniqueness
+    val dim = Seq(
+      (9L, 1L, "v1", "2024-01-01", "2024-02-01", false),
+      (2L, 1L, "v2", "2024-02-01", null, true),
+      (3L, 2L, "w", "2024-01-01", null, true))
+      .toDF("sk", "k", "attr", "eff", "exp", "is_current")
+      .withColumn("attr_hash", Scd2.attrHash(Seq("attr")))
+      .withColumn("effective_date", to_date(col("eff")))
+      .withColumn("expiry_date", to_date(col("exp")))
+      .drop("eff", "exp")
+    val batch = Seq((5L, "new")).toDF("k", "attr")
+    val (promoted, merged, _) =
+      Scd2.applyChangesGated(dim, batch, cfg, "2024-03-01")
+    assert(promoted)
+    val sks = merged.select(col("sk")).collect().map(_.getLong(0))
+    assert(sks.length == sks.distinct.length,
+      s"colliding surrogate keys: ${sks.sorted.mkString(",")}")
+    assert(sks.max == 10L, "new version must continue after the EXPIRED max sk 9")
+  }
+
   test("assignIds matches global row_number ordering") {
     val df = Tables.part(spark, sf).select(col("p_partkey"))
     val ids = Scd2.assignIds(df, "p_partkey", "id")

@@ -53,4 +53,35 @@ class SessionsSpec extends SparkSpec {
     Sessions.releaseAll(spark)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("releaseAndDrain reaches the ContextCleaner's reference buffer and settles it") {
+    // the drain must actually FIND the cleaner internals on this Spark
+    // version (reflection breaks silently otherwise) — prove it by
+    // watching the tracked-reference count fall after dead broadcasts
+    // are released. A broadcast join registers a tracked broadcast; once
+    // the query result is dead, releaseAndDrain's gc + settle-wait must
+    // shrink the buffer (fire-and-forget releaseAll makes no such
+    // guarantee at return time — that asynchrony IS the in-set tax).
+    val sc = spark.sparkContext
+    val cleaner = sc.getClass.getMethod("cleaner").invoke(sc)
+      .asInstanceOf[Option[AnyRef]]
+    assert(cleaner.nonEmpty, "local session must have a ContextCleaner")
+    val f = cleaner.get.getClass.getDeclaredFields
+      .find(_.getName.endsWith("referenceBuffer"))
+    assert(f.nonEmpty,
+      "ContextCleaner.referenceBuffer not found — drain is silently inert on this Spark")
+    f.get.setAccessible(true)
+    def tracked = f.get.get(cleaner.get).asInstanceOf[java.util.Set[_]].size()
+    // create dead tracked state: broadcast-joined queries, then drop refs
+    (1 to 5).foreach { _ =>
+      Tables.orders(spark, sf).limit(500)
+        .join(broadcast(Tables.customer(spark, sf).limit(100)),
+          col("o_custkey") === col("c_custkey")).count()
+    }
+    val before = tracked
+    assert(before > 0, "broadcast joins must leave tracked references")
+    Sessions.releaseAndDrain(spark)
+    assert(tracked < before,
+      s"drain must settle dead references: before=$before after=$tracked")
+  }
 }
