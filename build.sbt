@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // driver into measurable GC churn on the array-heavy shuffles
   // (12-query probe: 53.0 s @8g -> 50.3 s @16g, same code)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 178 queries x 4 executions generate thousands of Janino classes;
+  // the 240 MB default code cache saturates mid-set and the sweeper's
+  // flushing churn taxes late-set iteration-heavy queries (reserved,
+  // not committed - costs address space only until used)
+  "-XX:ReservedCodeCacheSize=512m",
 )

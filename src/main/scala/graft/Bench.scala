@@ -43,6 +43,18 @@ object Bench {
         Map.empty
     }
 
+  /** The scale factor a BENCH_TOTAL.json was recorded at — prior medians
+    * are only comparable to a run at the SAME sf (a sf0.001 smoke against
+    * sf0.1 priors would report a fictitious ~0.1 band_factor). Stall
+    * re-probing is self-guarding either way (sub-scale runs sit far
+    * BELOW prior, never 2× above), but band_factor must not be. */
+  private[graft] def parsePriorSf(f: java.io.File): Option[String] =
+    if (!f.exists) None
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      Option(node).flatMap(n => Option(n.get("sf"))).map(_.asText())
+    } catch { case _: Throwable => None }
+
   /** A query is a stall SUSPECT when its fresh median at least doubles its
     * committed prior AND the absolute regression exceeds 1 s (sub-second
     * queries double inside normal host jitter). Failed queries (-1
@@ -88,6 +100,28 @@ object Bench {
     if (ratios.isEmpty) None else Some(ratios((ratios.size - 1) / 2))
   }
 
+  /** JIT-compiler telemetry for the env block: code-cache occupancy
+    * (sum over the segmented CodeHeap pools), metaspace, and cumulative
+    * JIT compilation time. 178 queries × 4 executions generate thousands
+    * of Janino/whole-stage-codegen classes in ONE JVM; when the code
+    * cache saturates, the sweeper flushes hot methods and late-set
+    * iteration-heavy queries (the pagerank/LPA loops) degrade — the
+    * in-set tax that isolated re-probes of a fresh set don't show.
+    * Recording occupancy at run start AND end turns that hypothesis
+    * into a number inside every artifact. */
+  private[graft] def jitStats(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def usedMib(pred: String => Boolean): Long =
+      pools.filter(p => pred(p.getName)).map(_.getUsage.getUsed).sum / (1 << 20)
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+    Map(
+      "codecache_used_mib" -> usedMib(n => n.contains("CodeHeap") || n.contains("Code Cache")),
+      "metaspace_used_mib" -> usedMib(_.contains("Metaspace")),
+      "jit_compile_ms" -> (if (comp != null && comp.isCompilationTimeMonitoringSupported)
+        comp.getTotalCompilationTime else -1L))
+  }
+
   /** Re-exec the bench in a fresh JVM at the tuned heap. The benchmark
     * harness owns its measurement environment: a caller JVM >2× off the
     * measured-optimal 16 GiB profile (round 10: an 89 GiB driver JVM —
@@ -116,7 +150,7 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = (Seq(javaBin) ++ opens ++ Seq(
-      s"-Xmx${TunedHeapMib}m",
+      s"-Xmx${TunedHeapMib}m", "-XX:ReservedCodeCacheSize=512m",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.Bench")).toArray
     val pb = new ProcessBuilder(cmd: _*)
@@ -201,6 +235,8 @@ object Bench {
       if (only.isEmpty) CanaryNames.flatMap(probeOnce) else Seq.empty
     canaryStart.foreach { case (n, t) =>
       System.err.println(f"[bench] CANARY-START $n%-20s $t%8.3fs") }
+    val jitStart = jitStats()
+    System.err.println(s"[bench] JIT-START $jitStart")
     val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -257,7 +293,17 @@ object Bench {
       if (only.isEmpty) CanaryNames.flatMap(probeOnce) else Seq.empty
     canaryEnd.foreach { case (n, t) =>
       System.err.println(f"[bench] CANARY-END   $n%-20s $t%8.3fs") }
-    val band = bandFactor(canaryStart ++ canaryEnd, prior)
+    // sf guard: priors from a different scale factor make the ratio
+    // fiction (a sf0.001 smoke vs sf0.1 priors reads ~0.1) — the factor
+    // is only recorded when the prior artifact was taken at THIS sf
+    val priorSf = parsePriorSf(new java.io.File("BENCH_TOTAL.json"))
+    val band =
+      if (priorSf.forall(_ == sfDir)) bandFactor(canaryStart ++ canaryEnd, prior)
+      else {
+        System.err.println(s"[bench] band_factor skipped: priors recorded at " +
+          s"${priorSf.getOrElse("?")}, this run is $sfDir")
+        None
+      }
     band.foreach(b => System.err.println(f"[bench] band_factor=$b%.3f " +
       "(canary median / committed prior; ~1.0 = the band the priors were recorded on)"))
     // in-set-vs-isolated TAX probe (round-10 verdict #3): the query most
@@ -285,8 +331,13 @@ object Bench {
     // these are)
     val recorder = sys.env.getOrElse("SPARK_GRAFT_RECORDER",
       "driver-or-unset-" + sys.props.getOrElse("user.name", "unknown"))
+    val jitEnd = jitStats()
+    System.err.println(s"[bench] JIT-END   $jitEnd")
     def canaryJson(ps: Seq[(String, Double)]) =
       ps.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jitJson(m: Map[String, Long]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val reexecFrom = sys.env.get("GRAFT_BENCH_PARENT_HEAP")
       .map(h => s""""reexec_from_mib":$h,""").getOrElse("")
     val env =
@@ -294,6 +345,7 @@ object Bench {
         s""""heap_off_profile":${heapOffProfile(heapMib)},$reexecFrom"cpus":$cpus,"passes":$passes,""" +
         s""""band_factor":${band.map(_.toString).getOrElse("null")},""" +
         s""""canary_start":${canaryJson(canaryStart)},"canary_end":${canaryJson(canaryEnd)},""" +
+        s""""jit_start":${jitJson(jitStart)},"jit_end":${jitJson(jitEnd)},""" +
         s""""recorded_by":"$recorder"}"""
     val taxJson = taxProbes.map { case (k, v) =>
       s"\"" + k + "\":{\"in_set\":" + medians.toMap.getOrElse(k, -1.0) +

@@ -63,6 +63,17 @@ object Sessions {
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
       .config("spark.sql.ui.retainedExecutions", "20")
+      // codegen CLASS cache (static conf, default 100 entries): a
+      // long-lived driver cycling 178 distinct queries × multiple
+      // codegen units each thrashes a 100-entry LRU, so every timed
+      // pass re-runs Janino INSIDE the query timer and refills the JVM
+      // code cache with duplicate classes (measured: 296 s cumulative
+      // JIT time over a 60-query × 4-execution probe; late-set
+      // iteration-heavy queries inflate ~2× in the full 178-set while
+      // a 60-query prefix shows no tax). Size it to hold every unit of
+      // the whole query surface — the same setting a real multi-query
+      // service driver would run with.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = localTune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()

@@ -30,6 +30,15 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(Bench.parsePriors(tmpJson("""{"metric":"total","value":1.0}""")).isEmpty)
   }
 
+  test("parsePriorSf reads the artifact's scale dir; absent/malformed yield None") {
+    val f = tmpJson(
+      """{"metric":"total","value":10.0,"queries":{"q1":2.5},"sf":"/root/testdata/sf0.1"}""")
+    assert(Bench.parsePriorSf(f).contains("/root/testdata/sf0.1"))
+    assert(Bench.parsePriorSf(new java.io.File("/nonexistent/B.json")).isEmpty)
+    assert(Bench.parsePriorSf(tmpJson("{not json")).isEmpty)
+    assert(Bench.parsePriorSf(tmpJson("""{"metric":"total"}""")).isEmpty)
+  }
+
   test("stallSuspects: doubled-median AND >1s absolute regression; sentinels and fresh queries exempt") {
     val prior = Map("slow" -> 2.0, "fast" -> 0.2, "gone" -> 3.0, "flat" -> 4.0)
     val medians = Map(
