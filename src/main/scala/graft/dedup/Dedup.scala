@@ -188,10 +188,23 @@ object Dedup {
     val cand =
       if (bandSubset.exists(_.size == 1)) cand0 else cand0.distinct()
 
+    // verify-join strategy, measured BOTH ways under AQE (round 11):
+    // on the FULL 4-band path the th-attach joins are best left to AQE's
+    // runtime broadcast (merge/shuffle_hash hints re-sort the ~1.3 M
+    // narrow candidate rows twice: 3.09 s hinted vs 2.19 s unhinted);
+    // on the SINGLE-BAND sampled path ([[dedupThresholdCurve]]) the
+    // candidate relation is a fraction of that and the broadcast-probe
+    // copy of the O(|th|) arrays dominates instead — merge measured
+    // 1.94-2.06 s vs 2.35 s converted. One boundary, both directions
+    // recorded; at corpus scale the group relation outgrows broadcast
+    // and BOTH paths land on the merge shape AQE picks there anyway.
+    val sampled = bandSubset.exists(_.size == 1)
+    def strat(df: DataFrame): DataFrame = if (sampled) df.hint("merge") else df
     val ta = groups.select(col("rep").as("rep_a"), col("th").as("th_a"))
     val tb = groups.select(col("rep").as("rep_b"), col("th").as("th_b"))
     val verified = jaccardAtLeast(
-      cand.join(ta, "rep_a").join(tb, "rep_b"), "th_a", "th_b", threshold)
+      cand.join(strat(ta), "rep_a").join(strat(tb), "rep_b"),
+      "th_a", "th_b", threshold)
       .select(col("rep_a"), col("rep_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
     (groups, verified)
   }
@@ -1062,7 +1075,13 @@ object Dedup {
     val b = groups.select(col("lang"), col("band").as("jband"),
       col("rep").as("rep_b"), col("n_chars").as("len_b"),
       col("p").as("pb"), col("bg").as("bgb"), col("members").as("mem_b"))
-    val cross = a.join(b, Seq("lang", "jband"))
+    // merge hint, NOT broadcast (round-11 A/B, the Graphs.scala:214
+    // lesson): both sides carry the 119-long bigram multiset per row —
+    // AQE's runtime broadcast conversion of b re-copies that array out
+    // of the hashed relation per band-join probe (edit_dist_pairs 2.92 s
+    // converted vs 0.92 s static sort-merge). Merge keeps the arrays in
+    // place and is the only shape that survives corpus scale.
+    val cross = a.join(b.hint("merge"), Seq("lang", "jband"))
       .filter(col("rep_a") < col("rep_b") &&
         abs(col("len_a") - col("len_b")) <= maxLenDiff)
       // threshold-aware merge with early abort (SortedIntersectAtLeast):
