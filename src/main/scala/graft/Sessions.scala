@@ -107,9 +107,16 @@ object Sessions {
     * The cleaner's tracked-reference buffer is reached reflectively
     * (`SparkContext.cleaner` is private[spark] — public in bytecode —
     * and `referenceBuffer` is a private field); measurement-harness-only
-    * code, never on a query path. Waits until the buffer size is stable
-    * across two 50 ms polls (cleanup completed, nothing in flight) or
-    * 2 s elapse; any reflection failure degrades to plain releaseAll. */
+    * code, never on a query path. Settle criterion (round-11 ADVICE: the
+    * old "stable across two 50 ms polls" could be satisfied BEFORE
+    * cleanup even started — after System.gc() the dead weak refs may not
+    * be enqueued yet, so the buffer is momentarily stable while cleanup
+    * is still pending): once a SHRINK has been observed, two stable
+    * polls mean cleanup ran and finished; if no shrink is ever seen,
+    * require four stable polls (~200 ms — the cleaner thread polls its
+    * reference queue on a 100 ms timeout, so pending cleanup has begun
+    * by then) before concluding nothing was dead. Hard 2 s deadline
+    * either way; any reflection failure degrades to plain releaseAll. */
   def releaseAndDrain(spark: SparkSession): Unit = {
     releaseAll(spark)
     try {
@@ -127,9 +134,12 @@ object Sessions {
         val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
         var prev = -1
         var stable = 0
-        while (stable < 2 && System.nanoTime() < deadline) {
+        var shrunk = false
+        while (stable < (if (shrunk) 2 else 4) && System.nanoTime() < deadline) {
           val s = buf.size()
-          if (s == prev) stable += 1 else { stable = 0; prev = s }
+          if (prev >= 0 && s < prev) shrunk = true
+          if (s == prev) stable += 1 else stable = 0
+          prev = s
           Thread.sleep(50)
         }
       }

@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, maxShingleFreq = Some(5))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_streaming"    -> ((s, d) => graft.streaming.ClusterMaintain.streamingClusters(s, d)),
     "dedup_embedding"    -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_embedding_multiprobe" -> ((s, d) => Dedup.embeddingPairsMultiProbe(s, d)),
     "knn_bruteforce"     -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -176,6 +177,7 @@ object SparkEntry {
     "group_sample"            -> ((s, d) => TextAnalysis.groupSample(s, d)),
     "top_docs_list"           -> ((s, d) => TextAnalysis.topDocsList(s, d)),
     "manifest_cdf"            -> ((s, d) => Extras.manifestCdf(s, d)),
+    "manifest_diff"           -> ((s, d) => Extras.manifestDiff(s, d)),
     "mart_incremental_refresh" -> ((s, d) => Extras.martIncrementalRefresh(s, d)),
     "event_transitions"       -> ((s, d) => Events.eventTransitions(s, d)),
     "customers_all_priorities" -> ((s, d) => Extras.customersAllPriorities(s, d)),
@@ -2091,6 +2093,52 @@ object SparkEntry {
     // Spark resolves components by iterative hash-to-min propagation;
     // the oracle states the semantics as recursive reachability over the
     // same 64-bit-simhash Hamming-3 edge set
+    // full connected components over the MinHash jaccard>=0.9 edge set —
+    // the Spark side maintains labels batch-by-batch (ClusterMaintain)
+    // and the oracle states the equivalence theorem: incremental
+    // maintenance == one CC run over the complete pair graph
+    "dedup_streaming" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      th AS (
+        SELECT doc_id,
+               list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS h
+        FROM docs),
+      sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                 list_min(list_transform(h, x -> ((2*i+1) * x + 7*i+3) % 1000000007))) AS sig
+        FROM th),
+      bands AS (
+        SELECT doc_id, bs.b AS band,
+               sig[bs.b*4+1] AS k1, sig[bs.b*4+2] AS k2,
+               sig[bs.b*4+3] AS k3, sig[bs.b*4+4] AS k4
+        FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id),
+      hsets AS (SELECT doc_id, list_distinct(h) AS hs FROM th),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+          JOIN hsets ta ON cand.doc_a = ta.doc_id
+          JOIN hsets tb ON cand.doc_b = tb.doc_id
+        WHERE len(list_intersect(ta.hs, tb.hs))
+              / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) >= 0.9),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(src, node) AS (
+        SELECT doc_id, doc_id FROM th
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT c.doc_id, c.cluster_id, s.cluster_size
+      FROM comp c JOIN sizes s USING (cluster_id)
+      ORDER BY c.doc_id
+    """,
     "dedup_clusters" -> """
       WITH RECURSIVE th AS (
         SELECT doc_id,
@@ -3430,6 +3478,29 @@ object SparkEntry {
       FROM fin
       GROUP BY 1, 2
       ORDER BY ingestion_month, priority
+    """,
+    // the oracle recomputes the row diff from the restatement rules
+    // applied to the BUSIEST month (ties -> latest): %3==0 half-priced
+    // (update), %3==1 dropped (delete), %3==2 cloned to key+10M
+    // (insert); untouched rows of the rewritten partition must not appear
+    "manifest_diff" -> """
+      WITH mo AS (SELECT o_orderkey, o_totalprice,
+                         CAST(strftime(o_orderdate, '%Y%m') AS INT) AS im
+                  FROM orders),
+      mx AS (SELECT im AS mx FROM mo GROUP BY im
+             ORDER BY count(*) DESC, im DESC LIMIT 1),
+      tgt AS (SELECT o_orderkey, o_totalprice FROM mo, mx WHERE im = mx.mx)
+      SELECT * FROM (
+        SELECT o_orderkey, 'update' AS _change_type,
+               o_totalprice AS old_price, o_totalprice / 2 AS new_price
+        FROM tgt WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 'delete', o_totalprice, NULL
+        FROM tgt WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'insert', NULL, o_totalprice
+        FROM tgt WHERE o_orderkey % 3 = 2) t
+      ORDER BY o_orderkey, _change_type
     """,
     "manifest_cdf" -> """
       WITH mo AS (SELECT o_totalprice,

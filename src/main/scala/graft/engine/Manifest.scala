@@ -580,6 +580,61 @@ object Manifest {
     }
   }
 
+  /** Row-level snapshot-vs-snapshot diff via the manifest log (Delta's
+    * CDF-between-versions analogue, round-11 brief #5): classifies every
+    * key as `insert` (in `toVersion` only), `delete` (in `fromVersion`
+    * only) or `update` (in both with any value column changed), emitting
+    * old_/new_ value columns. Unchanged rows never appear.
+    *
+    * Scale shape — why this goes through the log: entries are immutable,
+    * so an entry present in BOTH snapshots contributes identical rows to
+    * both sides and can never produce a diff. Only the net
+    * removed/added entries (the [[changeFeed]] set) are scanned and
+    * joined — a one-partition restatement on a 100 TB table diffs one
+    * partition's rows, not the table (physical pin in `ManifestSpec`).
+    * A key that MOVED between entries appears on both sides and
+    * classifies by value comparison like any other.
+    *
+    * Contract: `keyCols` uniquely identify a row within each snapshot.
+    * Value columns are the non-key columns of the `toVersion` schema
+    * that also exist at `fromVersion` (comparison needs both sides). */
+  def snapshotDiff(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when, struct, coalesce, not}
+    require(fromVersion <= toVersion,
+      s"snapshotDiff: fromVersion $fromVersion > toVersion $toVersion")
+    val st0 = state(spark, path, Some(fromVersion)).getOrElse(
+      throw new IllegalArgumentException(s"no manifest version $fromVersion at $path"))
+    val st1 = state(spark, path, Some(toVersion)).getOrElse(
+      throw new IllegalArgumentException(s"no manifest version $toVersion at $path"))
+    def key(e: Entry) = (e.part, e.dir)
+    val keys0 = st0.entries.map(key).toSet
+    val keys1 = st1.entries.map(key).toSet
+    val schema0 = StructType.fromDDL(st0.schemaDdl)
+    val schema1 = StructType.fromDDL(st1.schemaDdl)
+    val valueCols = schema1.fieldNames.toSeq
+      .filterNot(keyCols.contains).filter(schema0.fieldNames.contains)
+    val before = readEntries(spark, path, schema0,
+      st0.entries.filterNot(e => keys1.contains(key(e))))
+    val after = readEntries(spark, path, schema1,
+      st1.entries.filterNot(e => keys0.contains(key(e))))
+    val b = before.select((keyCols.map(col) :+ lit(true).as("__has_old")) ++
+      valueCols.map(c => col(c).as(s"old_$c")): _*)
+    val a = after.select((keyCols.map(col) :+ lit(true).as("__has_new")) ++
+      valueCols.map(c => col(c).as(s"new_$c")): _*)
+    val j = b.join(a, keyCols, "full_outer")
+    val changed = valueCols
+      .map(c => not(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    j.withColumn("_change_type",
+        when(col("__has_old").isNull, "insert")
+          .when(col("__has_new").isNull, "delete")
+          .otherwise("update"))
+      .filter(col("_change_type") =!= "update" || changed)
+      .select(keyCols.map(col) ++ Seq(col("_change_type")) ++
+        valueCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Exactly-once incremental consumption of a manifest table (the
     * Delta-streaming-source consumer pattern, composed from
     * [[changeFeed]] + a version checkpoint): processes the net change

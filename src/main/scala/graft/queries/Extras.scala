@@ -656,6 +656,50 @@ object Extras {
       .orderBy(col("_change_type"))
   }
 
+  /** Row-level time-travel diff on a manifest table (round-11 brief #5
+    * — the `DESCRIBE HISTORY`-plus-CDF consumer pattern): load orders
+    * by month (v0), restate the latest month with a MIXED change — keys
+    * ≡0 (mod 3) half-priced (update), ≡1 deleted, ≡2 cloned to new keys
+    * (insert) with the originals untouched — then ask the manifest for
+    * the v0→v1 row diff. Unchanged rows inside the rewritten partition
+    * must NOT appear (value comparison, not partition membership), and
+    * no other partition is scanned ([[graft.engine.Manifest
+    * .snapshotDiff]] reads only net-changed entries; physical pin in
+    * `ManifestSpec`). The oracle recomputes the same diff from the
+    * transformation rules directly. */
+  def manifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.engine.Fs.scratch("graft_snapdiff", dir)
+    graft.engine.Fs.deleteDir(spark, out)
+    val src = Tables.orders(spark, dir)
+      .withColumn("ingestion_month",
+        date_format(col("o_orderdate"), "yyyyMM").cast("int"))
+    graft.engine.Manifest.replacePartitions(src, out, Seq("ingestion_month"))
+    // restate the BUSIEST month (ties → latest) — unlike manifest_cdf's
+    // latest-month rewrite, the target must carry all three key classes,
+    // and the tail month can be a single order (at sf0.001 it is ONE
+    // key ≡1 mod 3, which would make the restated frame empty and the
+    // partition replace a no-op). The argmax is an O(months) agg + one
+    // driver row, same weight class as the gate report reads.
+    val busiest = src.groupBy(col("ingestion_month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ingestion_month").desc)
+      .head().getInt(0)
+    val v0m = graft.engine.Manifest
+      .readPoint(spark, out, "ingestion_month", busiest, Some(0L))
+    val restated = v0m.filter(col("o_orderkey") % 3 =!= 1)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") / 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(v0m.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    graft.engine.Manifest.replacePartitions(restated, out, Seq("ingestion_month"))
+    graft.engine.Manifest.snapshotDiff(spark, out, 0L, 1L, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("_change_type"),
+        col("old_o_totalprice").as("old_price"),
+        col("new_o_totalprice").as("new_price"))
+      .orderBy(col("o_orderkey"), col("_change_type"))
+  }
+
   /** CDF-driven incremental mart refresh — the composite the manifest
     * layer exists for: a mart over a versioned fact is refreshed by
     * recomputing ONLY the partitions the change feed names, and the

@@ -66,6 +66,42 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(Bench.bandFactor(Seq("a" -> 2.0, "b" -> 3.0), prior).contains(1.0))
   }
 
+  test("sameSfPriors: cross-sf priors are absent for EVERY consumer (stall suspects included)") {
+    val prior = Map("q1" -> 2.5, "q2" -> 0.75)
+    // same sf (or a legacy artifact with no sf field): priors usable
+    assert(Bench.sameSfPriors(prior, Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1") == prior)
+    assert(Bench.sameSfPriors(prior, None, "/root/testdata/sf0.1") == prior)
+    // sf mismatch: empty — a sf0.001 smoke against sf0.1 priors must
+    // neither fake a ~0.1 band_factor nor re-probe sub-scale "stalls",
+    // and a LARGER-sf run must not re-probe every query as a stall
+    val crossSf = Bench.sameSfPriors(prior, Some("/root/testdata/sf0.001"), "/root/testdata/sf0.1")
+    assert(crossSf.isEmpty)
+    assert(Bench.stallSuspects(Map("q1" -> 9.0), crossSf).isEmpty)
+    assert(Bench.bandFactor(Seq("q1" -> 9.0), crossSf).isEmpty)
+  }
+
+  test("shouldReplacePriors: best-committed-recording policy") {
+    val sf = "/root/testdata/sf0.1"
+    val good = tmpJson(
+      s"""{"metric":"total","value":132.9,"queries":{"q1":2.5,"q2":0.75},"sf":"$sf"}""")
+    // a WORSE full run at the same sf and surface must NOT clobber
+    assert(!Bench.shouldReplacePriors(good, 157.2, sf, 2))
+    // a better run replaces
+    assert(Bench.shouldReplacePriors(good, 130.0, sf, 2))
+    // surface growth replaces even when the total is higher (new
+    // queries need priors at all)
+    assert(Bench.shouldReplacePriors(good, 140.0, sf, 3))
+    // a full run at a DIFFERENT sf keeps the committed canonical-sf
+    // priors (a sf0.001 sanity pass must not clobber the sf0.1 map;
+    // re-baselining sf is SPARK_GRAFT_BENCH_FORCE_TOTAL=1 territory)
+    assert(!Bench.shouldReplacePriors(good, 5.0, "/root/testdata/sf0.001", 2))
+    // missing/unusable artifact always replaces
+    assert(Bench.shouldReplacePriors(new java.io.File("/nonexistent/B.json"), 157.2, sf, 2))
+    assert(Bench.shouldReplacePriors(tmpJson("{not json"), 157.2, sf, 2))
+    assert(Bench.parsePriorTotal(good).contains(132.9))
+    assert(Bench.parsePriorTotal(tmpJson("{not json")).isEmpty)
+  }
+
   test("heapOffProfile: flags >2x above or below the tuned 16 GiB, not the tuned band itself") {
     assert(!Bench.heapOffProfile(16384))
     assert(!Bench.heapOffProfile(32768))  // exactly 2x: still in-profile

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+import graft.dedup.Dedup
+import graft.streaming.ClusterMaintain
+
+/** Pins [[graft.streaming.ClusterMaintain]] — incremental near-dup
+  * cluster maintenance (round-11 brief #4). The pins, in order of
+  * importance: (1) the incremental invariant — maintained labels equal
+  * ONE full connected-components run over the complete MinHash pair
+  * graph; (2) the merge mechanics on a deterministic micro-corpus
+  * (backward-moving minimum, CHAINED merges that need transitive
+  * resolution); (3) replay determinism under the batch-keyed stores;
+  * (4) the 100 TB shape — the stored-index probe keeps the corpus side
+  * map-only (batch bands broadcast; the only shuffle is the
+  * survivor-scale distinct). */
+class ClusterMaintainSpec extends SparkSpec {
+
+  test("incremental maintenance == one full CC run over the complete MinHash pair graph") {
+    // 3 batches here (the query surface defaults to 2 for bench cost):
+    // the deeper replay exercises merge CHAINS against the real fixture
+    val got = ClusterMaintain.streamingClusters(spark, sf, nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // expected: full CC over the exact (uncapped) pair generator +
+    // singleton attach + sizes — the nearDupClusters shape on the
+    // minhash edge basis
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashPairs(spark, sf), "doc_a", "doc_b")
+    val assigned = Tables.documents(spark, sf).select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "__n"),
+        col("doc_id") === col("__n"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val expected = assigned.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"incremental labels diverge from full CC: only-got=${(got -- expected).take(5)} " +
+        s"only-expected=${(expected -- got).take(5)}")
+  }
+
+  test("merge mechanics: backward-moving min and CHAINED merges resolve transitively") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cm_micro").toString + "/store"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // identical texts share signatures, so every band collides —
+    // deterministic edges; later batches carry SMALLER ids, so cluster
+    // minima move backward and each move is a stored merge edge
+    ClusterMaintain.ingestBatch(batch(10L -> t1, 20L -> t2), root, 0L)
+    ClusterMaintain.ingestBatch(batch(30L -> t1, 40L -> t2), root, 1L)
+    ClusterMaintain.ingestBatch(batch(5L -> t1, 15L -> t2), root, 2L) // merges 10->5, 20->15
+    ClusterMaintain.ingestBatch(batch(3L -> t1), root, 3L)            // merge 5->3 (chain!)
+    val got = ClusterMaintain.labels(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 3L, 30L -> 3L, 5L -> 3L, 3L -> 3L,
+      20L -> 15L, 40L -> 15L, 15L -> 15L),
+      s"got $got")
+    // label store rows for batch-0 docs still carry their ORIGINAL
+    // labels — merges are recorded, old members never rewritten
+    val raw = spark.read.parquet(s"$root/labels")
+      .filter(col("batch_id") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw == Map(10L -> 10L, 20L -> 20L),
+      s"batch-0 label rows were rewritten: $raw")
+  }
+
+  test("replay: re-ingesting a middle batch after later batches reproduces the stores") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cm_replay").toString + "/store"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    (0L to 2L).foreach { b =>
+      ClusterMaintain.ingestBatch(docs.filter(col("doc_id") % 3 === b), root, b)
+    }
+    val before = ClusterMaintain.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // redeliver batch 1 (crash-replay): probes only batches < 1, so the
+    // original decision basis is restored exactly
+    ClusterMaintain.ingestBatch(docs.filter(col("doc_id") % 3 === 1), root, 1L)
+    val after = ClusterMaintain.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after.sameElements(before), "replayed batch changed the resolved labels")
+  }
+
+  test("plan: the stored-index probe keeps the corpus map-only (batch broadcast, no SMJ, one survivor-scale exchange)") {
+    val docs = Tables.documents(spark, sf)
+    val sigs = Dedup.signaturesFor(docs.filter(col("doc_id") % 3 === 2))
+    val stored = Dedup.signaturesFor(docs.filter(col("doc_id") % 3 =!= 2))
+    val plan = ClusterMaintain.candidateEdges(sigs, stored, 0.9)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the stored side flows scan -> band explode -> broadcast probe ->
+    // verify with ZERO exchanges; the only shuffle is the
+    // survivor-scale distinct on (bdoc, cdoc)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 shuffle exchange, got $exchanges\n$plan")
+  }
+}

@@ -36,9 +36,16 @@ class IvfBuildSpec extends SparkSpec {
         prev = execs.get(); Thread.sleep(100); tries += 1
       }
     } finally spark.sparkContext.removeSparkListener(listener)
-    assert(execs.get() == 1 + iters + 2,
-      s"fused IVF build must schedule 1 seed + $iters iteration jobs + " +
-        s"2 index writes, saw ${execs.get()}")
+    // upper bound, not exact (round-11 ADVICE): the pin guards against
+    // the fusion REGRESSING into extra corpus scans; a Spark-version
+    // change emitting one more bookkeeping execution must not fail it.
+    // A lower bound of the irreducible actions keeps the pin honest.
+    assert(execs.get() <= 1 + iters + 2,
+      s"fused IVF build must schedule at most 1 seed + $iters iteration " +
+        s"jobs + 2 index writes, saw ${execs.get()} — fusion regressed")
+    assert(execs.get() >= 1 + iters,
+      s"expected at least the seed + $iters iteration jobs, saw ${execs.get()} " +
+        "— the listener missed executions; pin is not measuring")
   }
 
   test("kmeansLloyd over a checkpointed corpus == kmeansFit from parquet, bit for bit") {

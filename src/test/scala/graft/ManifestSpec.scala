@@ -89,6 +89,41 @@ class ManifestSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.contains("_change_type"))
   }
 
+  test("snapshotDiff: row-level insert/update/delete; unchanged rows absent; only changed partitions scanned") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("manDiff").toString
+    // v0: p in 1..3, 20 rows each, v = id*10
+    Manifest.write(
+      Seq.tabulate(60)(i => (i % 3 + 1, i.toLong, i * 10L)).toDF("p", "id", "v"),
+      path, Seq("p"))
+    // v1 rewrites p=2 only (ids ≡1 mod 3): drop id 1 (delete), id 4 ->
+    // v=999 (update), id 1000 appears (insert), every other row UNCHANGED
+    val p2 = (0 until 60).map(_.toLong).filter(i => i % 3 == 1 && i != 1)
+      .map(i => (2, i, if (i == 4) 999L else i * 10L))
+    Manifest.replacePartitions((p2 :+ ((2, 1000L, 5L))).toDF("p", "id", "v"),
+      path, Seq("p"))
+    val diff = Manifest.snapshotDiff(spark, path, 0L, 1L, Seq("id"))
+    val rows = diff.collect().map { r =>
+      r.getLong(0) -> ((r.getString(1),
+        Option(r.getAs[java.lang.Long]("old_v")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("new_v")).map(_.toLong)))
+    }.toMap
+    assert(rows == Map(
+      1L -> (("delete", Some(10L), None)),
+      4L -> (("update", Some(40L), Some(999L))),
+      1000L -> (("insert", None, Some(5L)))),
+      s"diff misclassified: $rows")
+    // the 18 unchanged rewritten-partition rows must NOT appear
+    assert(diff.count() == 3)
+    // physical pin: a one-partition restatement diffs ONE partition's
+    // files — p=1 and p=3 are never listed or scanned
+    assert(diff.inputFiles.nonEmpty && diff.inputFiles.forall(_.contains("/p=2/")),
+      "snapshotDiff scanned an unchanged partition's files")
+    // identical versions → empty diff, schema intact
+    val empty = Manifest.snapshotDiff(spark, path, 1L, 1L, Seq("id"))
+    assert(empty.count() == 0 && empty.columns.contains("_change_type"))
+  }
+
   test("consumeChanges: checkpointed feed consumption — full first load, redelivery on crash, exactly-once on ack") {
     import spark.implicits._
     val path = Files.createTempDirectory("manCon").toString
