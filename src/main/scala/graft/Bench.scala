@@ -123,14 +123,43 @@ object Bench {
 
   /** Fixed band canary: three band-sensitive queries with stable,
     * re-audited plans and no internal persists, spanning the profile
-    * (string-heavy segment scan, small OLS agg, star-join top-K). Probed
-    * in isolation at run START and END; `band_factor` = the median of
-    * (probe ÷ committed prior) over all probes with a positive prior.
-    * This makes the host band a NUMBER IN THE ARTIFACT — a uniform +25%
-    * host drift (round 10's driver run) escapes the 2×+1s stall
-    * re-probe entirely, and until now could only be reconstructed by
-    * diffing two recordings. */
+    * (string-heavy segment scan, small OLS agg, star-join top-K).
+    *
+    * Probed in isolation TWICE at run start, midpoint and end — the
+    * round-12 finding that closed the r11 "end-of-run drift": the FIRST
+    * probe of a query idle for minutes pays JIT recency (deopt/
+    * recompile recovery; measured +15–39% over the immediately
+    * following second probe at sf0.1), while second probes are FLAT
+    * across a full 15-minute run (mid 1.097 / end-second 1.107 on
+    * bpe_segment with gc/heap/metaspace/steal all benign). A
+    * single-probe canary therefore confounds host band with JIT
+    * recency — r11's "end canaries 1.2–1.6× start" was this artifact,
+    * not JVM aging. Both probes are recorded (`canary_*_cold` /
+    * `canary_*`); `band_factor` = median of (steady probe ÷ the PRIOR
+    * ARTIFACT's own steady canary values) so like compares with like —
+    * falling back to prior timed medians for pre-r12 artifacts. */
   private[graft] val CanaryNames = Seq("bpe_segment", "quality_ols", "top_products")
+
+  /** Steady-state canary values of a prior artifact: per canary, the
+    * median of its recorded values across the canary_start/mid/end
+    * legs. None when the artifact predates canary blocks. */
+  private[graft] def parsePriorCanaries(f: java.io.File): Option[Map[String, Double]] =
+    if (!f.exists) None
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val env = Option(node).flatMap(n => Option(n.get("env"))).orNull
+      if (env == null) None
+      else {
+        val legs = Seq("canary_start", "canary_mid", "canary_end")
+          .flatMap(k => Option(env.get(k)))
+        val byName = CanaryNames.flatMap { name =>
+          val vs = legs.flatMap(l => Option(l.get(name)))
+            .map(_.asDouble()).filter(_ > 0).sorted
+          if (vs.isEmpty) None else Some(name -> vs((vs.size - 1) / 2))
+        }.toMap
+        if (byName.isEmpty) None else Some(byName)
+      }
+    } catch { case _: Throwable => None }
 
   /** End-of-run in-set-vs-isolated probe targets: queries that showed a
     * same-JVM in-set tax in past artifacts (dedup_clusters: driver r10
@@ -143,6 +172,23 @@ object Bench {
     val ratios = probes.collect {
       case (k, v) if v > 0 && prior.get(k).exists(_ > 0) => v / prior(k)
     }.sorted
+    if (ratios.isEmpty) None else Some(ratios((ratios.size - 1) / 2))
+  }
+
+  /** Whole-set band estimate: median of (fresh median ÷ prior median)
+    * over every query present in both runs. Round-12 finding: the
+    * 3-query canary's single isolated probes carry ±25–30% noise at
+    * ~1 s scale (one r12 run read band_factor 1.19 while its own
+    * medians ran 0.96× the same priors), while this estimator medians
+    * over 170+ median-of-3 values and is robust to a minority of
+    * queries genuinely changing between rounds (a plan change moves its
+    * own queries, not the median). Canary legs remain for WITHIN-run
+    * band timeline; set_factor is the run-vs-priors number to trust. */
+  private[graft] def setFactor(medians: Map[String, Double],
+      prior: Map[String, Double]): Option[Double] = {
+    val ratios = medians.collect {
+      case (k, v) if v > 0 && prior.get(k).exists(_ > 0) => v / prior(k)
+    }.toSeq.sorted
     if (ratios.isEmpty) None else Some(ratios((ratios.size - 1) / 2))
   }
 
@@ -310,12 +356,21 @@ object Bench {
         isolate()
         name -> dt
       }
-    // band canary, leg 1 (full runs only — targeted SPARK_GRAFT_BENCH_ONLY
-    // probes skip it to stay fast); leg 2 runs after the stall re-probes
-    val canaryStart =
-      if (only.isEmpty) CanaryNames.flatMap(probeOnce) else Seq.empty
-    canaryStart.foreach { case (n, t) =>
-      System.err.println(f"[bench] CANARY-START $n%-20s $t%8.3fs") }
+    // each canary leg probes TWICE: the first probe pays JIT recency
+    // for code idle since its last execution, the second is the
+    // steady-state cost a host-band canary must measure (see CanaryNames)
+    def probeLeg(tag: String): (Seq[(String, Double)], Seq[(String, Double)]) =
+      if (only.nonEmpty) (Seq.empty, Seq.empty)
+      else {
+        val cold = CanaryNames.flatMap(probeOnce)
+        cold.foreach { case (n, t) =>
+          System.err.println(f"[bench] CANARY-$tag-COLD $n%-20s $t%8.3fs") }
+        val steady = CanaryNames.flatMap(probeOnce)
+        steady.foreach { case (n, t) =>
+          System.err.println(f"[bench] CANARY-$tag      $n%-20s $t%8.3fs") }
+        (cold, steady)
+      }
+    val (canaryStartCold, canaryStart) = probeLeg("START")
     val jitStart = jitStats()
     System.err.println(s"[bench] JIT-START $jitStart")
     // band canary, MID leg (round-12 drift bisect): both r11 artifacts
@@ -325,13 +380,14 @@ object Bench {
     // cost is charged to the isolation gap, never a query's timer.
     val sel = selected.toSeq
     val midIdx = sel.size / 2
+    var canaryMidCold: Seq[(String, Double)] = Seq.empty
     var canaryMid: Seq[(String, Double)] = Seq.empty
     var jitMid: Map[String, Long] = Map.empty
     val results = sel.zipWithIndex.map { case ((name, fn), idx) =>
       if (only.isEmpty && sel.size > 8 && idx == midIdx) {
-        canaryMid = CanaryNames.flatMap(probeOnce)
-        canaryMid.foreach { case (n, t) =>
-          System.err.println(f"[bench] CANARY-MID   $n%-20s $t%8.3fs") }
+        val (mc, ms) = probeLeg("MID")
+        canaryMidCold = mc
+        canaryMid = ms
         jitMid = jitStats()
         System.err.println(s"[bench] JIT-MID   $jitMid")
       }
@@ -393,28 +449,26 @@ object Bench {
         name -> dt
       }
     }
-    // band canary, leg 2 — the same probes after the whole timed set, so
-    // a band that shifted DURING the run shows up as start≠end
-    val canaryEnd =
-      if (only.isEmpty) CanaryNames.flatMap(probeOnce) else Seq.empty
-    canaryEnd.foreach { case (n, t) =>
-      System.err.println(f"[bench] CANARY-END   $n%-20s $t%8.3fs") }
-    // SECOND consecutive end triple — the drift discriminator (r12):
-    // end probes read 1.2–1.6× start in every r11 artifact while MID
-    // probes are flat. If this second triple recovers toward start, the
-    // end tax is TRANSIENT leftover state from the heavy tail queries
-    // (cleanup escaping the drain); if it matches canary_end, the JVM
-    // itself has aged and the mechanism is cumulative.
-    val canaryEnd2 =
-      if (only.isEmpty) CanaryNames.flatMap(probeOnce) else Seq.empty
-    canaryEnd2.foreach { case (n, t) =>
-      System.err.println(f"[bench] CANARY-END2  $n%-20s $t%8.3fs") }
+    // end leg — the same double probe after the whole timed set, so a
+    // band that shifted DURING the run shows up as start≠end on the
+    // steady probes (and JIT recency stays visible in the cold ones)
+    val (canaryEndCold, canaryEnd) = probeLeg("END")
     // sf guard: priors from a different scale factor make the ratio
     // fiction (a sf0.001 smoke vs sf0.1 priors reads ~0.1) — `prior` is
-    // already empty on a sf mismatch, so bandFactor yields None there
-    val band = bandFactor(canaryStart ++ canaryMid ++ canaryEnd, prior)
+    // already empty on a sf mismatch, so bandFactor yields None there.
+    // The denominator prefers the prior artifact's own steady canary
+    // values (like vs like); prior TIMED medians, the pre-r12 fallback,
+    // run ~1.1–1.2× steady (passes 2..3 of a consecutive triple carry a
+    // same-query re-execution tax), biasing the factor ~0.9 low.
+    val steadyBase =
+      if (prior.nonEmpty) parsePriorCanaries(priorsFile).getOrElse(prior)
+      else Map.empty[String, Double]
+    val band = bandFactor(canaryStart ++ canaryMid ++ canaryEnd, steadyBase)
     band.foreach(b => System.err.println(f"[bench] band_factor=$b%.3f " +
       "(canary median / committed prior; ~1.0 = the band the priors were recorded on)"))
+    val setFac = setFactor(medianMap, prior)
+    setFac.foreach(s => System.err.println(f"[bench] set_factor=$s%.3f " +
+      "(median per-query ratio vs priors over the whole common set — trust this over band_factor)"))
     // in-set-vs-isolated TAX probe (round-10 verdict #3): the query most
     // sensitive to residual session state (the RDD-fixpoint loop) gets
     // one isolated re-probe at run end in EVERY full artifact, so the
@@ -453,8 +507,10 @@ object Bench {
       s"""{"recorded_at":"${java.time.Instant.now()}","heap_mib":$heapMib,""" +
         s""""heap_off_profile":${heapOffProfile(heapMib)},$reexecFrom"cpus":$cpus,"passes":$passes,""" +
         s""""band_factor":${band.map(_.toString).getOrElse("null")},""" +
-        s""""canary_start":${canaryJson(canaryStart)},"canary_mid":${canaryJson(canaryMid)},""" +
-        s""""canary_end":${canaryJson(canaryEnd)},"canary_end2":${canaryJson(canaryEnd2)},""" +
+        s""""set_factor":${setFac.map(_.toString).getOrElse("null")},""" +
+        s""""canary_start":${canaryJson(canaryStart)},"canary_start_cold":${canaryJson(canaryStartCold)},""" +
+        s""""canary_mid":${canaryJson(canaryMid)},"canary_mid_cold":${canaryJson(canaryMidCold)},""" +
+        s""""canary_end":${canaryJson(canaryEnd)},"canary_end_cold":${canaryJson(canaryEndCold)},""" +
         s""""jit_start":${jitJson(jitStart)},"jit_mid":${jitJson(jitMid)},"jit_end":${jitJson(jitEnd)},""" +
         s""""recorded_by":"$recorder"}"""
     val taxJson = taxProbes.map { case (k, v) =>

@@ -139,6 +139,25 @@ object ScaleProbe {
             .write.mode("overwrite").parquet(s"$edLang/documents.parquet")
         }
 
+        // streaming-CC root: the STORE grows ×m (token-salted replicas,
+        // disjoint near-dup graphs), the timed unit ingests the SAME
+        // fixed batch against it — the operator's scale claim is that
+        // per-ingest work is batch + touched clusters + a map-only
+        // index scan, so ingest time must grow only with the scan term,
+        // never like a corpus re-cluster
+        val stRoot = s"/tmp/graft_scale_stream_x$m/store"
+        if (want("streaming")) {
+          graft.engine.Fs.deleteDir(spark, stRoot)
+          val corpus = (0 until m).map(i => docs
+              .filter(col("doc_id") % 7 =!= 3).select(
+                (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+                (if (i == 0) col("text")
+                 else expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')"))
+                  .as("text")))
+            .reduce(_.unionAll(_))
+          graft.streaming.ClusterMaintain.ingestBatch(corpus, stRoot, 0L)
+        }
+
         if (want("minhash"))
           timed2(f"minhash_pairs    x$m")(graft.dedup.Dedup.minhashPairs(spark, root).count())
         if (want("triangles"))
@@ -158,6 +177,12 @@ object ScaleProbe {
           timed2(f"edit_dist langs  x$m")(
             graft.dedup.Dedup.editDistancePairs(spark, edLang).count())
         }
+        if (want("streaming"))
+          // replay of the same batch_id is idempotent, so timed2's
+          // warm+timed double-run measures the identical ingest twice
+          timed2(f"stream_ingest    x$m")(
+            graft.streaming.ClusterMaintain.ingestBatch(
+              docs.filter(col("doc_id") % 7 === 3), stRoot, 1L))
       }
       spark.stop(); return
     }

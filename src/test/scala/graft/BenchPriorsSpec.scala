@@ -102,6 +102,35 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(Bench.parsePriorTotal(tmpJson("{not json")).isEmpty)
   }
 
+  test("parsePriorCanaries: per-canary median across the artifact's steady legs; absent blocks yield None") {
+    val f = tmpJson(
+      """{"metric":"total","value":10.0,"queries":{"bpe_segment":2.2},
+         "env":{"canary_start":{"bpe_segment":1.6,"quality_ols":0.36},
+                "canary_mid":{"bpe_segment":1.1,"quality_ols":0.27},
+                "canary_end":{"bpe_segment":1.3,"quality_ols":0.34,"top_products":1.0}},
+         "sf":"x"}""".replaceAll("\n\\s*", ""))
+    val got = Bench.parsePriorCanaries(f).get
+    // bpe: median(1.6, 1.1, 1.3) = 1.3; ols: median(.36,.27,.34) = .34;
+    // top: single leg -> itself
+    assert(got("bpe_segment") == 1.3 && got("quality_ols") == 0.34 &&
+      got("top_products") == 1.0)
+    // pre-r12 artifacts (no env/canary blocks) -> None, caller falls
+    // back to timed medians; malformed/missing files -> None
+    assert(Bench.parsePriorCanaries(tmpJson(
+      """{"metric":"total","value":10.0,"queries":{"q":1.0},"sf":"x"}""")).isEmpty)
+    assert(Bench.parsePriorCanaries(tmpJson("{not json")).isEmpty)
+    assert(Bench.parsePriorCanaries(new java.io.File("/nonexistent/B.json")).isEmpty)
+  }
+
+  test("setFactor: median per-query ratio over the common set; sentinels and fresh queries drop out") {
+    val prior = Map("a" -> 2.0, "b" -> 1.0, "c" -> 4.0, "z" -> 0.0)
+    val medians = Map("a" -> 2.4, "b" -> 0.9, "c" -> 4.4,
+      "new" -> 9.0 /* no prior */, "bad" -> -1.0 /* failed */, "z" -> 3.0 /* zero prior */)
+    // ratios: 1.2, 0.9, 1.1 -> median 1.1
+    assert(Bench.setFactor(medians, prior).contains(1.1))
+    assert(Bench.setFactor(Map("x" -> 1.0), prior).isEmpty)
+  }
+
   test("heapOffProfile: flags >2x above or below the tuned 16 GiB, not the tuned band itself") {
     assert(!Bench.heapOffProfile(16384))
     assert(!Bench.heapOffProfile(32768))  // exactly 2x: still in-profile
