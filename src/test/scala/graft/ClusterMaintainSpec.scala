@@ -87,6 +87,35 @@ class ClusterMaintainSpec extends SparkSpec {
     assert(after.sameElements(before), "replayed batch changed the resolved labels")
   }
 
+  test("streaming sink: micro-batched file source maintains the same cluster store") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cm_sink").toString
+    val in = s"$root/incoming"; val ckpt = s"$root/ckpt"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    Seq((10L, t1), (20L, t2), (30L, "solo unique words entirely different tokens"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/f0")
+    Seq((5L, t1), (15L, t2))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/f1")
+    // file-source micro-batch order follows modification time — force
+    // f1 strictly later so batch ids (and merge direction) are stable
+    new java.io.File(s"$in/f1").listFiles().foreach { f =>
+      f.setLastModified(System.currentTimeMillis() + 60000)
+    }
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    val q = ClusterMaintain.sink(stream, s"$root/store", ckpt)
+    q.awaitTermination(120000)
+    val got = ClusterMaintain.labels(spark, s"$root/store")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch 1's smaller ids pull both cluster minima backward (merges
+    // 10->5 and 20->15 recorded by the foreachBatch ingest); the
+    // singleton stays itself
+    assert(got == Map(10L -> ((5L, 2L)), 5L -> ((5L, 2L)),
+      20L -> ((15L, 2L)), 15L -> ((15L, 2L)), 30L -> ((30L, 1L))), s"got $got")
+  }
+
   test("plan: the stored-index probe keeps the corpus map-only (batch broadcast, no SMJ, one survivor-scale exchange)") {
     val docs = Tables.documents(spark, sf)
     val sigs = Dedup.signaturesFor(docs.filter(col("doc_id") % 3 === 2))
