@@ -124,6 +124,53 @@ class ManifestSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.contains("_change_type"))
   }
 
+  test("snapshotDiff equals the brute-force diff of the two materialized snapshots (random DML)") {
+    import spark.implicits._
+    // the entry-pruning shortcut (diff only net-changed entries) must
+    // never change semantics: for a seeded random sequence of partition
+    // restatements, every adjacent-version snapshotDiff is compared
+    // against the full-outer-join diff of the two materialized reads
+    val path = Files.createTempDirectory("manDiffProp").toString
+    val rnd = new scala.util.Random(12)
+    def gen(p: Int, tag: Int): Seq[(Int, Long, Long)] =
+      (0 until 12).flatMap { i =>
+        val id = p * 100L + i
+        // membership and value both vary by (version, id)
+        if ((id + tag) % 5 == 0) None
+        else Some((p, id, id * 10 + (if ((id + tag) % 3 == 0) tag else 0)))
+      } ++ (if (tag % 2 == 1) Seq((p, p * 100L + 90 + tag, 7L)) else Nil)
+    Manifest.write(
+      (1 to 3).flatMap(p => gen(p, 0)).toDF("p", "id", "v"), path, Seq("p"))
+    def brute(from: Long, to: Long) = {
+      val a = Manifest.read(spark, path, Some(from))
+        .select(col("id"), col("p").as("oldp"), col("v").as("oldv"), lit(true).as("ha"))
+      val b = Manifest.read(spark, path, Some(to))
+        .select(col("id"), col("p").as("newp"), col("v").as("newv"), lit(true).as("hb"))
+      a.join(b, Seq("id"), "full_outer")
+        .withColumn("t", when(col("ha").isNull, "insert")
+          .when(col("hb").isNull, "delete").otherwise("update"))
+        .filter(col("t") =!= "update" ||
+          !(col("oldv") <=> col("newv") && col("oldp") <=> col("newp")))
+        .select(col("id"), col("t"), col("oldv"), col("newv"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getAs[java.lang.Long]("oldv")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("newv")).map(_.toLong))).toSet
+    }
+    (1 to 4).foreach { tag =>
+      val p0 = 1 + rnd.nextInt(3)
+      Manifest.replacePartitions(gen(p0, tag).toDF("p", "id", "v"), path, Seq("p"))
+      val v = Manifest.currentVersion(spark, path).get
+      val got = Manifest.snapshotDiff(spark, path, v - 1, v, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getAs[java.lang.Long]("old_v")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("new_v")).map(_.toLong))).toSet
+      val want = brute(v - 1, v)
+      assert(got == want,
+        s"v${v - 1}->v$v: only-got=${(got -- want).take(3)} only-want=${(want -- got).take(3)}")
+      assert(got.nonEmpty, s"degenerate step at v$v — generator produced no change")
+    }
+  }
+
   test("consumeChanges: checkpointed feed consumption — full first load, redelivery on crash, exactly-once on ack") {
     import spark.implicits._
     val path = Files.createTempDirectory("manCon").toString
