@@ -74,7 +74,7 @@ object ScaleProbe {
               (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
             .reduce(_.unionAll(_))
             .write.mode("overwrite").parquet(s"$root/documents.parquet")
-        if (want("triangles")) {
+        if (want("triangles") || want("kcore")) {
           val li = Tables.lineitem(spark, base)
             .select(col("l_orderkey"), col("l_partkey"))
           (0 until m).map(i => li.select(
@@ -93,7 +93,7 @@ object ScaleProbe {
 
         // CC-family root: token-salted replicas (disjoint graph copies)
         val ccRoot = s"/tmp/graft_scale_cc_x$m"
-        if (want("cc"))
+        if (want("cc") || want("containment"))
           (0 until m).map(i => docs.select(
               (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
               (if (i == 0) col("text")
@@ -163,6 +163,22 @@ object ScaleProbe {
         if (want("triangles"))
           timed2(f"triangle_counts  x$m")(
             graft.queries.Graphs.triangleCounts(spark, root).count())
+        // kcore rides the triangles root: ×m disjoint co-purchase graph
+        // copies (orderkey/partkey both shifted), so nodes, edges and the
+        // peel workload all grow ∝ m while the adaptive k stays the ×1
+        // value (each copy has the ×1 degree distribution) — per-round
+        // join + aggregate must scale linearly
+        if (want("kcore"))
+          timed2(f"part_kcore       x$m")(
+            graft.queries.Graphs.partKcore(spark, root).count())
+        // containment rides the CC root: token-salted replicas keep the
+        // shingle spaces DISJOINT (posting lists stay ×1-length, the
+        // inverted-index join grows ∝ m, no m² candidate blowup — clone
+        // replicas would instead square the OUTPUT, which is the
+        // operator's honest output-bound axis, same as minhash clones)
+        if (want("containment"))
+          timed2(f"containment      x$m")(
+            graft.dedup.Dedup.containmentPairs(spark, ccRoot).count())
         if (want("knn_pq"))
           timed2(f"knn_pq           x$m")(graft.sim.Similarity.knnPq(spark, root).count())
         if (want("cc"))

@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_minhash_capped" -> ((s, d) => Dedup.minhashPairs(s, d, maxBucketSize = Some(10))),
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, maxShingleFreq = Some(5))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -78,6 +79,7 @@ object SparkEntry {
     "semantic_dedup_capped" -> ((s, d) =>
       Similarity.semanticDedup(s, d, maxClusterSize = Some(25))),
     "knn_pq"             -> ((s, d) => Similarity.knnPq(s, d)),
+    "knn_ivfpq"          -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -185,6 +187,7 @@ object SparkEntry {
     "normalize_text"          -> ((s, d) => TextAnalysis.normalizeText(s, d)),
     "part_pagerank"           -> ((s, d) => Graphs.partPagerank(s, d)),
     "part_communities"        -> ((s, d) => Graphs.partCommunities(s, d)),
+    "part_kcore"              -> ((s, d) => Graphs.partKcore(s, d)),
     "winsorized_stats"        -> ((s, d) => Extras.winsorizedStats(s, d)),
     // oracle = the training loop unrolled as a generated DuckDB CTE chain
     // (Bpe.oracleSql); additionally pinned against a sequential reference
@@ -328,6 +331,17 @@ object SparkEntry {
       // generated SQL: per-subspace PQ training/encoding/ADC/re-rank
       // unrolled — see Similarity.pqOracleSql
       ("knn_pq" -> graft.sim.Similarity.pqOracleSql()) +
+      // generated SQL: the IVF-PQ composite — the knn_ivf prefix
+      // supplies the prepared corpus + converged coarse centroids, the
+      // Similarity-generated fragment replays list assignment, the
+      // shared per-subspace PQ chain, probe routing, probed-list ADC
+      // and the exact re-rank (Similarity.ivfpqServeSql)
+      ("knn_ivfpq" -> {
+        val src = m("knn_ivf")
+        val cut = src.indexOf("q AS (")
+        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+        src.substring(0, cut) + graft.sim.Similarity.ivfpqServeSql()
+      }) +
       // generated SQL: synchronous label propagation unrolled 4 rounds —
       // per round a (node, label) count + deterministic argmax QUALIFY;
       // the edge CTE is MATERIALIZED (referenced once per round)
@@ -354,6 +368,35 @@ object SparkEntry {
       SELECT part, label AS community,
              count(*) OVER (PARTITION BY label) AS community_size
       FROM l4 ORDER BY part
+    """
+      }) +
+      // generated SQL: synchronous k-core peeling unrolled 12 rounds —
+      // per round one alive-join + grouped count with HAVING >= k; k is
+      // the density-adaptive (7·Σdeg) div (10·|V|) scalar, integer
+      // arithmetic in both engines. Monotone shrinkage makes the
+      // round-12 set a pure function of the edge set (see
+      // Graphs.partKcore's determinism note)
+      ("part_kcore" -> {
+        val rounds = (1 to 12).map { i =>
+          s"""n$i AS (
+        SELECT e.dst AS part, count(*) AS core_degree
+        FROM e JOIN n${i - 1} a ON e.src = a.part
+        GROUP BY 1 HAVING count(*) >= (SELECT k FROM kv))"""
+        }.mkString(",\n      ")
+        s"""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
+        FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT DISTINCT a.part AS src, b.part AS dst
+        FROM items a JOIN items b USING (okey)
+        WHERE a.part <> b.part),
+      kv AS (
+        SELECT (7 * sum(c)) // (10 * count(*)) AS k
+        FROM (SELECT src, count(*) AS c FROM e GROUP BY 1)),
+      n0 AS (SELECT DISTINCT src AS part FROM e),
+      $rounds
+      SELECT part, core_degree FROM n12 ORDER BY part
     """
       }) +
       // generated SQL: prototype-distance outliers — shares knn_ivf's
@@ -2207,6 +2250,36 @@ object SparkEntry {
       FROM pairs
       WHERE inter / (na + nb - inter) >= 0.5
       ORDER BY doc_a, doc_b
+    """,
+    // directed shingle containment — the same inverted-index join as
+    // dedup_ngram (no size-ratio cut: containment pairs are
+    // size-asymmetric by definition), both directions from one count
+    "dedup_containment" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(toks) - 1), i ->
+                          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   END),
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+        FROM t),
+      inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
+      shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4),
+      dirs AS (
+        SELECT doc_a AS doc_id, doc_b AS container_id, inter / na AS c_raw FROM shared
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS container_id, inter / nb AS c_raw FROM shared)
+      SELECT doc_id, container_id,
+             floor(c_raw * 10000 + 0.5) / 10000 AS containment
+      FROM dirs
+      WHERE c_raw >= 0.8
+      ORDER BY doc_id, container_id
     """,
     "dedup_ngram" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -334,6 +334,65 @@ object Graphs {
       .orderBy(col("part"))
   }
 
+  /** Density-adaptive k-core of the co-purchase graph: the maximal
+    * subgraph in which every node keeps at least `k` neighbors, computed
+    * by synchronous peeling (Matula & Beck 1983's algorithm, rounds made
+    * simultaneous for the same determinism reason as [[partCommunities]]).
+    * The core is the load-bearing community skeleton — on a document
+    * link graph the identical operator yields the densely-cited pages
+    * crawl curation keeps when it prunes the long tail.
+    *
+    * `k` adapts to graph density — `(7 × Σdeg) div (10 × |V|)` (0.7× the
+    * mean degree, INTEGER arithmetic so both engines compute the same k
+    * exactly) — because a fixed absolute k on this co-purchase family
+    * either binds nothing or cascades to empty as density scales
+    * (measured: mean-degree k empties every fixture; 0.7× converges to a
+    * stable core of ~91–97% of nodes at sf0.001–0.1). The two driver
+    * scalars (Σdeg, |V|) ride one O(1) aggregate action, the same class
+    * as pagerank's node count.
+    *
+    * Determinism over a FIXED horizon: alive sets shrink monotonically
+    * (alive₀ = all nodes; a node peeled at round i has alive-degree < k
+    * against a superset of every later alive set, so it can never
+    * re-qualify), which makes round `rounds` a pure function of the edge
+    * set whatever the convergence point — the unrolled DuckDB oracle and
+    * this loop agree by construction, converged or not. 12 rounds is
+    * fixpoint + ≥3 rounds of margin on every tested fixture (sf0.001
+    * converges by round 2, sf0.01 by 6, sf0.1 by 9; `GraphsSpec` pins
+    * fixpoint-at-horizon on the fixture).
+    *
+    * Scale shape: monotone peeling needs NO dead-node filter — a
+    * receiver below k stays below k — so each round is exactly one
+    * node-scale join (alive onto the checkpointed adjacency) feeding a
+    * pipelined explode into one hash aggregate with map-side partials,
+    * the [[partCommunities]] shape; the alive relation only shrinks.
+    * Driver state is the two scalars; labels never leave the cluster. */
+  def partKcore(spark: SparkSession, dir: String, rounds: Int = 12): DataFrame = {
+    val adj = coPurchaseAdjacency(spark, dir)
+    val firstRow = adj.agg(sum(col("outdeg")).as("s"), count(lit(1)).as("n")).head()
+    val k = (7L * firstRow.getLong(0)) / (10L * firstRow.getLong(1))
+    kcoreAdj(adj, k, rounds)
+  }
+
+  /** The peel loop over a symmetric `(src, nbrs)` adjacency relation —
+    * seam for property tests on synthetic graphs. Returns the surviving
+    * nodes with their in-core degree (alive-neighbor count at the final
+    * round). */
+  private[graft] def kcoreAdj(adj: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var alive = adj.select(col("src").as("part"))
+    var counted = adj.select(col("src").as("part"), col("outdeg").as("core_degree"))
+    for (_ <- 1 to rounds) {
+      counted = adj
+        .join(alive, adj("src") === alive("part"))
+        .select(explode(col("nbrs")).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
+        .select(col("node").as("part"), col("core_degree"))
+      alive = counted.select(col("part"))
+    }
+    counted.orderBy(col("part"))
+  }
+
   /** Power iteration over a symmetric `(src, dst, outdeg)` edge list —
     * every node must both emit and receive (guaranteed when the edge set
     * is symmetric), so no dangling-mass redistribution pass is needed.

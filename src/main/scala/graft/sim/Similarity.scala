@@ -611,6 +611,101 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ composite search (Jégou et al. 2011's IVFADC, the
+    * no-residual variant — FAISS `IndexIVFPQ` with `by_residual=false`):
+    * the coarse quantizer of [[knnIvf]] routes each query to its
+    * `nprobe` nearest inverted lists, and WITHIN the probed lists
+    * candidates are scored by [[knnPq]]'s asymmetric-distance lookup
+    * over the per-subspace codebooks, then the ADC shortlist is
+    * re-ranked exactly. Both quantizers are the repo's deterministic
+    * money-rounded Lloyd rules, so the whole composite replays in SQL.
+    *
+    * THIS is the canonical 100 TB ANN serving shape — the two scale
+    * levers multiply: IVF prunes the SCAN SET to nprobe/nClusters of
+    * the corpus (a hash equi-join on `cid`, here; a partition-pruned
+    * list read when served from [[buildIvfIndex]]'s layout), and PQ
+    * shrinks the BYTES PER SCANNED ROW ~100× (m codes + one double
+    * instead of the full vector). [[knnPq]] alone still scans every
+    * coded row per query chunk; [[knnIvf]] alone reads full vectors in
+    * the probed lists; the composite does neither. Each corpus vector
+    * lives in exactly one list, so probed (query, candidate) pairs are
+    * unique — no distinct needed before the shortlist heap.
+    *
+    * Encode + coarse-assign ride ONE pass over the shared corpus
+    * checkpoint (the cid attach and the m sub-assignments are all
+    * broadcast-attached row expressions — no extra scan, no shuffle);
+    * the ADC scan's only shuffle is the shortlist heap's map-side
+    * partial. */
+  def knnIvfPq(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+      nClusters: Int = 10, ivfIters: Int = 3, m: Int = 8, codes: Int = 32,
+      pqIters: Int = 2, shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    graft.functions.ArrayOps.register(spark)
+    graft.functions.TopKByAgg.register(spark)
+    val e = preparedCk(spark, dir)
+    val subDim = 64 / m
+    val coarse = kmeansLloyd(e, nClusters, ivfIters)
+    val centDf = coarse.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
+    val fits: Seq[Seq[Centroid]] = pqFitFused(e, m, subDim, codes, pqIters)
+    val padded = for (s <- 0 until m; cid <- 0 until codes) yield
+      fits(s).find(_.cid == cid)
+        .map(c => (s, cid, c.c, c.cn2))
+        .getOrElse((s, cid, Seq.fill(subDim)(0.0), 0.0))
+    val cbDf = padded.toDF("s", "cid", "c", "cn2")
+      .groupBy(col("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(cid, c, cn2))), x -> struct(x.c AS c, x.cn2 AS cn2))").as("row"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, row))), x -> x.row)").as("cb"))
+    // ONE pass: coarse list id + the m sub-code assignments are all
+    // broadcast-attached row expressions over the checkpoint
+    var enc = assignCid(e, coarse, "v", "norm2").withColumnRenamed("cid", "list_id")
+    for (s <- 0 until m) {
+      enc = enc
+        .withColumn("__sv", expr(s"slice(v, ${s * subDim + 1}, $subDim)"))
+        .withColumn("__sn2", expr("aggregate(__sv, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      enc = assignCid(enc, fits(s), "__sv", "__sn2")
+        .withColumnRenamed("cid", s"code_$s").drop("__sv", "__sn2")
+    }
+    val corpusCoded = enc
+      .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
+      .crossJoin(broadcast(cbDf))
+      .withColumn("recon_n2", expr(
+        "aggregate(zip_with(codes, cb, (cd, sb) -> element_at(sb, cd + 1).cn2), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("recon_n2"),
+        col("list_id").as("cid"))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
+    val queriesLut = queries
+      .crossJoin(broadcast(cbDf))
+      .withColumn("lut", expr(
+        s"""transform(cb, (sb, s) -> transform(sb, cw ->
+            dot_double(slice(va, s * $subDim + 1, $subDim), cw.c)))"""))
+      .select(col("query_id"), col("na2"), col("lut"))
+    val probeLut = probesFor(queries, centDf, nprobe)
+      .select(col("query_id"), col("cid"))
+      .join(broadcast(queriesLut), "query_id")
+    val short = corpusCoded.join(broadcast(probeLut), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", expr("lut_sum(codes, lut)"))
+      .withColumn("adc_cosine", Fns.money(col("__adc") / sqrt(col("na2") * col("recon_n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by(adc_cosine, neighbor_id, $shortlist)").as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("s"))
+      .select(col("query_id"), col("s.payload").as("neighbor_id"),
+        col("s.ord").as("adc_cosine"))
+      .join(broadcast(queries), "query_id")
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("norm2").as("nb2")),
+        "neighbor_id")
+      .withColumn("cosine", Fns.money(expr(dotExpr) / sqrt(col("na2") * col("nb2"))))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_cosine"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Generated DuckDB oracle for [[knnPq]]: per-subspace Lloyd training
     * unrolled (the knn_ivf pattern, applied to vector SLICES), encoding
     * against the final codebooks, ADC scoring via per-subspace dot
@@ -618,12 +713,17 @@ object Similarity {
     * replayed in SQL. Multiply-referenced CTEs are MATERIALIZED (DuckDB
     * inlines CTEs by default; an unrolled chain re-referencing each
     * stage would otherwise expand multiplicatively). */
-  def pqOracleSql(m: Int = 8, codes: Int = 32, iters: Int = 2, k: Int = 5,
-      shortlist: Int = 50): String = {
+  /** The per-subspace training + encoding CTE chain shared by
+    * [[pqOracleSql]] and [[ivfpqServeSql]]: for each subspace `s`,
+    * slices (`s{s}n`), unrolled Lloyd rounds, final codebook
+    * (`s{s}cent`), and per-vector code assignment (`s{s}e`). `src`
+    * names the prepared-corpus CTE providing `(vec_id, v)` — the two
+    * callers bind different preambles. */
+  private def pqSubspaceCtes(src: String, m: Int, codes: Int, iters: Int): String = {
     val subDim = 64 / m
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(range(1, ${subDim + 1}), j -> $a[j] * $b[j]), (x, y) -> x + y)"
-    val sub = (0 until m).map { s =>
+    (0 until m).map { s =>
       val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
       val iterCtes = (1 to iters).map { i =>
         s"""s${s}b$i AS (
@@ -644,7 +744,7 @@ object Similarity {
       s"""s${s}n AS MATERIALIZED (
         SELECT vec_id, list_slice(v, $lo, $hi) AS sv,
                list_reduce(list_transform(range(1, ${subDim + 1}), j -> list_slice(v, $lo, $hi)[j] * list_slice(v, $lo, $hi)[j]), (x, y) -> x + y) AS sn2
-        FROM p),
+        FROM $src),
       s${s}c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1 AS INT) AS cid,
                sv AS centroid
@@ -663,15 +763,29 @@ object Similarity {
         SELECT vec_id, cid AS code FROM s${s}eb
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1)"""
     }.mkString(",\n      ")
+  }
+
+  /** ADC-serving SQL fragments shared by the PQ oracles: the `enc`
+    * join chain over the `s{s}e` assignments, the per-subspace ADC dot
+    * terms against `qAlias`'s full vector, the reconstructed-norm
+    * terms, and the codebook joins (`x` is the coded-corpus alias). */
+  private def pqServeParts(m: Int, qAlias: String): (String, String, String, String, String) = {
+    val subDim = 64 / m
     val encJoins = (1 until m).map(s => s"JOIN s${s}e e$s USING (vec_id)").mkString(" ")
     val encCols = (0 until m).map(s => s"e$s.code AS code$s").mkString(", ")
     val adcTerms = (0 until m).map { s =>
       val lo = s * subDim + 1
-      val hi = (s + 1) * subDim
-      s"list_reduce(list_transform(range(1, ${subDim + 1}), j -> list_slice(q.v, $lo, $hi)[j] * c$s.centroid[j]), (x, y) -> x + y)"
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), j -> list_slice($qAlias.v, $lo, ${lo + subDim - 1})[j] * c$s.centroid[j]), (x, y) -> x + y)"
     }.mkString(" + ")
     val reconTerms = (0 until m).map(s => s"c$s.cn2").mkString(" + ")
     val centJoins = (0 until m).map(s => s"JOIN s${s}cent c$s ON c$s.cid = x.code$s").mkString("\n      ")
+    (encJoins, encCols, adcTerms, reconTerms, centJoins)
+  }
+
+  def pqOracleSql(m: Int = 8, codes: Int = 32, iters: Int = 2, k: Int = 5,
+      shortlist: Int = 50): String = {
+    val sub = pqSubspaceCtes("p", m, codes, iters)
+    val (encJoins, encCols, adcTerms, reconTerms, centJoins) = pqServeParts(m, "q")
     s"""
       WITH p AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -701,6 +815,71 @@ object Similarity {
                  / sqrt(qq.norm2 * pp.norm2)) * 10000 + 0.5) / 10000 AS cosine
         FROM sl JOIN q qq ON qq.query_id = sl.query_id
         JOIN p pp ON pp.vec_id = sl.neighbor_id)
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+             neighbor_id, adc_cosine, cosine
+      FROM rr
+      QUALIFY rank <= $k
+      ORDER BY query_id, rank
+    """
+  }
+
+  /** Generated DuckDB serve fragment for [[knnIvfPq]], appended after
+    * the `knn_ivf` oracle's prefix (which supplies `p` — the prepared
+    * corpus — and `centn` — the converged coarse centroids): corpus
+    * list assignment (`corp`), the shared per-subspace PQ chain over a
+    * materialized copy of `p`, probe routing, ADC scoring restricted to
+    * probed lists via the `corp` join, shortlist, and exact re-rank.
+    * Every rounding rule matches the Spark side's money-rounded
+    * doubles, so the composite replays hash-exactly. */
+  def ivfpqServeSql(m: Int = 8, codes: Int = 32, iters: Int = 2, k: Int = 5,
+      nprobe: Int = 2, shortlist: Int = 50): String = {
+    val sub = pqSubspaceCtes("pm", m, codes, iters)
+    val (encJoins, encCols, adcTerms, reconTerms, centJoins) = pqServeParts(m, "qq")
+    s"""pm AS MATERIALIZED (SELECT vec_id, v, norm2 FROM p),
+      cbf AS (
+        SELECT pm.vec_id, c.cid,
+               floor((list_reduce(list_transform(range(1, len(pm.v) + 1), j -> pm.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(pm.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM pm CROSS JOIN centn c),
+      corp AS MATERIALIZED (
+        SELECT vec_id, cid FROM cbf
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      $sub,
+      enc AS MATERIALIZED (
+        SELECT e0.vec_id, $encCols
+        FROM s0e e0 $encJoins),
+      q AS MATERIALIZED (
+        SELECT vec_id AS query_id, v, norm2 FROM pm WHERE vec_id % 100 = 0),
+      probes AS (
+        SELECT query_id, cid
+        FROM (
+          SELECT q.query_id, c.cid,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   floor((list_reduce(list_transform(range(1, len(q.v) + 1), j -> q.v[j] * c.centroid[j]), (x, y) -> x + y)
+                     / sqrt(q.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 DESC, c.cid) AS pr
+          FROM q CROSS JOIN centn c)
+        WHERE pr <= $nprobe),
+      sc AS (
+        SELECT pr.query_id, x.vec_id AS neighbor_id,
+               floor((($adcTerms)
+                 / sqrt(qq.norm2 * ($reconTerms))) * 10000 + 0.5) / 10000 AS adc_cosine
+        FROM probes pr
+        JOIN corp ON corp.cid = pr.cid
+        JOIN enc x ON x.vec_id = corp.vec_id
+        JOIN q qq ON qq.query_id = pr.query_id
+        $centJoins
+        WHERE x.vec_id <> pr.query_id),
+      sl AS (
+        SELECT query_id, neighbor_id, adc_cosine
+        FROM sc
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id) <= $shortlist),
+      rr AS (
+        SELECT sl.query_id, sl.neighbor_id, sl.adc_cosine,
+               floor((list_reduce(list_transform(range(1, 65), j -> qq.v[j] * pp.v[j]), (x, y) -> x + y)
+                 / sqrt(qq.norm2 * pp.norm2)) * 10000 + 0.5) / 10000 AS cosine
+        FROM sl JOIN q qq ON qq.query_id = sl.query_id
+        JOIN pm pp ON pp.vec_id = sl.neighbor_id)
       SELECT query_id,
              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
              neighbor_id, adc_cosine, cosine

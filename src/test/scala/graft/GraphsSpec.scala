@@ -49,6 +49,56 @@ class GraphsSpec extends SparkSpec {
       s"top-ranked part has degree ${deg(ranks.head.getLong(0))}, decile cut $cut")
   }
 
+  private def adjOf(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame = {
+    val both = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    both.toDF("src", "dst").groupBy($"src")
+      .agg(sort_array(collect_set($"dst")).as("nbrs"))
+      .withColumn("outdeg", size($"nbrs").cast("long"))
+  }
+
+  test("kcore: pendant chain peels over cascading rounds, the clique survives") {
+    // K4 {1,2,3,4} + chain 4-5-6: 6 peels round 1, 5 only round 2
+    val adj = adjOf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val r = Graphs.kcoreAdj(adj, k = 2L, rounds = 12).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    // in-core degrees: node 4's pendant is gone, all four sit at 3
+    assert(r.values.toSet === Set(3L))
+    // k above the clique degree empties the core
+    assert(Graphs.kcoreAdj(adj, k = 4L, rounds = 12).count() === 0L)
+  }
+
+  test("part_kcore on the fixture: matches brute-force peeling to fixpoint") {
+    val got = Graphs.partKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force peel over the same co-purchase edge set
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).distinct()
+      .as[(Long, Long)].collect()
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sumDeg = adj.values.map(_.size.toLong).sum
+    val k = (7L * sumDeg) / (10L * adj.size)
+    var alive = adj.keySet
+    var stable = false
+    var guard = 0
+    while (!stable && guard < 100) {
+      val next = alive.filter(v => (adj(v) & alive).size >= k)
+      stable = next == alive
+      alive = next
+      guard += 1
+    }
+    assert(guard < 12, s"fixture no longer converges within the 12-round horizon ($guard)")
+    val expected = alive.map(v => v -> (adj(v) & alive).size.toLong).toMap
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("triangle counts: per-node counts match a brute-force enumeration") {
     val got = Graphs.triangleCounts(spark, sf, k = 1000).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

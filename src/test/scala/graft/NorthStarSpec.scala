@@ -112,6 +112,36 @@ class DedupSpec extends SparkSpec {
     assert(cut.size <= full.size)
   }
 
+  test("containment: directed pairs match brute-force shingle-set containment") {
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("doc_id"), r.getAs[Long]("container_id")),
+        r.getAs[Double]("containment"))).toMap
+    // brute force on the string shingle sets (hashing is injective modulo
+    // a 2^-60 collision; the semantics under test are the set ratios)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val sets = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      id -> (if (toks.length < 3) Set.empty[String]
+             else toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty
+      inter = (sa & sb).size
+      if inter.toDouble / sa.size >= 0.8
+    } yield (a, b) -> math.floor(inter.toDouble / sa.size * 10000 + 0.5) / 10000).toMap
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // the measure is genuinely directed: mutual pairs with unequal
+    // shingle-set sizes carry DIFFERENT per-direction values (the
+    // fixture's near-dups are same-order-of-size mutations, so both
+    // directions pass the 0.8 cut, but never at the same ratio unless
+    // the sets are identical)
+    assert(got.exists { case ((d, c), v) => got.get((c, d)).exists(_ != v) },
+      "no direction-value asymmetry on the fixture — sets all identical?")
+  }
+
   test("multi-probe: superset of single-probe, higher recall vs ground truth") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
@@ -215,6 +245,26 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val coarseRecall = (bf intersect coarse).size.toDouble / bf.size
     assert(coarseRecall < recall, s"coarse $coarseRecall !< default $recall")
+  }
+
+  test("knn ivfpq: equals knn_ivf at unbounded shortlist; defaults recall probed truth") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    // with the ADC shortlist wider than the corpus, the PQ stage prunes
+    // nothing and the exact re-rank over the probed lists must reproduce
+    // knn_ivf bit-for-bit — the composite is the IVF semantics plus a
+    // lossy-only-in-the-shortlist compression stage
+    val unbounded = keyed(Similarity.knnIvfPq(spark, sf, shortlist = 1000000).collect())
+    val ivfRows = keyed(Similarity.knnIvf(spark, sf).collect())
+    assert(unbounded === ivfRows)
+    // at defaults the shortlist is genuinely lossy but must keep most of
+    // the probed-list truth
+    val defaults = Similarity.knnIvfPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = ivfRows.map { case ((q, _), (n, _)) => (q, n) }.toSet
+    val recall = (defaults intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"IVFPQ recall vs knn_ivf = $recall")
   }
 
   test("hard negatives: top other-label cosines, never the anchor's own label") {
