@@ -80,6 +80,7 @@ object SparkEntry {
       Similarity.semanticDedup(s, d, maxClusterSize = Some(25))),
     "knn_pq"             -> ((s, d) => Similarity.knnPq(s, d)),
     "knn_ivfpq"          -> ((s, d) => Similarity.knnIvfPq(s, d)),
+    "mmr_select"         -> ((s, d) => Similarity.mmrSelect(s, d)),
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -331,6 +332,10 @@ object SparkEntry {
       // generated SQL: per-subspace PQ training/encoding/ADC/re-rank
       // unrolled — see Similarity.pqOracleSql
       ("knn_pq" -> graft.sim.Similarity.pqOracleSql()) +
+      // generated SQL: the greedy MMR loop unrolled k rounds
+      // (Similarity.mmrOracleSql) — decimal-mean relevance, max-sim to
+      // the accumulating selected set, LIMIT 1 argmax per round
+      ("mmr_select" -> graft.sim.Similarity.mmrOracleSql()) +
       // generated SQL: the IVF-PQ composite — the knn_ivf prefix
       // supplies the prepared corpus + converged coarse centroids, the
       // Similarity-generated fragment replays list assignment, the

@@ -824,6 +824,124 @@ object Similarity {
     """
   }
 
+  /** Maximal-Marginal-Relevance subset selection (Carbonell & Goldstein
+    * 1998) — the diverse-sampling primitive of training-data curation:
+    * greedily pick `k` corpus vectors maximizing
+    * `λ·rel(v) − (1−λ)·max_{s∈S} cos(v, s)`, where relevance is cosine
+    * to the corpus MEAN vector (the "centrality" flavor: representative
+    * yet mutually dissimilar exemplars; swap the mean for a query
+    * embedding and the same operator is diversified retrieval). Ties
+    * break by smallest vec_id; all scores money-rounded so the greedy
+    * argmax replays exactly in SQL.
+    *
+    * Scale shape: the BPE-trainer discipline — k driver rounds, each
+    * ONE distributed argmax (`TakeOrdered` limit(1)) over the
+    * checkpointed rel relation with the ≤k selected vectors attached as
+    * BROADCAST LITERALS (O(k·dim) driver state, never a corpus
+    * collect); the max-sim term is a fixed expression tree of ≤k
+    * codegen'd `dot_double` calls, so each round is one corpus scan
+    * with map-side TakeOrdered partials. The corpus mean rides one
+    * (pos)-grouped decimal-accumulated aggregate (the [[kmeansLloyd]]
+    * update rule with a single group). k is small by construction
+    * (exemplar selection); for k beyond ~100s, batch variants (pick p
+    * per round at a diversity tolerance) trade exactness for rounds. */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    graft.functions.ArrayOps.register(spark)
+    val e = preparedCk(spark, dir)
+    val meanRows = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(Fns.money(Fns.sumMoney(Fns.money(col("x"))) / count(lit(1))).as("c"))
+      .collect()
+    val mean: Seq[Double] = meanRows.sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    val mn2 = norm2Of(mean)
+    def cosTo(vec: Seq[Double], n2: Double) =
+      Fns.money(call_function("dot_double", col("v"), typedLit(vec)) /
+        sqrt(col("norm2") * lit(n2)))
+    val relDf = e
+      .withColumn("rel", cosTo(mean, mn2))
+      .select(col("vec_id"), col("v"), col("norm2"), col("rel"))
+      .localCheckpoint(true)
+    var selected = Vector.empty[(Long, Seq[Double], Double, Double)]
+    for (_ <- 1 to k) {
+      val base =
+        if (selected.isEmpty) relDf
+        else relDf.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+      val msim =
+        if (selected.isEmpty) lit(0.0)
+        else selected.map(s => cosTo(s._2, s._3)).reduce((a, b) => greatest(a, b))
+      val pick = base
+        .withColumn("score",
+          Fns.money(lit(lambda) * col("rel") - lit(1 - lambda) * msim))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("v"), col("norm2"), col("score"))
+        .head()
+      selected :+= ((pick.getLong(0), pick.getSeq[Double](1),
+        pick.getDouble(2), pick.getDouble(3)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, _, sc), i) => (i + 1, id, sc) }
+      .toDF("rank", "vec_id", "score")
+      .orderBy(col("rank"))
+  }
+
+  /** Generated DuckDB oracle for [[mmrSelect]]: the greedy loop unrolled
+    * — corpus mean via the decimal-accumulated per-dim rule, then per
+    * round a max-sim-to-selected aggregate and a LIMIT 1 argmax, the
+    * selected set accumulating through `sel{i}` CTEs. `(1 - λ)` is
+    * written as the expression, not its decimal value, so both engines
+    * compute the identical double. */
+  def mmrOracleSql(k: Int = 10, lambda: Double = 0.7): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), j -> $a[j] * $b[j]), (x, y) -> x + y)"
+    def money(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
+    val rounds = (2 to k).map { i =>
+      s"""ms$i AS (
+        SELECT r.vec_id, max(${money(s"${dot("r.v", "s.v")} / sqrt(r.norm2 * s.norm2)")}) AS msim
+        FROM mrel r, sel${i - 1} s
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+        GROUP BY 1),
+      pick$i AS MATERIALIZED (
+        SELECT r.vec_id, r.v, r.norm2,
+               ${money(s"$lambda::DOUBLE * r.rel - (1 - $lambda::DOUBLE) * m.msim")} AS score
+        FROM mrel r JOIN ms$i m USING (vec_id)
+        ORDER BY score DESC, vec_id LIMIT 1),
+      sel$i AS MATERIALIZED (SELECT vec_id, v, norm2 FROM sel${i - 1}
+        UNION ALL SELECT vec_id, v, norm2 FROM pick$i)"""
+    }.mkString(",\n      ")
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS rank, vec_id, score FROM pick$i").mkString("\n        UNION ALL ")
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_reduce(list_transform(range(1, 65), i ->
+                 (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]), (x, y) -> x + y) AS norm2
+        FROM embeddings),
+      mn AS (
+        SELECT i.i AS pos,
+               floor((CAST(sum(CAST(floor(v[i.i + 1] * 10000 + 0.5) / 10000 AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS c
+        FROM p CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        GROUP BY 1),
+      mv AS (SELECT list(c ORDER BY pos) AS v FROM mn),
+      mrel AS MATERIALIZED (
+        SELECT p.vec_id, p.v, p.norm2,
+               ${money(s"${dot("p.v", "m.v")} / sqrt(p.norm2 * ${dot("m.v", "m.v")})")} AS rel
+        FROM p CROSS JOIN mv m),
+      pick1 AS MATERIALIZED (
+        SELECT vec_id, v, norm2,
+               ${money(s"$lambda::DOUBLE * rel - (1 - $lambda::DOUBLE) * 0.0")} AS score
+        FROM mrel
+        ORDER BY score DESC, vec_id LIMIT 1),
+      sel1 AS (SELECT vec_id, v, norm2 FROM pick1),
+      $rounds
+      SELECT rank, vec_id, score FROM (
+        $out)
+      ORDER BY rank
+    """
+  }
+
   /** Generated DuckDB serve fragment for [[knnIvfPq]], appended after
     * the `knn_ivf` oracle's prefix (which supplies `p` — the prepared
     * corpus — and `centn` — the converged coarse centroids): corpus

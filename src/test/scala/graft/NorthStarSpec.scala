@@ -267,6 +267,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVFPQ recall vs knn_ivf = $recall")
   }
 
+  test("mmr select: greedy picks match a brute-force replay and diversify vs pure relevance") {
+    def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = Similarity.mmrSelect(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    assert(got.map(_._1).toSeq == (1 to 10))
+    // brute-force replay with the same rounding rules
+    val vecs = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val dim = vecs.head._2.length
+    // decimal-accumulated money mean: BigDecimal sum of money-rounded
+    // coords, then money(mean)
+    val mean = (0 until dim).map { j =>
+      val s = vecs.map(v => BigDecimal(money(v._2(j)))).sum
+      money((s / vecs.length).toDouble)
+    }
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      money(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+    val rel = vecs.map { case (id, v) => id -> cos(v, mean) }.toMap
+    val byId = vecs.toMap
+    var sel = Vector.empty[(Long, Double)]
+    for (_ <- 1 to 10) {
+      val cand = vecs.filterNot(v => sel.exists(_._1 == v._1)).map { case (id, v) =>
+        val msim = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, byId(s._1))).max
+        id -> money(0.7 * rel(id) - (1 - 0.7) * msim)
+      }
+      val best = cand.minBy { case (id, sc) => (-sc, id) }
+      sel :+= best
+    }
+    assert(got.map(r => (r._2, r._3)).toSeq == sel)
+    // the diversity term bites: pure-relevance top-10 differs from MMR's
+    val topRel = vecs.map(_._1).sortBy(id => (-rel(id), id)).take(10).toSet
+    assert(got.map(_._2).toSet != topRel,
+      "MMR selected exactly the relevance top-10 — diversity term inert on this fixture")
+  }
+
   test("hard negatives: top other-label cosines, never the anchor's own label") {
     def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val got = Similarity.hardNegatives(spark, sf).collect()
