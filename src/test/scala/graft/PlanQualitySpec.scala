@@ -269,6 +269,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("part_kcore: peel rounds are equi-joins over the checkpointed adjacency — no parquet re-read, no cross product") {
+    val plan = formatted(graft.queries.Graphs.partKcore(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // all 12 rounds run over the localCheckpointed adjacency: the
+    // returned plan must never touch the source table again
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("dedup_containment: candidates via shingle-hash equi-join — no cross product, docs scan pruned") {
+    val plan = formatted(graft.dedup.Dedup.containmentPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // only doc_id + text leave the parquet scan
+    val reads = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(s =>
+      s.contains("doc_id") && !s.contains("n_tokens")), plan)
+  }
+
+  test("knn_ivfpq: ADC scan joins probed lists by cid — equi-joins only, no cartesian") {
+    val plan = formatted(graft.sim.Similarity.knnIvfPq(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the codebook/LUT attaches are 1-row broadcasts (nested loop by
+    // design); the list pruning itself must be a hash join on cid
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("part_pagerank: adjacency build scans lineitem exactly twice (okey self-join), pruned to 2 columns") {
     val plan = formatted(graft.queries.Graphs.partPagerank(spark, sf))
     // the co-purchase adjacency is ONE okey self-join + ONE aggregate;
