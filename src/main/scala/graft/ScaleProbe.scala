@@ -83,7 +83,7 @@ object ScaleProbe {
             .reduce(_.unionAll(_))
             .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
         }
-        if (want("knn_pq")) {
+        if (want("knn_pq") || want("ivfpq") || want("mmr")) {
           val emb = Tables.embeddings(spark, base)
           val embReps = emb +: (1 until m).map(i => emb.withColumn("vec_id",
             col("vec_id") * 2 + lit(1L) + lit(i * 100000000L)))
@@ -181,6 +181,16 @@ object ScaleProbe {
             graft.dedup.Dedup.containmentPairs(spark, ccRoot).count())
         if (want("knn_pq"))
           timed2(f"knn_pq           x$m")(graft.sim.Similarity.knnPq(spark, root).count())
+        // ivfpq rides the knn_pq embeddings root (corpus AND query set
+        // both grow ×m): the ADC scan is probed-lists-only, so per-query
+        // scanned rows grow ∝ m/nClusters while knn_pq's full coded scan
+        // grows ∝ m — the composite's advantage should WIDEN with m
+        if (want("ivfpq"))
+          timed2(f"knn_ivfpq        x$m")(graft.sim.Similarity.knnIvfPq(spark, root).count())
+        // mmr on the same root: k fixed rounds, each one corpus scan —
+        // expected linear in corpus size at fixed k
+        if (want("mmr"))
+          timed2(f"mmr_select       x$m")(graft.sim.Similarity.mmrSelect(spark, root).count())
         if (want("cc"))
           timed2(f"neardup_clusters x$m")(
             graft.dedup.Dedup.nearDupClusters(spark, ccRoot).count())
