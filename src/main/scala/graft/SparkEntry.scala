@@ -81,6 +81,7 @@ object SparkEntry {
     "knn_pq"             -> ((s, d) => Similarity.knnPq(s, d)),
     "knn_ivfpq"          -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "mmr_select"         -> ((s, d) => Similarity.mmrSelect(s, d)),
+    "knn_ivfpq_served"   -> ((s, d) => Similarity.knnIvfPqServed(s, d)),
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -230,6 +231,19 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
+    // generated SQL: the IVF-PQ composite — the knn_ivf prefix supplies
+    // the prepared corpus + converged coarse centroids, the
+    // Similarity-generated fragment replays list assignment, the shared
+    // per-subspace PQ chain, probe routing, probed-list ADC and the
+    // exact re-rank (Similarity.ivfpqServeSql); the persisted-index
+    // round trip is bit-identical (doubles and int codes round-trip
+    // parquet exactly), so the one oracle covers both variants
+    val ivfpqSql = {
+      val src = m("knn_ivf")
+      val cut = src.indexOf("q AS (")
+      require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+      src.substring(0, cut) + graft.sim.Similarity.ivfpqServeSql()
+    }
     // the served variant is bit-identical to the in-memory IVF search
     // (parquet round-trips doubles exactly), so one oracle covers both
     m + ("knn_ivf_served" -> m("knn_ivf")) +
@@ -336,17 +350,8 @@ object SparkEntry {
       // (Similarity.mmrOracleSql) — decimal-mean relevance, max-sim to
       // the accumulating selected set, LIMIT 1 argmax per round
       ("mmr_select" -> graft.sim.Similarity.mmrOracleSql()) +
-      // generated SQL: the IVF-PQ composite — the knn_ivf prefix
-      // supplies the prepared corpus + converged coarse centroids, the
-      // Similarity-generated fragment replays list assignment, the
-      // shared per-subspace PQ chain, probe routing, probed-list ADC
-      // and the exact re-rank (Similarity.ivfpqServeSql)
-      ("knn_ivfpq" -> {
-        val src = m("knn_ivf")
-        val cut = src.indexOf("q AS (")
-        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
-        src.substring(0, cut) + graft.sim.Similarity.ivfpqServeSql()
-      }) +
+      ("knn_ivfpq" -> ivfpqSql) +
+      ("knn_ivfpq_served" -> ivfpqSql) +
       // generated SQL: synchronous label propagation unrolled 4 rounds —
       // per round a (node, label) count + deterministic argmax QUALIFY;
       // the edge CTE is MATERIALIZED (referenced once per round)

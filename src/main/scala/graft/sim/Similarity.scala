@@ -639,24 +639,46 @@ object Similarity {
   def knnIvfPq(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
       nClusters: Int = 10, ivfIters: Int = 3, m: Int = 8, codes: Int = 32,
       pqIters: Int = 2, shortlist: Int = 50): DataFrame = {
-    import spark.implicits._
-    graft.functions.ArrayOps.register(spark)
-    graft.functions.TopKByAgg.register(spark)
     val e = preparedCk(spark, dir)
     val subDim = 64 / m
     val coarse = kmeansLloyd(e, nClusters, ivfIters)
-    val centDf = coarse.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
     val fits: Seq[Seq[Centroid]] = pqFitFused(e, m, subDim, codes, pqIters)
-    val padded = for (s <- 0 until m; cid <- 0 until codes) yield
+    val cbDf = pqCodebookDf(spark, pqPaddedRows(fits, m, codes, subDim))
+    val centDf = {
+      import spark.implicits._
+      coarse.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
+    }
+    ivfpqServe(pqEncodeCoded(e, coarse, fits, m, subDim, cbDf),
+      e, centDf, cbDf, k, nprobe, m, shortlist)
+  }
+
+  /** Dense `(s, cid)`-indexed codebook rows, zero-padded where a
+    * codeword died (padding unreachable by construction: assignment
+    * only emits surviving cids). */
+  private def pqPaddedRows(fits: Seq[Seq[Centroid]], m: Int, codes: Int,
+      subDim: Int): Seq[(Int, Int, Seq[Double], Double)] =
+    for (s <- 0 until m; cid <- 0 until codes) yield
       fits(s).find(_.cid == cid)
         .map(c => (s, cid, c.c, c.cn2))
         .getOrElse((s, cid, Seq.fill(subDim)(0.0), 0.0))
-    val cbDf = padded.toDF("s", "cid", "c", "cn2")
+
+  /** The flat padded rows nested into the 1-row `cb` relation every ADC
+    * consumer broadcast-attaches. */
+  private def pqCodebookDf(spark: SparkSession,
+      padded: Seq[(Int, Int, Seq[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    padded.toDF("s", "cid", "c", "cn2")
       .groupBy(col("s"))
       .agg(expr("transform(array_sort(collect_list(struct(cid, c, cn2))), x -> struct(x.c AS c, x.cn2 AS cn2))").as("row"))
       .agg(expr("transform(array_sort(collect_list(struct(s, row))), x -> x.row)").as("cb"))
-    // ONE pass: coarse list id + the m sub-code assignments are all
-    // broadcast-attached row expressions over the checkpoint
+  }
+
+  /** ONE pass over the checkpointed corpus: coarse list id + the m
+    * sub-code assignments are all broadcast-attached row expressions.
+    * Returns `(neighbor_id, codes, recon_n2, cid)` — the compressed
+    * scan set. */
+  private def pqEncodeCoded(e: DataFrame, coarse: Seq[Centroid],
+      fits: Seq[Seq[Centroid]], m: Int, subDim: Int, cbDf: DataFrame): DataFrame = {
     var enc = assignCid(e, coarse, "v", "norm2").withColumnRenamed("cid", "list_id")
     for (s <- 0 until m) {
       enc = enc
@@ -665,13 +687,27 @@ object Similarity {
       enc = assignCid(enc, fits(s), "__sv", "__sn2")
         .withColumnRenamed("cid", s"code_$s").drop("__sv", "__sn2")
     }
-    val corpusCoded = enc
+    enc
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
       .crossJoin(broadcast(cbDf))
       .withColumn("recon_n2", expr(
         "aggregate(zip_with(codes, cb, (cd, sb) -> element_at(sb, cd + 1).cn2), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
       .select(col("vec_id").as("neighbor_id"), col("codes"), col("recon_n2"),
         col("list_id").as("cid"))
+  }
+
+  /** Probe routing + probed-list ADC + exact re-rank over an
+    * already-coded corpus — shared by the inline [[knnIvfPq]] and the
+    * persisted-index [[knnIvfPqFromIndexOn]] (which passes parquet-read
+    * relations; doubles and codes round-trip parquet exactly, so the
+    * two are bit-identical at the same fit parameters). */
+  private def ivfpqServe(corpusCoded: DataFrame, e: DataFrame,
+      centDf: DataFrame, cbDf: DataFrame, k: Int, nprobe: Int, m: Int,
+      shortlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    graft.functions.ArrayOps.register(spark)
+    graft.functions.TopKByAgg.register(spark)
+    val subDim = 64 / m
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
     val queriesLut = queries
@@ -706,13 +742,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Generated DuckDB oracle for [[knnPq]]: per-subspace Lloyd training
-    * unrolled (the knn_ivf pattern, applied to vector SLICES), encoding
-    * against the final codebooks, ADC scoring via per-subspace dot
-    * products, and the exact re-rank — the whole two-stage pipeline
-    * replayed in SQL. Multiply-referenced CTEs are MATERIALIZED (DuckDB
-    * inlines CTEs by default; an unrolled chain re-referencing each
-    * stage would otherwise expand multiplicatively). */
+  /** PERSIST the IVF-PQ index: coarse centroids, flat padded codebooks,
+    * and the CODED corpus partitioned by list id — what an ANN
+    * deployment's index-maintenance job writes. The persisted scan set
+    * carries only `m` codes + one double per vector (the ~100×
+    * compression is the point of persisting PQ, not just computing it);
+    * full vectors stay in the corpus store and are touched only for the
+    * shortlist re-rank. Serving reads probed lists via partition
+    * pruning on `cid` — at production list counts that is
+    * nprobe/nClusters of the INDEX bytes, which are themselves ~100×
+    * smaller than the vectors [[buildIvfIndex]] serves. */
+  def buildIvfPqIndexOn(e: DataFrame, indexPath: String, nClusters: Int,
+      ivfIters: Int, m: Int, codes: Int, pqIters: Int): Unit = {
+    import e.sparkSession.implicits._
+    val subDim = 64 / m
+    val coarse = kmeansLloyd(e, nClusters, ivfIters)
+    coarse.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val fits = pqFitFused(e, m, subDim, codes, pqIters)
+    pqPaddedRows(fits, m, codes, subDim).toDF("s", "cid", "c", "cn2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    val cbDf = pqCodebookDf(e.sparkSession, pqPaddedRows(fits, m, codes, subDim))
+    pqEncodeCoded(e, coarse, fits, m, subDim, cbDf)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexPath/lists")
+  }
+
+  /** Serve IVF-PQ from a persisted index: probe routing against stored
+    * centroids, ADC over the stored coded lists (partition-pruned on
+    * `cid`), exact re-rank against the caller's corpus relation. */
+  private[graft] def knnIvfPqFromIndexOn(e: DataFrame, indexPath: String,
+      k: Int, nprobe: Int, m: Int, shortlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centDf = spark.read.parquet(s"$indexPath/centroids")
+    val cbFlat = spark.read.parquet(s"$indexPath/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2), r.getDouble(3))).toSeq
+    val cbDf = pqCodebookDf(spark, cbFlat)
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    ivfpqServe(lists, e, centDf, cbDf, k, nprobe, m, shortlist)
+  }
+
+  /** Build-then-serve round trip over one corpus checkpoint — the
+    * [[knnIvfServed]] shape for the IVF-PQ composite. Bit-identical to
+    * [[knnIvfPq]] at the same fit parameters (spec-pinned). */
+  def knnIvfPqServed(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 2, nClusters: Int = 10, ivfIters: Int = 3, m: Int = 8,
+      codes: Int = 32, pqIters: Int = 2, shortlist: Int = 50): DataFrame = {
+    val idx = graft.engine.Fs.scratch("graft_ivfpq", dir)
+    graft.engine.Fs.deleteDir(spark, idx)
+    val e = preparedCk(spark, dir)
+    buildIvfPqIndexOn(e, idx, nClusters, ivfIters, m, codes, pqIters)
+    knnIvfPqFromIndexOn(e, idx, k, nprobe, m, shortlist)
+  }
+
   /** The per-subspace training + encoding CTE chain shared by
     * [[pqOracleSql]] and [[ivfpqServeSql]]: for each subspace `s`,
     * slices (`s{s}n`), unrolled Lloyd rounds, final codebook
@@ -782,6 +865,13 @@ object Similarity {
     (encJoins, encCols, adcTerms, reconTerms, centJoins)
   }
 
+  /** Generated DuckDB oracle for [[knnPq]]: per-subspace Lloyd training
+    * unrolled (the knn_ivf pattern, applied to vector SLICES), encoding
+    * against the final codebooks, ADC scoring via per-subspace dot
+    * products, and the exact re-rank — the whole two-stage pipeline
+    * replayed in SQL. Multiply-referenced CTEs are MATERIALIZED (DuckDB
+    * inlines CTEs by default; an unrolled chain re-referencing each
+    * stage would otherwise expand multiplicatively). */
   def pqOracleSql(m: Int = 8, codes: Int = 32, iters: Int = 2, k: Int = 5,
       shortlist: Int = 50): String = {
     val sub = pqSubspaceCtes("p", m, codes, iters)

@@ -267,6 +267,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVFPQ recall vs knn_ivf = $recall")
   }
 
+  test("knn ivfpq served: the persisted-index round trip is bit-identical to the inline composite") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_cosine"),
+          r.getAs[Double]("cosine"))).toMap
+    val inline = keyed(Similarity.knnIvfPq(spark, sf).collect())
+    val served = keyed(Similarity.knnIvfPqServed(spark, sf).collect())
+    assert(inline.nonEmpty)
+    assert(served === inline)
+  }
+
   test("mmr select: greedy picks match a brute-force replay and diversify vs pure relevance") {
     def money(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val got = Similarity.mmrSelect(spark, sf).collect()
