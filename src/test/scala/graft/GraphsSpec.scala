@@ -69,6 +69,34 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.kcoreAdj(adj, k = 4L, rounds = 12).count() === 0L)
   }
 
+  test("kcore: random graphs match brute-force peeling at several k") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    for (trial <- 1 to 4; k <- Seq(2L, 3L)) {
+      val pairs = draw(Gen.zip(Gen.choose(1L, 40L), Gen.choose(1L, 40L)),
+        30 + trial * 10, trial * 777L).filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        // reference: peel to fixpoint on the symmetric closure
+        val adjM = (pairs ++ pairs.map(_.swap)).distinct
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        var alive = adjM.keySet
+        var stable = false
+        while (!stable) {
+          val next = alive.filter(v => (adjM(v) & alive).size >= k)
+          stable = next == alive; alive = next
+        }
+        val expected = alive.map(v => v -> (adjM(v) & alive).size.toLong).toMap
+        // rounds ≥ node count: a path graph peels one layer per round,
+        // so fixpoint can take up to n rounds on adversarial shapes
+        val got = Graphs.kcoreAdj(adjOf(pairs: _*), k, rounds = 40).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"trial $trial k=$k: $pairs")
+      }
+    }
+  }
+
   test("part_kcore on the fixture: matches brute-force peeling to fixpoint") {
     val got = Graphs.partKcore(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
