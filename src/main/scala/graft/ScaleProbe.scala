@@ -181,10 +181,12 @@ object ScaleProbe {
             graft.dedup.Dedup.containmentPairs(spark, ccRoot).count())
         if (want("knn_pq"))
           timed2(f"knn_pq           x$m")(graft.sim.Similarity.knnPq(spark, root).count())
-        // ivfpq rides the knn_pq embeddings root (corpus AND query set
-        // both grow ×m): the ADC scan is probed-lists-only, so per-query
-        // scanned rows grow ∝ m/nClusters while knn_pq's full coded scan
-        // grows ∝ m — the composite's advantage should WIDEN with m
+        // ivfpq rides the knn_pq embeddings root (corpus grows ×m; the
+        // vec_id%100==0 query set stays FIXED at ×1 — replica ids are
+        // odd by construction, so no replica is ever a query): the ADC
+        // scan is probed-lists-only, so per-query scanned rows grow
+        // ∝ m/nClusters while knn_pq's full coded scan grows ∝ m — at a
+        // fixed query set the composite's advantage should WIDEN with m
         if (want("ivfpq"))
           timed2(f"knn_ivfpq        x$m")(graft.sim.Similarity.knnIvfPq(spark, root).count())
         // mmr on the same root: k fixed rounds, each one corpus scan —

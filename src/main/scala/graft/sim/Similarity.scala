@@ -760,9 +760,10 @@ object Similarity {
     coarse.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     val fits = pqFitFused(e, m, subDim, codes, pqIters)
-    pqPaddedRows(fits, m, codes, subDim).toDF("s", "cid", "c", "cn2")
+    val padded = pqPaddedRows(fits, m, codes, subDim)
+    padded.toDF("s", "cid", "c", "cn2")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
-    val cbDf = pqCodebookDf(e.sparkSession, pqPaddedRows(fits, m, codes, subDim))
+    val cbDf = pqCodebookDf(e.sparkSession, padded)
     pqEncodeCoded(e, coarse, fits, m, subDim, cbDf)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexPath/lists")
   }
