@@ -69,7 +69,7 @@ object ScaleProbe {
       for (m <- mults) {
         val root = s"/tmp/graft_scale_fam_x$m"
         val docs = Tables.documents(spark, base).select(col("doc_id"), col("text"))
-        if (want("minhash"))
+        if (want("minhash") || want("containment_capped"))
           (0 until m).map(i => docs.select(
               (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
             .reduce(_.unionAll(_))
@@ -179,6 +179,18 @@ object ScaleProbe {
         if (want("containment"))
           timed2(f"containment      x$m")(
             graft.dedup.Dedup.containmentPairs(spark, ccRoot).count())
+        // CAPPED containment rides the CLONE root (minhash root — same
+        // text, shifted doc_id): clones multiply every posting list's
+        // document frequency by m, the adversarial boilerplate shape
+        // where the UNCAPPED inverted-index join squares candidates and
+        // output with m. The frequency cap (candidate-gen-only) bounds
+        // every surviving posting list at ≤cap rows, so candidate volume
+        // is ≤ (#distinct shingles)·cap² independent of m — growth must
+        // stay ≤ linear (the index build/window legs are ∝ m), never m²
+        if (want("containment_capped"))
+          timed2(f"containment_cap  x$m")(
+            graft.dedup.Dedup.containmentPairs(spark, root,
+              maxShingleFreq = Some(10)).count())
         if (want("knn_pq"))
           timed2(f"knn_pq           x$m")(graft.sim.Similarity.knnPq(spark, root).count())
         // ivfpq rides the knn_pq embeddings root (corpus grows ×m; the

@@ -66,6 +66,8 @@ object SparkEntry {
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_containment_capped" -> ((s, d) =>
+      Dedup.containmentPairs(s, d, maxShingleFreq = Some(5))),
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, maxShingleFreq = Some(5))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -2290,6 +2292,48 @@ object SparkEntry {
       FROM dirs
       WHERE c_raw >= 0.8
       ORDER BY doc_id, container_id
+    """,
+    // capped containment replays the Spark plan's candidate semantics
+    // EXACTLY: prefix filter (containee indexes its first
+    // n − ⌊τ·n⌋ + 1 ASCENDING-sorted shingle hashes) composed with the
+    // hot-shingle cut (document frequency from the FULL index > 5 drops
+    // the posting) and the in-join nb ≥ τ·na direction cut; survivors
+    // verify on FULL sets so containment values stay exact. Unlike the
+    // uncapped oracle, prefix must be replayed here — it is lossless
+    // alone, but under the cut a pair survives iff the containee's
+    // PREFIX holds a COLD shingle of the container.
+    "dedup_containment_capped" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                 list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(toks) - 1), i ->
+                          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   END),
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS s
+        FROM t),
+      shn AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+      fullidx AS (SELECT doc_id, n_sh, unnest(s) AS sh FROM shn),
+      freq AS (SELECT sh, count(*) AS f FROM fullidx GROUP BY 1),
+      pre AS (
+        SELECT doc_id, n_sh,
+               unnest(s[1 : n_sh - CAST(floor(0.8 * n_sh) AS INT) + 1]) AS sh
+        FROM shn),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS container_id
+        FROM pre a
+          JOIN freq fq ON a.sh = fq.sh AND fq.f <= 5
+          JOIN fullidx b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            AND b.n_sh >= 0.8 * a.n_sh)
+      SELECT c.doc_id, c.container_id,
+             floor((len(list_intersect(sa.s, sb.s)) / sa.n_sh) * 10000 + 0.5) / 10000
+               AS containment
+      FROM cand c
+        JOIN shn sa ON c.doc_id = sa.doc_id
+        JOIN shn sb ON c.container_id = sb.doc_id
+      WHERE len(list_intersect(sa.s, sb.s)) / sa.n_sh >= 0.8
+      ORDER BY c.doc_id, c.container_id
     """,
     "dedup_ngram" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -864,11 +864,23 @@ object Dedup {
     * size cut + verify), and survivors are re-verified EXACTLY on full
     * sorted sets via the codegen'd merge-scan `sorted_intersect_size`,
     * so the filter is lossless and the oracle replays the plain
-    * inverted-index semantics unchanged. The hot-shingle frequency cut
-    * (see [[ngramJaccardPairs]]) remains the composable corpus-scale
-    * lever for boilerplate posting lists. */
+    * inverted-index semantics unchanged.
+    *
+    * @param maxShingleFreq hot-shingle frequency cut — the composable
+    *   corpus-scale lever for boilerplate posting lists (license
+    *   blocks, shared headers): shingle hashes whose DOCUMENT frequency
+    *   in the full index exceeds this are dropped from BOTH candidate
+    *   index sides before the join, bounding the worst posting list.
+    *   Candidate generation only: survivors still re-verify exactly on
+    *   full sets, so reported containment values are exact; only pairs
+    *   whose every (containee-prefix ∩ container) shingle is hot are
+    *   lost. Note the cut composes with the prefix filter — a pair
+    *   survives iff the containee's PREFIX holds a cold shingle of the
+    *   container — so the capped oracle replays prefix + cut together
+    *   (the prefix filter alone is lossless; under the cut it defines
+    *   the recall contract). None (default) enumerates exactly. */
   def containmentPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxShingleFreq: Option[Int] = None): DataFrame = {
     graft.functions.ArrayOps.register(spark)
     val docs = withShingles(Tables.documents(spark, dir))
       .withColumn("shh", expr(
@@ -877,9 +889,26 @@ object Dedup {
       .filter(expr("size(shh) > 0"))
       .select(col("doc_id"), col("shh"), expr("size(shh)").as("n_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pre = docs.select(col("doc_id"), col("n_sh"), explode(expr(
+    val pre0 = docs.select(col("doc_id"), col("n_sh"), explode(expr(
       s"slice(shh, 1, size(shh) - CAST(floor($threshold * size(shh)) AS INT) + 1)")).as("sh"))
-    val full = docs.select(col("doc_id"), col("n_sh"), explode(col("shh")).as("sh"))
+    val full0 = docs.select(col("doc_id"), col("n_sh"), explode(col("shh")).as("sh"))
+    // document frequency comes from the FULL index (prefix rows must not
+    // deflate it); ONE shuffle keyed on the shingle hash serves both
+    // sides — the sides ride together flagged, the window counts only
+    // full-index rows, and the candidate join on `sh` below reuses the
+    // window's hash partitioning (no second exchange)
+    val (pre, full) = maxShingleFreq match {
+      case None => (pre0, full0)
+      case Some(f) =>
+        val w = Window.partitionBy(col("sh"))
+        val tagged = full0.withColumn("__p", lit(false))
+          .unionByName(pre0.withColumn("__p", lit(true)))
+          .withColumn("__f", sum(when(col("__p"), 0L).otherwise(1L)).over(w))
+          .filter(col("__f") <= f)
+          .drop("__f")
+        (tagged.filter(col("__p")).drop("__p"),
+         tagged.filter(!col("__p")).drop("__p"))
+    }
     // second lossless cut IN the join: inter ≤ nb, so a→b needs
     // nb ≥ τ·na — the large→small direction dies before the distinct.
     // Measured alternative (rejected on this fixture): PPJoin's

@@ -142,6 +142,22 @@ class DedupSpec extends SparkSpec {
       "no direction-value asymmetry on the fixture — sets all identical?")
   }
 
+  test("containment cap: generous cap is a no-op, survivors keep exact values") {
+    def pairs(cap: Option[Int]) =
+      Dedup.containmentPairs(spark, sf, threshold = 0.8, maxShingleFreq = cap)
+        .collect().map(r => ((r.getAs[Long]("doc_id"), r.getAs[Long]("container_id")),
+          r.getAs[Double]("containment"))).toMap
+    val full = pairs(None)
+    assert(full.nonEmpty)
+    // cut disabled (cap above every posting-list length) = exact result
+    assert(pairs(Some(1000000)) == full)
+    // a biting cap only drops candidates; survivors keep EXACT values
+    // (re-verification runs on full sets, never the cut index)
+    val cut = pairs(Some(2))
+    assert(cut.size <= full.size)
+    assert(cut.forall { case (k, v) => full.get(k).contains(v) })
+  }
+
   test("multi-probe: superset of single-probe, higher recall vs ground truth") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
