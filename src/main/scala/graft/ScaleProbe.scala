@@ -223,6 +223,32 @@ object ScaleProbe {
           timed2(f"stream_ingest    x$m")(
             graft.streaming.ClusterMaintain.ingestBatch(
               docs.filter(col("doc_id") % 7 === 3), stRoot, 1L))
+        // streaming-compact probe: the STORE is fixed ×1 but the merge
+        // FOREST is salted with a 50k·m-edge chain (the adversarial
+        // lifetime shape: years of cluster-merge events, chained so the
+        // fixpoint needs pointer-jumping rounds over them). Uncompacted,
+        // the chain rides into EVERY per-batch fixpoint — ingest cost
+        // grows with m. After compactMerges folds it into the label
+        // store (chain labels touch no stored doc, so the fold is a
+        // no-op rewrite + forest delete), ingest cost must be FLAT in m:
+        // per-batch work is batch + touched roots only.
+        if (want("streaming_compact")) {
+          val scRoot = s"/tmp/graft_scale_sc_x$m/store"
+          graft.engine.Fs.deleteDir(spark, scRoot)
+          graft.streaming.ClusterMaintain.ingestBatch(
+            docs.filter(col("doc_id") % 7 =!= 3), scRoot, 0L)
+          spark.range(50000L * m)
+            .select((col("id") + lit(1000000001L)).as("old_label"),
+              (col("id") + lit(1000000000L)).as("new_label"))
+            .write.mode("overwrite").parquet(s"$scRoot/merges/batch_id=1")
+          val batch = docs.filter(col("doc_id") % 7 === 3)
+          timed2(f"cm_ingest_forest x$m")(
+            graft.streaming.ClusterMaintain.ingestBatch(batch, scRoot, 2L))
+          time(f"cm_compact       x$m")(
+            graft.streaming.ClusterMaintain.compactMerges(spark, scRoot))
+          timed2(f"cm_ingest_compact x$m")(
+            graft.streaming.ClusterMaintain.ingestBatch(batch, scRoot, 2L))
+        }
       }
       spark.stop(); return
     }

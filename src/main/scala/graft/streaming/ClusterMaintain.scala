@@ -47,7 +47,10 @@ import graft.engine.{Fs, Layers}
   *    clusters ever merged, not docs); resolution is a fixpoint over
   *    THAT relation only ([[graft.dedup.Dedup.connectedComponents]] on
   *    merge edges — min-label over a merge chain is exactly its
-  *    transitive resolution).
+  *    transitive resolution). Over the table's LIFETIME the forest
+  *    grows monotonically — [[compactMerges]] folds it into the label
+  *    store at a batch boundary so per-ingest cost stays flat in the
+  *    number of historical merges.
   *
   * Exactly-once: all three stores are batch-keyed partition replaces
   * ([[graft.engine.Layers.replacePartitionsPath]]), and a batch reads
@@ -263,6 +266,64 @@ object ClusterMaintain {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** COMPACT the merge forest (round-12 verdict #3: `priorMerges` rides
+    * into EVERY per-batch fixpoint and grows monotonically with lifetime
+    * cluster-merge events). Folds the forest's transitive resolutions
+    * into the label store — each batch-keyed label partition is
+    * rewritten MAP-ONLY (the forest resolution is cluster-event scale
+    * and broadcast-attaches; above `maxBroadcastLabels` forest edges it
+    * degrades loudly to a shuffled join) — then deletes the forest.
+    * After compaction the per-batch fixpoint input is batch + touched
+    * roots ONLY: per-ingest cost is flat in the number of PRIOR merges
+    * (ScaleProbe `streaming_compact` family), at the amortized price of
+    * one label-store rewrite per compaction.
+    *
+    * Crash-safety (the replay/exactly-once contract is preserved):
+    *  1. every label partition is rewritten with resolved labels via
+    *     [[graft.engine.Layers.replacePartitionsPath]] — atomic per
+    *     partition; a crash mid-way leaves a MIX of resolved and stale
+    *     partitions, which is safe while the forest is intact because
+    *     resolution is idempotent (resolving an already-final label is
+    *     the identity);
+    *  2. only after ALL partitions are rewritten is the forest deleted.
+    *     A crash mid-delete leaves leftover edges that are strictly
+    *     intra-component (a merge edge never links two distinct final
+    *     components), so a later fixpoint re-resolves them to the same
+    *     roots they already carry.
+    *
+    * Call at a batch boundary with every ingested batch committed —
+    * e.g. [[sink]]'s `compactEvery` runs it inside `foreachBatch`
+    * BEFORE the epoch's ingest, so a crash-replay of that epoch re-runs
+    * the (idempotent) compaction and then re-derives the ingest from
+    * the same resolved basis. Batches ingested AFTER a compaction read
+    * label rows that are already final — equivalent inputs, identical
+    * outputs (spec-pinned). Returns the number of forest edges folded. */
+  def compactMerges(spark: SparkSession, root: String,
+      maxBroadcastLabels: Long = 500000L): Long = {
+    val mrgPath = s"$root/merges"
+    val labPath = s"$root/labels"
+    if (!Fs.exists(spark, mrgPath)) return 0L
+    val forest = readOrEmpty(spark, mrgPath, mergeSchema, Long.MaxValue)
+      .localCheckpoint(true)
+    val nEdges = forest.count()
+    if (nEdges == 0L) { Fs.deleteDir(spark, mrgPath); return 0L }
+    val fin = mergeResolution(forest)
+    val finSide = if (nEdges <= maxBroadcastLabels) broadcast(fin) else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"compactMerges: $nEdges forest edges exceed maxBroadcastLabels=" +
+          s"$maxBroadcastLabels — degrading to a shuffled resolution join")
+      fin
+    }
+    val lab = spark.read.schema(labelSchema.add("batch_id", LongType))
+      .parquet(labPath)
+    val resolved = lab.join(finSide, col("label") === col("__l"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__final"), col("label")).as("label"), col("batch_id"))
+    Layers.replacePartitionsPath(resolved, labPath, Seq("batch_id"))
+    Fs.deleteDir(spark, mrgPath)
+    nEdges
+  }
+
   /** The `dedup_streaming` query surface: replay the documents table as
     * `nBatches` arrival batches (doc_id mod `nBatches`, so later batches
     * carry SMALLER ids than earlier ones — exercising the
@@ -294,15 +355,23 @@ object ClusterMaintain {
 
   /** Streaming form: each micro-batch maintains the cluster store via
     * [[ingestBatch]] keyed by its epoch id — checkpoint replay is
-    * idempotent through the batch-keyed sinks. */
+    * idempotent through the batch-keyed sinks. `compactEvery = k > 0`
+    * runs [[compactMerges]] before every k-th epoch's ingest (inside
+    * the SAME foreachBatch, so a crash-replay of the epoch re-runs the
+    * idempotent compaction and then re-derives the ingest from the
+    * resolved basis — the exactly-once contract holds through
+    * compaction); 0 (default) never compacts. */
   def sink(docs: DataFrame, root: String, checkpoint: String,
-      threshold: Double = 0.9, availableNow: Boolean = true)
+      threshold: Double = 0.9, availableNow: Boolean = true,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactMerges(batch.sparkSession, root)
         ingestBatch(batch, root, batchId, threshold); ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

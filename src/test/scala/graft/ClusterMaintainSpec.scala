@@ -116,6 +116,82 @@ class ClusterMaintainSpec extends SparkSpec {
       20L -> ((15L, 2L)), 15L -> ((15L, 2L)), 30L -> ((30L, 1L))), s"got $got")
   }
 
+  test("compaction: labels unchanged, forest gone, idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cm_compact").toString + "/store"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    ClusterMaintain.ingestBatch(batch(10L -> t1, 20L -> t2), root, 0L)
+    ClusterMaintain.ingestBatch(batch(5L -> t1, 15L -> t2), root, 1L) // merges 10->5, 20->15
+    ClusterMaintain.ingestBatch(batch(3L -> t1), root, 2L)            // merge 5->3 (chain)
+    def labelMap() = ClusterMaintain.labels(spark, root)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val before = labelMap()
+    // 4 edges: batch 1 records 10->5 and 20->15; batch 2 touches BOTH
+    // stale labels of t1's cluster (10 and 5 are both probe hits) and
+    // records 10->3 and 5->3 — every touched label gets a direct row
+    val folded = ClusterMaintain.compactMerges(spark, root)
+    assert(folded == 4L, s"expected 4 forest edges folded, got $folded")
+    assert(labelMap() == before, "compaction changed resolved labels")
+    // forest gone; every stored label row is now FINAL (self-resolved)
+    assert(!graft.engine.Fs.exists(spark, s"$root/merges"))
+    val raw = spark.read.parquet(s"$root/labels")
+      .select(col("doc_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw == Map(10L -> 3L, 5L -> 3L, 3L -> 3L, 20L -> 15L, 15L -> 15L),
+      s"labels not folded to final roots: $raw")
+    // idempotent: a second compaction is a no-op
+    assert(ClusterMaintain.compactMerges(spark, root) == 0L)
+    assert(labelMap() == before)
+  }
+
+  test("compaction: ingest after compacting equals ingest without, and new merges still resolve") {
+    import spark.implicits._
+    val rootA = Files.createTempDirectory("cm_cmpA").toString + "/store"
+    val rootB = Files.createTempDirectory("cm_cmpB").toString + "/store"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    (0L to 1L).foreach { b =>
+      val slice = docs.filter(col("doc_id") % 3 === b)
+      ClusterMaintain.ingestBatch(slice, rootA, b)
+      ClusterMaintain.ingestBatch(slice, rootB, b)
+    }
+    ClusterMaintain.compactMerges(spark, rootB)
+    // batch 2 carries the corpus' SMALLEST ids modulo 3 ordering? No —
+    // %3===2 ids interleave, so some clusters gain new minima: the
+    // post-compaction ingest must both JOIN and BRIDGE existing clusters
+    val last = docs.filter(col("doc_id") % 3 === 2)
+    ClusterMaintain.ingestBatch(last, rootA, 2L)
+    ClusterMaintain.ingestBatch(last, rootB, 2L)
+    def labelSet(r: String) = ClusterMaintain.labels(spark, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val a = labelSet(rootA); val b = labelSet(rootB)
+    assert(a == b, s"compacted-store ingest diverged: only-A=${(a -- b).take(5)} " +
+      s"only-B=${(b -- a).take(5)}")
+  }
+
+  test("compaction: crash-replay of the epoch that compacts is exactly-once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cm_cmpR").toString + "/store"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    (0L to 1L).foreach { b =>
+      ClusterMaintain.ingestBatch(docs.filter(col("doc_id") % 3 === b), root, b)
+    }
+    // epoch 2 with compact-before-ingest (the sink's compactEvery shape)
+    def epoch2(): Unit = {
+      ClusterMaintain.compactMerges(spark, root)
+      ClusterMaintain.ingestBatch(docs.filter(col("doc_id") % 3 === 2), root, 2L)
+      ()
+    }
+    epoch2()
+    val before = ClusterMaintain.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    epoch2() // crash-replay: compaction re-runs (idempotent) + re-ingest
+    val after = ClusterMaintain.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after.sameElements(before), "replayed compacting epoch changed labels")
+  }
+
   test("plan: the stored-index probe keeps the corpus map-only (batch broadcast, no SMJ, one survivor-scale exchange)") {
     val docs = Tables.documents(spark, sf)
     val sigs = Dedup.signaturesFor(docs.filter(col("doc_id") % 3 === 2))
