@@ -84,6 +84,7 @@ object SparkEntry {
     "knn_ivfpq"          -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "mmr_select"         -> ((s, d) => Similarity.mmrSelect(s, d)),
     "knn_ivfpq_served"   -> ((s, d) => Similarity.knnIvfPqServed(s, d)),
+    "ann_index_maintain" -> ((s, d) => Similarity.annIndexMaintain(s, d)),
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -354,6 +355,62 @@ object SparkEntry {
       ("mmr_select" -> graft.sim.Similarity.mmrOracleSql()) +
       ("knn_ivfpq" -> ivfpqSql) +
       ("knn_ivfpq_served" -> ivfpqSql) +
+      // generated SQL: incremental ANN index maintenance — the knn_ivf
+      // unrolled-Lloyd prefix RETARGETED to the 75% base slice (every
+      // fit-CTE `FROM p` rewritten to `FROM pb`; occurrence-counted so
+      // a prefix edit can't silently detune the oracle), then both
+      // slices assigned against the converged base centroids and the
+      // per-list drift report (decimal-accumulated money means — the
+      // m-step discipline) replayed exactly
+      ("ann_index_maintain" -> {
+        val src = m("knn_ivf")
+        val cut = src.indexOf("q AS (")
+        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+        val prefix0 = src.substring(0, cut)
+        val at = prefix0.indexOf("cent0 AS")
+        require(at > 0, "knn_ivf oracle lost its seed CTE marker")
+        // everything from the seed CTE on is the FIT — retarget both the
+        // table references (`FROM p`) and the qualified column references
+        // (`p.vec_id` etc) to the base slice; occurrence-counted so a
+        // prefix edit can't silently detune the oracle
+        val fitRegion = prefix0.substring(at)
+        val fromRefs = "FROM p\\b".r.findAllIn(fitRegion).size
+        val colRefs = "\\bp\\.".r.findAllIn(fitRegion).size
+        require(fromRefs == 4 && colRefs == 15,
+          s"knn_ivf fit prefix expected 4 FROM + 15 qualified corpus refs, " +
+            s"found $fromRefs + $colRefs")
+        val fit = "\\bp\\.".r.replaceAllIn(
+          "FROM p\\b".r.replaceAllIn(fitRegion, "FROM pb"), "pb.")
+        prefix0.substring(0, at) +
+          "pb AS MATERIALIZED (SELECT vec_id, v, norm2 FROM p WHERE vec_id % 4 <> 3),\n      " +
+          fit + """fasg AS (
+        SELECT pb.vec_id, c.cid,
+               floor((list_reduce(list_transform(range(1, len(pb.v) + 1), j -> pb.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(pb.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM pb CROSS JOIN centn c
+        QUALIFY row_number() OVER (PARTITION BY pb.vec_id ORDER BY cos DESC, c.cid) = 1),
+      basg AS (
+        SELECT px.vec_id, c.cid,
+               floor((list_reduce(list_transform(range(1, len(px.v) + 1), j -> px.v[j] * c.centroid[j]), (x, y) -> x + y)
+                 / sqrt(px.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos
+        FROM (SELECT vec_id, v, norm2 FROM p WHERE vec_id % 4 = 3) px CROSS JOIN centn c
+        QUALIFY row_number() OVER (PARTITION BY px.vec_id ORDER BY cos DESC, c.cid) = 1),
+      fs AS (
+        SELECT cid, count(*) AS n_fit,
+               floor((CAST(sum(CAST(cos AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS fit_mean_cos
+        FROM fasg GROUP BY 1),
+      bs AS (
+        SELECT cid, count(*) AS n_batch,
+               floor((CAST(sum(CAST(cos AS DECIMAL(38,8))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS batch_mean_cos
+        FROM basg GROUP BY 1)
+      SELECT fs.cid, fs.n_fit, fs.fit_mean_cos,
+             coalesce(bs.n_batch, 0) AS n_batch, bs.batch_mean_cos,
+             floor((fs.fit_mean_cos - coalesce(bs.batch_mean_cos, fs.fit_mean_cos)) * 10000 + 0.5) / 10000 AS drift,
+             coalesce(bs.batch_mean_cos, fs.fit_mean_cos) + 0.05 < fs.fit_mean_cos AS retrain
+      FROM fs LEFT JOIN bs USING (cid)
+      ORDER BY fs.cid
+    """
+      }) +
       // generated SQL: synchronous label propagation unrolled 4 rounds —
       // per round a (node, label) count + deterministic argmax QUALIFY;
       // the edge CTE is MATERIALIZED (referenced once per round)

@@ -655,7 +655,7 @@ object Similarity {
   /** Dense `(s, cid)`-indexed codebook rows, zero-padded where a
     * codeword died (padding unreachable by construction: assignment
     * only emits surviving cids). */
-  private def pqPaddedRows(fits: Seq[Seq[Centroid]], m: Int, codes: Int,
+  private[graft] def pqPaddedRows(fits: Seq[Seq[Centroid]], m: Int, codes: Int,
       subDim: Int): Seq[(Int, Int, Seq[Double], Double)] =
     for (s <- 0 until m; cid <- 0 until codes) yield
       fits(s).find(_.cid == cid)
@@ -664,7 +664,7 @@ object Similarity {
 
   /** The flat padded rows nested into the 1-row `cb` relation every ADC
     * consumer broadcast-attaches. */
-  private def pqCodebookDf(spark: SparkSession,
+  private[graft] def pqCodebookDf(spark: SparkSession,
       padded: Seq[(Int, Int, Seq[Double], Double)]): DataFrame = {
     import spark.implicits._
     padded.toDF("s", "cid", "c", "cn2")
@@ -677,7 +677,7 @@ object Similarity {
     * sub-code assignments are all broadcast-attached row expressions.
     * Returns `(neighbor_id, codes, recon_n2, cid)` — the compressed
     * scan set. */
-  private def pqEncodeCoded(e: DataFrame, coarse: Seq[Centroid],
+  private[graft] def pqEncodeCoded(e: DataFrame, coarse: Seq[Centroid],
       fits: Seq[Seq[Centroid]], m: Int, subDim: Int, cbDf: DataFrame): DataFrame = {
     var enc = assignCid(e, coarse, "v", "norm2").withColumnRenamed("cid", "list_id")
     for (s <- 0 until m) {
@@ -701,7 +701,7 @@ object Similarity {
     * persisted-index [[knnIvfPqFromIndexOn]] (which passes parquet-read
     * relations; doubles and codes round-trip parquet exactly, so the
     * two are bit-identical at the same fit parameters). */
-  private def ivfpqServe(corpusCoded: DataFrame, e: DataFrame,
+  private[graft] def ivfpqServe(corpusCoded: DataFrame, e: DataFrame,
       centDf: DataFrame, cbDf: DataFrame, k: Int, nprobe: Int, m: Int,
       shortlist: Int): DataFrame = {
     val spark = e.sparkSession
@@ -753,7 +753,8 @@ object Similarity {
     * nprobe/nClusters of the INDEX bytes, which are themselves ~100×
     * smaller than the vectors [[buildIvfIndex]] serves. */
   def buildIvfPqIndexOn(e: DataFrame, indexPath: String, nClusters: Int,
-      ivfIters: Int, m: Int, codes: Int, pqIters: Int): Unit = {
+      ivfIters: Int, m: Int, codes: Int, pqIters: Int)
+      : (Seq[Centroid], Seq[Seq[Centroid]]) = {
     import e.sparkSession.implicits._
     val subDim = 64 / m
     val coarse = kmeansLloyd(e, nClusters, ivfIters)
@@ -766,11 +767,142 @@ object Similarity {
     val cbDf = pqCodebookDf(e.sparkSession, padded)
     pqEncodeCoded(e, coarse, fits, m, subDim, cbDf)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexPath/lists")
+    (coarse, fits)
+  }
+
+  /** The stored coarse quantizer back as driver state — O(nClusters)
+    * metadata, the collect an index SERVER does once at startup. */
+  private[graft] def readStoredCoarse(spark: SparkSession, indexPath: String): Seq[Centroid] =
+    spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => Centroid(r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq.sortBy(_.cid)
+
+  /** The stored per-subspace codebooks back as the UNPADDED fit
+    * sequences `pqEncodeCoded` assigns against — zero-pad rows (dead
+    * codewords, written for dense LUT indexing) are dropped by their
+    * exact (cn2 = 0 ∧ c ≡ 0) signature. A SURVIVING codeword with that
+    * signature is indistinguishable from padding, but cannot arise from
+    * money-rounded means of non-degenerate embedding slices (and its
+    * assignment cosine is 0/0 = NaN either way); the encode-equivalence
+    * spec pins the round trip. O(m·codes) metadata. */
+  private[graft] def readStoredFits(spark: SparkSession, indexPath: String,
+      m: Int): Seq[Seq[Centroid]] = {
+    val flat = spark.read.parquet(s"$indexPath/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+    (0 until m).map { s =>
+      flat.filter(t => t._1 == s && (t._4 != 0.0 || t._3.exists(_ != 0.0)))
+        .map(t => Centroid(t._2, t._3, t._4)).toSeq.sortBy(_.cid)
+    }
+  }
+
+  /** Coarse assignment WITH its money-rounded cosine — the semanticDedup
+    * `scored` shape factored for the maintenance stats. */
+  private[graft] def assignScored(e: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    import e.sparkSession.implicits._
+    val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
+    assignCid(e, cents, "v", "norm2")
+      .join(broadcast(centDf), "cid")
+      .withColumn("ccos",
+        Fns.money(dotCol(col("v"), col("centroid")) / sqrt(col("norm2") * col("cnorm2"))))
+      .select(col("vec_id"), col("cid"), col("ccos"))
+  }
+
+  /** Per-list assignment-quality stats: member count + DECIMAL-
+    * accumulated money-rounded mean assignment cosine (order-independent
+    * ⟹ identical on any partitioning AND exactly replayable in SQL —
+    * the [[kmeansLloyd]] m-step discipline applied to the drift
+    * metric). */
+  private[graft] def cidStats(scored: DataFrame, nCol: String, meanCol: String): DataFrame =
+    scored.groupBy(col("cid"))
+      .agg(count(lit(1)).as(nCol),
+        Fns.money(Fns.sumMoney(col("ccos")) / count(lit(1))).as(meanCol))
+
+  /** INCREMENTAL index maintenance — the streaming companion to
+    * [[buildIvfPqIndexOn]], completing the CorpusIngest philosophy for
+    * the ANN family (round-12 brief #4; the reference's incremental-
+    * extract idea — `dags/utils/extract_load_template.py:126-159`,
+    * process only the new slice against persistent state — applied to
+    * the index): a new batch is ENCODED MAP-ONLY against the stored
+    * quantizers (centroids + codebooks arrive as O(nClusters + m·codes)
+    * driver metadata and broadcast-attach; no fit, no corpus scan, no
+    * shuffle in the encode) and appended as `delta/batch_id=N/cid=…`
+    * partitions — serving unions them under the same `cid` partition
+    * pruning, and the base `lists/` store is never touched (spec-pinned
+    * by file listing). Alongside the codes, the ingest tracks PER-LIST
+    * DRIFT: the batch's per-cid assignment-cosine stats land in
+    * `stats_delta/batch_id=N`, to be compared against the fit-time
+    * `stats` store — the retrain trigger ([[annIndexMaintain]]) — so
+    * re-training happens when the data moved, not on a schedule.
+    *
+    * Exactly-once: both writes are batch-keyed partition replaces
+    * ([[graft.engine.Layers.replacePartitionsPath]]); a replayed batch
+    * re-encodes against the same stored quantizers and overwrites its
+    * own partitions bit-for-bit. Returns the batch row count (one job
+    * over the batch — the only action besides the two writes). */
+  def ingestIvfPqBatch(batchE: DataFrame, indexPath: String, batchId: Long,
+      m: Int = 8): Long = {
+    val spark = batchE.sparkSession
+    val subDim = 64 / m
+    val coarse = readStoredCoarse(spark, indexPath)
+    val fits = readStoredFits(spark, indexPath, m)
+    val cbFlat = spark.read.parquet(s"$indexPath/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3))).toSeq
+    val cbDf = pqCodebookDf(spark, cbFlat)
+    graft.engine.Layers.replacePartitionsPath(
+      pqEncodeCoded(batchE, coarse, fits, m, subDim, cbDf)
+        .withColumn("batch_id", lit(batchId)),
+      s"$indexPath/delta", Seq("batch_id", "cid"))
+    graft.engine.Layers.replacePartitionsPath(
+      cidStats(assignScored(batchE, coarse), "n_batch", "batch_mean_cos")
+        .withColumn("batch_id", lit(batchId)),
+      s"$indexPath/stats_delta", Seq("batch_id"))
+    batchE.count()
+  }
+
+  /** The `ann_index_maintain` query surface: build the IVF-PQ index on
+    * the 75% base slice (`vec_id % 4 ≠ 3`) with fit-time per-list
+    * assignment stats persisted beside it, ingest the remaining 25% as
+    * an arrival batch via [[ingestIvfPqBatch]] (map-only encode +
+    * delta append + drift stats), then report per-list drift: fit vs
+    * batch member counts and mean assignment cosines, the money-rounded
+    * drift delta, and the RETRAIN flag (batch mean more than `driftTol`
+    * below fit mean — on this iid fixture split all flags are false;
+    * the spec forces a drifted batch and sees them flip). Lists the
+    * batch never touches report `n_batch = 0` with no drift. Every
+    * number is money-rounded/decimal-accumulated, so the DuckDB oracle
+    * replays fit, both assignments, and the report exactly. */
+  def annIndexMaintain(spark: SparkSession, dir: String, nClusters: Int = 10,
+      ivfIters: Int = 3, m: Int = 8, codes: Int = 32, pqIters: Int = 2,
+      driftTol: Double = 0.05): DataFrame = {
+    val idx = graft.engine.Fs.scratch("graft_ivfpq_maint", dir)
+    graft.engine.Fs.deleteDir(spark, idx)
+    val e = preparedCk(spark, dir)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val batch = e.filter(col("vec_id") % 4 === 3)
+    val (coarse, _) = buildIvfPqIndexOn(base, idx, nClusters, ivfIters, m, codes, pqIters)
+    cidStats(assignScored(base, coarse), "n_fit", "fit_mean_cos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    ingestIvfPqBatch(batch, idx, 1L, m)
+    val fit = spark.read.parquet(s"$idx/stats")
+    val bat = spark.read.parquet(s"$idx/stats_delta").drop("batch_id")
+    fit.join(bat, Seq("cid"), "left")
+      .select(col("cid"), col("n_fit"), col("fit_mean_cos"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        col("batch_mean_cos"),
+        Fns.money(col("fit_mean_cos") -
+          coalesce(col("batch_mean_cos"), col("fit_mean_cos"))).as("drift"),
+        (coalesce(col("batch_mean_cos"), col("fit_mean_cos")) + lit(driftTol) <
+          col("fit_mean_cos")).as("retrain"))
+      .orderBy(col("cid"))
   }
 
   /** Serve IVF-PQ from a persisted index: probe routing against stored
     * centroids, ADC over the stored coded lists (partition-pruned on
-    * `cid`), exact re-rank against the caller's corpus relation. */
+    * `cid`), exact re-rank against the caller's corpus relation. A
+    * maintained index's `delta/batch_id=N/cid=…` appends
+    * ([[ingestIvfPqBatch]]) are unioned in under the SAME `cid`
+    * partition pruning — per probe, a list read is the base `cid`
+    * directory plus that `cid`'s slice of each batch directory. */
   private[graft] def knnIvfPqFromIndexOn(e: DataFrame, indexPath: String,
       k: Int, nprobe: Int, m: Int, shortlist: Int): DataFrame = {
     val spark = e.sparkSession
@@ -780,7 +912,14 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getInt(1),
         r.getSeq[Double](2), r.getDouble(3))).toSeq
     val cbDf = pqCodebookDf(spark, cbFlat)
-    val lists = spark.read.parquet(s"$indexPath/lists")
+    val base = spark.read.parquet(s"$indexPath/lists")
+    val deltaPath = s"$indexPath/delta"
+    val lists =
+      if (graft.engine.Fs.exists(spark, deltaPath))
+        base.unionByName(
+          spark.read.parquet(deltaPath).drop("batch_id")
+            .select(base.columns.map(col).toIndexedSeq: _*))
+      else base
     ivfpqServe(lists, e, centDf, cbDf, k, nprobe, m, shortlist)
   }
 
