@@ -21,6 +21,37 @@ object Bench {
     * A malformed artifact must NOT silently disable stall detection
     * (round-9 verdict #7): parse failures warn loudly and return empty.
     * Factored out of main so the parse + threshold logic is unit-testable. */
+  /** The contractual bench envelope: BENCH_r01's recorded 86.58 s at
+    * sf0.1 with the 2× ceiling (BASELINE.md "Recorded numeric
+    * baseline"). */
+  private[graft] val BaselineTotal = 86.58
+  private[graft] val CeilingFactor = 2.0
+  private[graft] def ceiling: Double = BaselineTotal * CeilingFactor
+
+  /** DECLARED sf0.1 budget (seconds) for queries added since the last
+    * committed BENCH_TOTAL.json priors — the surface-growth gate
+    * (round-12 verdict #6): every new query lands here with a measured
+    * builder estimate BEFORE the driver records it, and
+    * `BenchPriorsSpec` fails the build if committed priors + these
+    * declarations project past 90% of the ceiling — growth is gated on
+    * a recorded budget instead of discovered at recording time. Entries
+    * whose queries have entered the committed priors are dead (the
+    * prior wins in [[projectedTotal]]) and get pruned on touch.
+    * Mirror each entry with a row in BASELINE.md's budget table. */
+  private[graft] val newQueryBudget: Map[String, Double] = Map(
+    "dedup_containment_capped" -> 5.6, // measured 3-pass median, r13 builder
+    "ann_index_maintain" -> 5.5)       // 4.8 s at set_factor 0.8 → band-corrected
+  /** Projected full-set total: committed prior medians where they
+    * exist, declared budgets for the rest; Left = queries with NEITHER
+    * (an undeclared new query must fail the gate loudly). */
+  private[graft] def projectedTotal(priors: Map[String, Double],
+      names: Iterable[String], budget: Map[String, Double])
+      : Either[Seq[String], Double] = {
+    val missing = names.filterNot(n => priors.contains(n) || budget.contains(n)).toSeq.sorted
+    if (missing.nonEmpty) Left(missing)
+    else Right(names.map(n => priors.getOrElse(n, budget(n))).sum)
+  }
+
   private[graft] def parsePriors(f: java.io.File): Map[String, Double] =
     if (!f.exists) Map.empty
     else try {

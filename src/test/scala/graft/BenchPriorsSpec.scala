@@ -131,6 +131,35 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(Bench.setFactor(Map("x" -> 1.0), prior).isEmpty)
   }
 
+  test("budget gate: committed priors + declared new-query budgets project under 90% of the ceiling") {
+    // the REAL committed artifact and the REAL query surface — this is
+    // the surface-growth gate, not a fixture: adding a query without a
+    // newQueryBudget declaration, or declaring past the envelope, fails
+    // the build here instead of at driver recording time
+    val priors = Bench.parsePriors(new java.io.File("BENCH_TOTAL.json"))
+    assert(priors.nonEmpty, "no committed BENCH_TOTAL.json priors to project from")
+    val names = SparkEntry.queries.keys.toSeq
+    Bench.projectedTotal(priors, names, Bench.newQueryBudget) match {
+      case Left(missing) =>
+        fail(s"queries with neither a committed prior nor a declared budget: $missing " +
+          "— add a measured entry to Bench.newQueryBudget and a BASELINE.md budget row")
+      case Right(total) =>
+        val cap = 0.9 * Bench.ceiling
+        assert(total <= cap,
+          f"projected full-set total $total%.1f s exceeds 90%% of the " +
+            f"${Bench.ceiling}%.1f s ceiling ($cap%.1f s) — shave cost or stop growing")
+    }
+  }
+
+  test("projectedTotal: priors win over budgets; undeclared new queries are Left") {
+    val priors = Map("a" -> 2.0, "b" -> 1.0)
+    val budget = Map("b" -> 9.0, "c" -> 3.0)
+    // b has a prior (1.0) — its stale budget entry is ignored
+    assert(Bench.projectedTotal(priors, Seq("a", "b", "c"), budget) == Right(6.0))
+    assert(Bench.projectedTotal(priors, Seq("a", "d", "e"), budget) ==
+      Left(Seq("d", "e")))
+  }
+
   test("heapOffProfile: flags >2x above or below the tuned 16 GiB, not the tuned band itself") {
     assert(!Bench.heapOffProfile(16384))
     assert(!Bench.heapOffProfile(32768))  // exactly 2x: still in-profile
