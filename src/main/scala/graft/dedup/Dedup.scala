@@ -892,22 +892,24 @@ object Dedup {
     val pre0 = docs.select(col("doc_id"), col("n_sh"), explode(expr(
       s"slice(shh, 1, size(shh) - CAST(floor($threshold * size(shh)) AS INT) + 1)")).as("sh"))
     val full0 = docs.select(col("doc_id"), col("n_sh"), explode(col("shh")).as("sh"))
-    // document frequency comes from the FULL index (prefix rows must not
-    // deflate it); ONE shuffle keyed on the shingle hash serves both
-    // sides — the sides ride together flagged, the window counts only
-    // full-index rows, and the candidate join on `sh` below reuses the
-    // window's hash partitioning (no second exchange)
+    // document frequency comes from the FULL index (prefix rows must
+    // not deflate it), aggregated to the HOT set only: the groupBy's
+    // map-side combine shuffles distinct-shingle partials (not all
+    // postings — a window over the index was measured shuffling the
+    // whole posting volume TWICE, once per consumer side, with no
+    // static exchange reuse), and the surviving hot set is boilerplate
+    // scale (29 shingles at sf0.01, f=5) — the optimizer broadcasts it
+    // into two MAP-ONLY anti-joins and degrades to a shuffled anti-join
+    // if a pathological corpus grows it past the broadcast threshold
+    // (bounded by total-postings/f regardless)
     val (pre, full) = maxShingleFreq match {
       case None => (pre0, full0)
       case Some(f) =>
-        val w = Window.partitionBy(col("sh"))
-        val tagged = full0.withColumn("__p", lit(false))
-          .unionByName(pre0.withColumn("__p", lit(true)))
-          .withColumn("__f", sum(when(col("__p"), 0L).otherwise(1L)).over(w))
-          .filter(col("__f") <= f)
-          .drop("__f")
-        (tagged.filter(col("__p")).drop("__p"),
-         tagged.filter(!col("__p")).drop("__p"))
+        val hot = full0.groupBy(col("sh")).agg(count(lit(1)).as("__f"))
+          .filter(col("__f") > f).select(col("sh"))
+          .localCheckpoint(true)
+        (pre0.join(hot, Seq("sh"), "left_anti"),
+         full0.join(hot, Seq("sh"), "left_anti"))
     }
     // second lossless cut IN the join: inter ≤ nb, so a→b needs
     // nb ≥ τ·na — the large→small direction dies before the distinct.

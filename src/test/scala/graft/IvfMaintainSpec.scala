@@ -82,6 +82,27 @@ class IvfMaintainSpec extends SparkSpec {
     assert(layout(s"$idx/delta") == deltaLayout, "replayed ingest changed the delta layout")
   }
 
+  test("plan: the batch encode reads ONLY the batch — no store scan, no shuffle join") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val e = Similarity.preparedCk(spark, sf)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val idx = Files.createTempDirectory("ivf_plan").toString + "/idx"
+    val (coarse, fits) = Similarity.buildIvfPqIndexOn(base, idx, 10, 3, m, codes, 2)
+    val cbDf = Similarity.pqCodebookDf(spark,
+      Similarity.pqPaddedRows(fits, m, codes, subDim))
+    val batch = e.filter(col("vec_id") % 4 === 3)
+    val plan = Similarity.pqEncodeCoded(batch, coarse, fits, m, subDim, cbDf)
+      .queryExecution.explainString(FormattedMode)
+    // the ingest's scale promise: ONE pass over the batch relation —
+    // no store/corpus scan (quantizers are driver metadata turned local
+    // relations), no shuffle join; the only exchanges permitted are the
+    // metadata-scale aggregations INSIDE the broadcast codebook subtree
+    assert(!plan.contains("Scan parquet"), s"encode scanned a store:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    val bcasts = "BroadcastExchange".r.findAllIn(plan).size
+    assert(bcasts >= 1, s"expected broadcast quantizer attaches\n$plan")
+  }
+
   test("drift report shape + the trigger fires on a genuinely drifted batch") {
     // the query surface end-to-end (report per fit list, flags boolean;
     // at tiny fixture scale the iid split can legitimately flag — the
