@@ -192,6 +192,50 @@ class ClusterMaintainSpec extends SparkSpec {
     assert(after.sameElements(before), "replayed compacting epoch changed labels")
   }
 
+  test("property: random batches + random compaction points == one full CC run (micro-corpora)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260816L)
+    // 4 template token sets; each doc is a template ± one token — at
+    // threshold 0.5 the templates cluster with their perturbations and
+    // occasionally bridge, giving rich merge graphs. Scrambled ids
+    // (7i mod 101, injective below 101) force backward-moving minima.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val templates = Vector.fill(4)(
+      (0 until 5).map(_ => vocab(rng.nextInt(vocab.size))).distinct)
+    for (trial <- 1 to 3) {
+      val docs = (1 to 24).map { i =>
+        val t = templates(rng.nextInt(templates.size))
+        val toks =
+          if (rng.nextBoolean()) t
+          else if (rng.nextBoolean()) t :+ vocab(rng.nextInt(vocab.size))
+          else t.drop(1)
+        (i.toLong * 7 % 101, toks.mkString(" "))
+      }
+      val root = Files.createTempDirectory(s"cm_prop$trial").toString + "/store"
+      val nBatches = 3 + rng.nextInt(2)
+      val per = math.ceil(docs.size.toDouble / nBatches).toInt
+      rng.shuffle(docs).grouped(per).zipWithIndex.foreach { case (b, i) =>
+        if (i > 0 && rng.nextBoolean())
+          ClusterMaintain.compactMerges(spark, root)
+        ClusterMaintain.ingestBatch(b.toDF("doc_id", "text"), root, i.toLong,
+          threshold = 0.5)
+      }
+      val got = ClusterMaintain.labels(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ground truth: ONE full CC run over the complete pair graph of
+      // the whole corpus (identical signature/band/verify pipeline)
+      val dir = Files.createTempDirectory(s"cm_propd$trial").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val comp = Dedup.connectedComponents(
+          Dedup.minhashPairs(spark, dir, threshold = 0.5), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = docs.map(_._1).map(id => id -> comp.getOrElse(id, id)).toMap
+      assert(got == expected,
+        s"trial $trial (nBatches=$nBatches): got $got expected $expected")
+    }
+  }
+
   test("plan: the stored-index probe keeps the corpus map-only (batch broadcast, no SMJ, ZERO exchanges)") {
     val docs = Tables.documents(spark, sf)
     val sigs = Dedup.signaturesFor(docs.filter(col("doc_id") % 3 === 2))
