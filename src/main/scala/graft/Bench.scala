@@ -40,7 +40,8 @@ object Bench {
     * Mirror each entry with a row in BASELINE.md's budget table. */
   private[graft] val newQueryBudget: Map[String, Double] = Map(
     "dedup_containment_capped" -> 5.6, // measured 3-pass median, r13 builder
-    "ann_index_maintain" -> 5.5)       // 4.8 s at set_factor 0.8 → band-corrected
+    "ann_index_maintain" -> 5.5,       // 4.8 s at set_factor 0.8 → band-corrected
+    "cluster_split" -> 2.0)            // nearDupClusters + a per-row expression
   /** Projected full-set total: committed prior medians where they
     * exist, declared budgets for the rest; Left = queries with NEITHER
     * (an undeclared new query must fail the gate loudly). */
@@ -130,6 +131,32 @@ object Bench {
       false
     else if (nQueries > eQueries.size) true
     else parsePriorTotal(existing).forall(newTotal < _)
+  }
+
+  /** What a full zero-failure run should COMMIT as priors: a
+    * better-total run replaces outright (the best-recording policy);
+    * SURFACE GROWTH with a worse total MERGES — every existing query
+    * keeps its committed (better-band) median and only the genuinely
+    * new queries adopt this run's medians. Without the merge, a single
+    * warm-host growth recording clobbers 180+ good priors just to give
+    * two new queries a reference (round 13: a set_factor-1.23 grown-
+    * surface recording did exactly that and tripped the budget gate —
+    * the gate projects from committed priors, so priors must stay the
+    * best known per query, not the latest band). Returns the map to
+    * write plus a merged? flag, or None to keep the existing artifact.
+    * Queries REMOVED from the surface drop out of the merged map. */
+  private[graft] def priorsToCommit(existing: java.io.File, sf: String,
+      medians: Map[String, Double]): Option[(Map[String, Double], Boolean)] = {
+    val total = medians.values.filter(_ >= 0).sum
+    if (!shouldReplacePriors(existing, total, sf, medians.size)) None
+    else {
+      val e = parsePriors(existing)
+      val grewWorse = e.nonEmpty && parsePriorSf(existing).contains(sf) &&
+        medians.size > e.size && parsePriorTotal(existing).exists(total >= _)
+      if (grewWorse)
+        Some((medians.map { case (k, v) => k -> e.getOrElse(k, v) }, true))
+      else Some((medians, false))
+    }
   }
 
   /** A query is a stall SUSPECT when its fresh median at least doubles its
@@ -557,26 +584,43 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${medians.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // best-committed-recording priors policy (see shouldReplacePriors):
-    // only a full, zero-failure run that beats (or outgrows) the
-    // existing artifact replaces the tracked priors map — the full line
-    // is ALWAYS on stdout above, so no information is lost by skipping
+    // best-committed-recording priors policy (see shouldReplacePriors /
+    // priorsToCommit): only a full, zero-failure run that beats (or
+    // outgrows) the existing artifact touches the tracked priors map —
+    // and a grown-surface run with a WORSE total merges into the
+    // committed medians instead of clobbering them. The full line is
+    // ALWAYS on stdout above, so no information is lost by skipping.
     val fullRun = only.isEmpty && failed.isEmpty
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE_TOTAL").contains("1")
-    if (force || (fullRun && shouldReplacePriors(priorsFile, total, sfDir, medians.size)))
-      try {
-        val w = new java.io.PrintWriter(priorsFile)
-        try w.println(line) finally w.close()
-        System.err.println(s"[bench] BENCH_TOTAL.json updated (total=$total)")
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write BENCH_TOTAL.json: ${e.getMessage}")
-      }
-    else
-      System.err.println(s"[bench] BENCH_TOTAL.json NOT updated: " +
-        (if (!fullRun) "subset or failed run"
-         else s"existing priors are better (total=$total vs " +
-           s"${parsePriorTotal(priorsFile).getOrElse(Double.NaN)})") +
-        " — full line is on stdout; SPARK_GRAFT_BENCH_FORCE_TOTAL=1 to force")
+    val commit: Option[(Map[String, Double], Boolean)] =
+      if (force) Some((medians.toMap, false))
+      else if (fullRun) priorsToCommit(priorsFile, sfDir, medians.toMap)
+      else None
+    commit match {
+      case Some((pm, merged)) =>
+        try {
+          val pTotal = pm.values.filter(_ >= 0).sum
+          val outLine = if (!merged) line else {
+            val pQs = pm.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+            s"""{"metric":"total","value":$pTotal,"unit":"sec","queries":$pQs,""" +
+              s""""merged_with_prior":true,"reprobe":$reprobeJson,""" +
+              s""""tax_probe":$taxJson,"env":$env,"failed":$failedJson,"sf":"$sfDir"}"""
+          }
+          val w = new java.io.PrintWriter(priorsFile)
+          try w.println(outLine) finally w.close()
+          System.err.println(s"[bench] BENCH_TOTAL.json updated (total=$pTotal" +
+            (if (merged) s", surface growth merged into better committed priors" else "") + ")")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write BENCH_TOTAL.json: ${e.getMessage}")
+        }
+      case None =>
+        System.err.println(s"[bench] BENCH_TOTAL.json NOT updated: " +
+          (if (!fullRun) "subset or failed run"
+           else s"existing priors are better (total=$total vs " +
+             s"${parsePriorTotal(priorsFile).getOrElse(Double.NaN)})") +
+          " — full line is on stdout; SPARK_GRAFT_BENCH_FORCE_TOTAL=1 to force")
+    }
     println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -150,6 +150,7 @@ object SparkEntry {
     "quality_ols"             -> ((s, d) => Analytics.qualityOls(s, d)),
     "lang_confusion"          -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "split_leakage"           -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
+    "cluster_split"           -> ((s, d) => TextAnalysis.clusterSplit(s, d)),
     "simhash_precision"       -> ((s, d) => Dedup.simhashPrecision(s, d)),
     "sketch_agreement"        -> ((s, d) => Dedup.sketchAgreement(s, d)),
     "pq_recall"               -> ((s, d) => Similarity.pqRecall(s, d)),
@@ -355,6 +356,20 @@ object SparkEntry {
       ("mmr_select" -> graft.sim.Similarity.mmrOracleSql()) +
       ("knn_ivfpq" -> ivfpqSql) +
       ("knn_ivfpq_served" -> ivfpqSql) +
+      // generated SQL: the cluster-aware split shares dedup_clusters'
+      // recursive-CC oracle verbatim — only the final SELECT grows the
+      // h64(cluster_id)-mod-10 split column
+      ("cluster_split" -> {
+        val src = m("dedup_clusters")
+        val cut = src.indexOf("SELECT c.doc_id, c.cluster_id, s.cluster_size")
+        require(cut > 0, "dedup_clusters oracle lost its final SELECT marker")
+        src.substring(0, cut) + """SELECT c.doc_id, c.cluster_id, s.cluster_size,
+             CASE WHEN (('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 15))::BIGINT) % 10 = 0
+                  THEN 'test' ELSE 'train' END AS split
+      FROM comp c JOIN sizes s USING (cluster_id)
+      ORDER BY c.doc_id
+    """
+      }) +
       // generated SQL: incremental ANN index maintenance — the knn_ivf
       // unrolled-Lloyd prefix RETARGETED to the 75% base slice (every
       // fit-CTE `FROM p` rewritten to `FROM pb`; occurrence-counted so

@@ -86,6 +86,28 @@ object TextAnalysis {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LEAKAGE-FREE train/test split — the PREVENTION companion to
+    * [[splitLeakage]] (which only measures the damage): every near-dup
+    * CLUSTER is assigned atomically, `split = h64(cluster_id) mod 10`,
+    * so no near-dup pair (same edge basis: SimHash Hamming ≤ 3,
+    * [[graft.dedup.Dedup.nearDupClusters]]) can straddle the train/test
+    * boundary BY CONSTRUCTION — a pair shares a cluster, and a cluster
+    * lands in exactly one split. This is the Lee et al. 2022
+    * contamination FIX, not just its measurement; spec-pinned: the
+    * splitLeakage-style check over this split is EMPTY while the naive
+    * content-hash split leaks on the same fixture.
+    *
+    * Scale shape: clusters come from the banded near-dup pipeline
+    * (never all-pairs); the split is a per-row expression on the
+    * cluster id — no joins beyond nearDupClusters' own, and the
+    * assignment is reproducible on any engine (portable h64). */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.nearDupClustersUnsorted(spark, dir)
+      .withColumn("split",
+        when(Fns.h64(col("cluster_id").cast("string")) % 10 === 0, lit("test"))
+          .otherwise(lit("train")))
+      .orderBy(col("doc_id"))
+
   /** Quality scoring: token count, average token length, stopword ratio,
     * digit ratio, composite score — length/punct/stopword heuristics. */
   def quality(spark: SparkSession, dir: String): DataFrame = {

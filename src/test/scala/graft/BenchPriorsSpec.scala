@@ -131,6 +131,34 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(Bench.setFactor(Map("x" -> 1.0), prior).isEmpty)
   }
 
+  test("priorsToCommit: growth with a worse total MERGES into committed medians; better totals replace; worse same-surface keeps") {
+    val sf = "/root/testdata/sf0.1"
+    val good = tmpJson(
+      s"""{"metric":"total","value":3.0,"queries":{"q1":2.0,"q2":1.0},"sf":"$sf"}""")
+    // grown surface, worse total: q1/q2 keep their committed medians,
+    // only the new q3 adopts this run's number — a warm-band growth
+    // recording must not clobber the good priors
+    assert(Bench.priorsToCommit(good, sf, Map("q1" -> 3.0, "q2" -> 1.5, "q3" -> 0.5)) ==
+      Some((Map("q1" -> 2.0, "q2" -> 1.0, "q3" -> 0.5), true)))
+    // a removed query drops out of the merged map
+    assert(Bench.priorsToCommit(good, sf, Map("q1" -> 3.0, "q3" -> 0.5, "q4" -> 0.5)) ==
+      Some((Map("q1" -> 2.0, "q3" -> 0.5, "q4" -> 0.5), true)))
+    // strictly better same-surface total: replace outright (not merged)
+    assert(Bench.priorsToCommit(good, sf, Map("q1" -> 1.5, "q2" -> 0.9)) ==
+      Some((Map("q1" -> 1.5, "q2" -> 0.9), false)))
+    // grown surface AND better total: replace outright too
+    assert(Bench.priorsToCommit(good, sf, Map("q1" -> 1.0, "q2" -> 0.9, "q3" -> 0.5)) ==
+      Some((Map("q1" -> 1.0, "q2" -> 0.9, "q3" -> 0.5), false)))
+    // worse same-surface total: keep the committed artifact
+    assert(Bench.priorsToCommit(good, sf, Map("q1" -> 3.0, "q2" -> 1.5)).isEmpty)
+    // cross-sf growth: keep (re-baselining is FORCE territory)
+    assert(Bench.priorsToCommit(good, "/root/testdata/sf0.001",
+      Map("q1" -> 0.1, "q2" -> 0.1, "q3" -> 0.1)).isEmpty)
+    // no usable artifact: this run's map, verbatim
+    assert(Bench.priorsToCommit(new java.io.File("/nonexistent/B.json"), sf,
+      Map("q1" -> 9.0)) == Some((Map("q1" -> 9.0), false)))
+  }
+
   test("budget gate: committed priors + declared new-query budgets project under 90% of the ceiling") {
     // the REAL committed artifact and the REAL query surface — this is
     // the surface-growth gate, not a fixture: adding a query without a

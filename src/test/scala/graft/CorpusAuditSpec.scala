@@ -320,6 +320,23 @@ class CorpusAuditSpec extends SparkSpec {
     leaks.foreach(r => assert(r.getString(3) != r.getString(4)))
   }
 
+  test("clusterSplit: zero cross-split near-dup pairs BY CONSTRUCTION; covers every doc") {
+    val split = TextAnalysis.clusterSplit(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(split.size == Tables.documents(spark, dir).count())
+    // atomically-assigned clusters: one split per cluster_id
+    assert(split.values.groupBy(_._1).forall { case (_, vs) => vs.map(_._2).toSet.size == 1 })
+    // the PREVENTION guarantee: no near-dup edge (the same Hamming ≤ 3
+    // basis the clusters are built from) straddles the boundary —
+    // contrast with splitLeakage, which measures the leaks the naive
+    // content-hash split allows
+    val pairs = graft.dedup.Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val leaks = pairs.filter { case (a, b) => split(a)._2 != split(b)._2 }
+    assert(leaks.isEmpty, s"cluster-aware split leaked near-dup pairs: ${leaks.take(5)}")
+  }
+
   test("qualityOls: Cramer solve matches a driver-side normal-equations replay") {
     val r = graft.queries.Analytics.qualityOls(spark, dir).head()
     // replay: collect the same money-rounded features and solve in Scala
