@@ -223,6 +223,40 @@ object ScaleProbe {
           timed2(f"stream_ingest    x$m")(
             graft.streaming.ClusterMaintain.ingestBatch(
               docs.filter(col("doc_id") % 7 === 3), stRoot, 1L))
+        // ANN-maintenance probe: the INDEX grows ×m (corpus replicated
+        // under odd vec_ids, index rebuilt per m), the ingested batch is
+        // FIXED (fresh ids above the replica range). The operator's
+        // scale claim is that ingest is map-only over the batch against
+        // O(nClusters + m·codes) broadcast metadata — it never reads the
+        // lists store — so ingest time must be FLAT in index size, while
+        // the post-ingest serve grows only with the probed lists
+        // (∝ m/nClusters of the corpus).
+        if (want("ann_maintain")) {
+          val amRoot = s"/tmp/graft_scale_am_x$m"
+          val emb = Tables.embeddings(spark, base)
+          val embReps = emb +: (1 until m).map(i => emb.withColumn("vec_id",
+            col("vec_id") * 2 + lit(1L) + lit(i * 100000000L)))
+          embReps.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(s"$amRoot/embeddings.parquet")
+          val idx = s"$amRoot/idx"
+          graft.engine.Fs.deleteDir(spark, idx)
+          graft.sim.Similarity.buildIvfPqIndexOn(
+            graft.sim.Similarity.preparedCk(spark, amRoot), idx, 10, 3, 8, 32, 2)
+          // thunks re-derive their inputs from parquet: timed2's
+          // releaseAll between runs evicts localCheckpoint blocks, so a
+          // checkpointed frame must not outlive one thunk
+          timed2(f"ann_ingest       x$m")(
+            graft.sim.Similarity.ingestIvfPqBatch(
+              graft.sim.Similarity.prepared(spark, base)
+                .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+                  col("v"), col("norm2")),
+              idx, 1L))
+          timed2(f"ann_serve_maint  x$m")(
+            graft.sim.Similarity.knnIvfPqFromIndexOn(
+              graft.sim.Similarity.prepared(spark, amRoot)
+                .select(col("vec_id"), col("v"), col("norm2")),
+              idx, 5, 2, 8, 50).count())
+        }
         // streaming-compact probe: the STORE is fixed ×1 but the merge
         // FOREST is salted with a 50k·m-edge chain (the adversarial
         // lifetime shape: years of cluster-merge events, chained so the
