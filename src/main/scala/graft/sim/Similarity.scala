@@ -859,6 +859,40 @@ object Similarity {
     batchE.count()
   }
 
+  /** COMPACT a maintained index: fold every `delta/batch_id=N` append
+    * back into the base `lists/` store (one rewrite partitioned by
+    * `cid`) and drop the delta — the [[graft.streaming.ClusterMaintain
+    * .compactMerges]] philosophy applied to the ANN index. Without it a
+    * long-lived index accumulates one small parquet directory per
+    * (batch, cid) forever: serving stays CORRECT (the union reads them
+    * all) but each probe pays nBatches × file-open overhead per probed
+    * list. Crash-safe ordering: the rewritten lists publish FIRST
+    * (atomic per-cid partition replace, content = old lists ∪ deltas),
+    * and the delta is deleted only after. A crash between the two
+    * leaves delta rows duplicated in base+delta — single-writer
+    * maintenance contract (the [[graft.streaming.ClusterMaintain]]
+    * epoch discipline): on restart, RE-RUN the compaction before
+    * serving; it is idempotent and heals the duplication exactly,
+    * because the fold deduplicates on `neighbor_id` and codes are a
+    * pure function of the stored codebooks (duplicates are
+    * bit-identical, so dropping either copy is exact — spec-pinned).
+    * Caller contract: vec_ids unique across base and all batches.
+    * Returns the number of delta rows folded. */
+  def compactIvfPqDelta(spark: SparkSession, indexPath: String): Long = {
+    val deltaPath = s"$indexPath/delta"
+    if (!graft.engine.Fs.exists(spark, deltaPath)) return 0L
+    val base = spark.read.parquet(s"$indexPath/lists")
+    val delta = spark.read.parquet(deltaPath).drop("batch_id")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    val n = delta.count()
+    val merged = base.unionByName(delta)
+      .dropDuplicates("neighbor_id")
+    graft.engine.Layers.replacePartitionsPath(merged, s"$indexPath/lists", Seq("cid"))
+    graft.engine.Fs.deleteDir(spark, deltaPath)
+    n
+  }
+
   /** The `ann_index_maintain` query surface: build the IVF-PQ index on
     * the 75% base slice (`vec_id % 4 ≠ 3`) with fit-time per-list
     * assignment stats persisted beside it, ingest the remaining 25% as

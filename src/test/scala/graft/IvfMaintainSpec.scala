@@ -103,6 +103,30 @@ class IvfMaintainSpec extends SparkSpec {
     assert(bcasts >= 1, s"expected broadcast quantizer attaches\n$plan")
   }
 
+  test("delta compaction: serve identical, delta gone, idempotent, crash window heals") {
+    val idx = Files.createTempDirectory("ivf_cmp").toString + "/idx"
+    val e = Similarity.preparedCk(spark, sf)
+    Similarity.buildIvfPqIndexOn(e.filter(col("vec_id") % 4 =!= 3), idx, 10, 3, m, codes, 2)
+    Similarity.ingestIvfPqBatch(e.filter(col("vec_id") % 4 === 3), idx, 1L, m)
+    val before = serveRows(e, idx)
+    val folded = Similarity.compactIvfPqDelta(spark, idx)
+    assert(folded > 0L)
+    assert(!new java.io.File(s"$idx/delta").exists, "delta not dropped")
+    assert(serveRows(e, idx) == before, "compaction changed serve output")
+    assert(Similarity.compactIvfPqDelta(spark, idx) == 0L)
+    // crash window: lists already hold the folded rows AND the delta
+    // still exists (simulated by re-ingesting the same batch — its
+    // encode is bit-identical, exactly the duplicated state a crash
+    // between publish and delete leaves). The contract is re-running
+    // the idempotent compaction before serving; it heals exactly.
+    Similarity.ingestIvfPqBatch(e.filter(col("vec_id") % 4 === 3), idx, 1L, m)
+    Similarity.compactIvfPqDelta(spark, idx)
+    assert(serveRows(e, idx) == before, "healed compaction diverged")
+    // base list rows carry each neighbor exactly once after the heal
+    val ids = spark.read.parquet(s"$idx/lists").select("neighbor_id").collect()
+    assert(ids.length == ids.map(_.getLong(0)).distinct.length, "duplicate rows survived")
+  }
+
   test("ingest schedules a bounded handful of executions — none over the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
     import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
