@@ -893,6 +893,73 @@ object Similarity {
     n
   }
 
+  /** Execute the drift loop's decision: if any list's latest batch
+    * stats sit more than `driftTol` below its fit-time mean (the
+    * [[annIndexMaintain]] trigger), RE-TRAIN — rebuild the whole index
+    * over `corpusE` (the caller owns the vectors; the index stores only
+    * codes), refresh the fit stats, and clear the delta + batch stats
+    * (their rows are superseded by the new base encode). Otherwise do
+    * nothing. This is "re-train only on a drift trigger" as an
+    * executable maintenance step instead of a report: schedule-free,
+    * the rebuild cost is paid exactly when the data moved. Returns
+    * true iff a retrain ran. Single-writer maintenance contract, like
+    * [[compactIvfPqDelta]]. */
+  def retrainIfDrifted(corpusE: DataFrame, indexPath: String,
+      nClusters: Int = 10, ivfIters: Int = 3, m: Int = 8, codes: Int = 32,
+      pqIters: Int = 2, driftTol: Double = 0.05): Boolean = {
+    val spark = corpusE.sparkSession
+    val statsPath = s"$indexPath/stats"
+    val deltaStats = s"$indexPath/stats_delta"
+    if (!graft.engine.Fs.exists(spark, statsPath) ||
+        !graft.engine.Fs.exists(spark, deltaStats)) return false
+    val fit = spark.read.parquet(statsPath)
+    val bat = spark.read.parquet(deltaStats)
+    // latest batch per cid is the live signal; money values compare
+    // exactly on both engines
+    val latest = bat.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+            .orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val triggered = fit.join(latest, "cid")
+      .filter(col("batch_mean_cos") + lit(driftTol) < col("fit_mean_cos"))
+      .limit(1).count() > 0
+    if (triggered) {
+      val (coarse, _) = buildIvfPqIndexOn(corpusE, indexPath, nClusters,
+        ivfIters, m, codes, pqIters)
+      cidStats(assignScored(corpusE, coarse), "n_fit", "fit_mean_cos")
+        .coalesce(1).write.mode("overwrite").parquet(statsPath)
+      graft.engine.Fs.deleteDir(spark, s"$indexPath/delta")
+      graft.engine.Fs.deleteDir(spark, deltaStats)
+    }
+    triggered
+  }
+
+  /** Streaming form of the maintenance loop — the
+    * [[graft.streaming.ClusterMaintain.sink]] shape for the ANN index:
+    * each micro-batch ingests via [[ingestIvfPqBatch]] keyed by its
+    * epoch id (checkpoint replay is idempotent through the batch-keyed
+    * delta partitions), and every `compactEvery > 0` epochs the delta
+    * folds into the base lists BEFORE the epoch's ingest (crash-replay
+    * re-runs the idempotent compaction, then re-derives the ingest —
+    * the exactly-once contract holds through compaction). The batch
+    * relation must already carry `(vec_id, v, norm2)` — compose with
+    * the caller's prepare step. */
+  def ivfPqSink(batches: DataFrame, indexPath: String, checkpoint: String,
+      m: Int = 8, compactEvery: Int = 0, availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val writer = batches.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIvfPqDelta(batch.sparkSession, indexPath)
+        ingestIvfPqBatch(batch, indexPath, batchId, m); ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** The `ann_index_maintain` query surface: build the IVF-PQ index on
     * the 75% base slice (`vec_id % 4 ≠ 3`) with fit-time per-list
     * assignment stats persisted beside it, ingest the remaining 25% as

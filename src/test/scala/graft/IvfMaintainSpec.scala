@@ -127,6 +127,51 @@ class IvfMaintainSpec extends SparkSpec {
     assert(ids.length == ids.map(_.getLong(0)).distinct.length, "duplicate rows survived")
   }
 
+  test("retrainIfDrifted: fires on a drifted batch (and refits), stays quiet under a huge tolerance") {
+    val idx = Files.createTempDirectory("ivf_rt").toString + "/idx"
+    val e = Similarity.preparedCk(spark, sf)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val (coarse0, _) = Similarity.buildIvfPqIndexOn(base, idx, 10, 3, m, codes, 2)
+    Similarity.cidStats(Similarity.assignScored(base, coarse0), "n_fit", "fit_mean_cos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    val drifted = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("v", expr("transform(v, x -> -x)"))
+    Similarity.ingestIvfPqBatch(drifted, idx, 1L, m)
+    // a huge tolerance: no trigger, stores untouched
+    assert(!Similarity.retrainIfDrifted(e, idx, driftTol = 10.0))
+    assert(new java.io.File(s"$idx/delta").exists)
+    // the real tolerance: negated batch trips the trigger — full refit
+    // over the caller's corpus, stats refreshed, delta superseded
+    assert(Similarity.retrainIfDrifted(e, idx, driftTol = 0.05))
+    assert(!new java.io.File(s"$idx/delta").exists, "delta not cleared by retrain")
+    assert(!new java.io.File(s"$idx/stats_delta").exists, "batch stats not cleared")
+    // no batch stats left -> a second call is quiet by construction
+    assert(!Similarity.retrainIfDrifted(e, idx, driftTol = 0.05))
+    // the rebuilt index serves the FULL corpus (batch rows are base now)
+    val served = serveRows(e, idx)
+    assert(served.nonEmpty)
+  }
+
+  test("ivfPqSink: micro-batched stream ingests into the same store a direct ingest builds") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivf_sink").toString
+    val e = Similarity.preparedCk(spark, sf)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val batch = e.filter(col("vec_id") % 4 === 3)
+    val idxStream = s"$root/idx_stream"; val idxDirect = s"$root/idx_direct"
+    Similarity.buildIvfPqIndexOn(base, idxStream, 10, 3, m, codes, 2)
+    Similarity.buildIvfPqIndexOn(base, idxDirect, 10, 3, m, codes, 2)
+    Similarity.ingestIvfPqBatch(batch, idxDirect, 0L, m)
+    batch.coalesce(1).write.parquet(s"$root/incoming/f0")
+    val schema = spark.read.parquet(s"$root/incoming/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/incoming/*")
+    val q = Similarity.ivfPqSink(stream, idxStream, s"$root/ckpt", m)
+    q.awaitTermination(120000)
+    assert(serveRows(e, idxStream) == serveRows(e, idxDirect),
+      "streamed ingest diverges from direct ingest")
+  }
+
   test("ingest schedules a bounded handful of executions — none over the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
     import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
