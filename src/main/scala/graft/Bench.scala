@@ -38,10 +38,11 @@ object Bench {
     * whose queries have entered the committed priors are dead (the
     * prior wins in [[projectedTotal]]) and get pruned on touch.
     * Mirror each entry with a row in BASELINE.md's budget table. */
-  private[graft] val newQueryBudget: Map[String, Double] = Map(
-    "dedup_containment_capped" -> 5.6, // measured 3-pass median, r13 builder
-    "ann_index_maintain" -> 5.5,       // 4.8 s at set_factor 0.8 → band-corrected
-    "cluster_split" -> 2.0)            // nearDupClusters + a per-row expression
+  private[graft] val newQueryBudget: Map[String, Double] = Map.empty
+    // r13's three declarations (dedup_containment_capped 5.6,
+    // ann_index_maintain 5.5, cluster_split 2.0 — BASELINE.md budget
+    // table) entered the committed priors via the 188-query merged
+    // recording and were pruned; the next new query starts here.
   /** Projected full-set total: committed prior medians where they
     * exist, declared budgets for the rest; Left = queries with NEITHER
     * (an undeclared new query must fail the gate loudly). */
