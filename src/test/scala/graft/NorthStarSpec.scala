@@ -142,6 +142,51 @@ class DedupSpec extends SparkSpec {
       "no direction-value asymmetry on the fixture — sets all identical?")
   }
 
+  test("property: containment prefix filter lossless on random corpora; cap yields exact subsets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1313L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    for (trial <- 1 to 3) {
+      // random docs with heavy template reuse → real containment pairs
+      // AND hot shingles; short docs (< 3 tokens) exercise the empty-
+      // shingle-set edge
+      val template = (0 until 12).map(_ => vocab(rng.nextInt(vocab.size)))
+      val docs = (1 to 18).map { i =>
+        val toks = rng.nextInt(4) match {
+          case 0 => template
+          case 1 => template.take(3 + rng.nextInt(9))                      // contained excerpt
+          case 2 => (0 until 2 + rng.nextInt(12)).map(_ => vocab(rng.nextInt(vocab.size)))
+          case _ => vocab(rng.nextInt(vocab.size)) +: template             // wrapped reprint
+        }
+        (i.toLong, toks.mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"cont_prop$trial").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = Dedup.containmentPairs(spark, dir).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // brute force over the string shingle sets
+      val sets = docs.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        id -> (if (toks.length < 3) Set.empty[String]
+               else toks.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        inter = (sa & sb).size
+        if inter.toDouble / sa.size >= 0.8
+      } yield (a, b) -> math.floor(inter.toDouble / sa.size * 10000 + 0.5) / 10000).toMap
+      assert(got == expected, s"trial $trial: prefix filter lost/invented pairs — " +
+        s"only-got=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-expected=${(expected.keySet -- got.keySet).take(3)}")
+      // any cap yields an exact SUBSET with unchanged values
+      val capped = Dedup.containmentPairs(spark, dir, maxShingleFreq = Some(1 + rng.nextInt(4)))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(capped.forall { case (k, v) => expected.get(k).contains(v) },
+        s"trial $trial: capped result not an exact subset")
+    }
+  }
+
   test("containment cap: generous cap is a no-op, survivors keep exact values") {
     def pairs(cap: Option[Int]) =
       Dedup.containmentPairs(spark, sf, threshold = 0.8, maxShingleFreq = cap)
