@@ -877,19 +877,38 @@ object Similarity {
     * pure function of the stored codebooks (duplicates are
     * bit-identical, so dropping either copy is exact — spec-pinned).
     * Caller contract: vec_ids unique across base and all batches.
-    * Returns the number of delta rows folded. */
-  def compactIvfPqDelta(spark: SparkSession, indexPath: String): Long = {
+    *
+    * `belowBatchId` bounds the fold to delta partitions with
+    * `batch_id < belowBatchId` — REQUIRED when a crash-replayable
+    * caller compacts and then ingests inside one epoch
+    * ([[ivfPqSink]] passes its epoch id): an unbounded replay would
+    * fold the crashed attempt's OWN `batch_id=N` delta into base and
+    * then re-append the identical rows as delta, serving every batch-N
+    * vector twice until the next compaction. Bounded, the replayed
+    * epoch's delta stays batch-keyed and the re-ingest replaces it
+    * idempotently (spec-pinned). Returns the number of delta rows
+    * folded. */
+  def compactIvfPqDelta(spark: SparkSession, indexPath: String,
+      belowBatchId: Long = Long.MaxValue): Long = {
     val deltaPath = s"$indexPath/delta"
     if (!graft.engine.Fs.exists(spark, deltaPath)) return 0L
+    val foldIds = graft.engine.Fs.listDirs(spark, deltaPath).map(_.getName)
+      .collect { case d if d.startsWith("batch_id=") =>
+        d.stripPrefix("batch_id=").toLong }
+      .filter(_ < belowBatchId)
+    if (foldIds.isEmpty) return 0L
     val base = spark.read.parquet(s"$indexPath/lists")
-    val delta = spark.read.parquet(deltaPath).drop("batch_id")
+    val delta = spark.read.parquet(deltaPath)
+      .filter(col("batch_id") < belowBatchId).drop("batch_id")
       .select(base.columns.map(col).toIndexedSeq: _*)
       .localCheckpoint(true)
     val n = delta.count()
     val merged = base.unionByName(delta)
       .dropDuplicates("neighbor_id")
     graft.engine.Layers.replacePartitionsPath(merged, s"$indexPath/lists", Seq("cid"))
-    graft.engine.Fs.deleteDir(spark, deltaPath)
+    foldIds.foreach(b => graft.engine.Fs.deleteDir(spark, s"$deltaPath/batch_id=$b"))
+    if (graft.engine.Fs.listDirs(spark, deltaPath).isEmpty)
+      graft.engine.Fs.deleteDir(spark, deltaPath)
     n
   }
 
@@ -927,10 +946,25 @@ object Similarity {
     if (triggered) {
       val (coarse, _) = buildIvfPqIndexOn(corpusE, indexPath, nClusters,
         ivfIters, m, codes, pqIters)
-      cidStats(assignScored(corpusE, coarse), "n_fit", "fit_mean_cos")
-        .coalesce(1).write.mode("overwrite").parquet(statsPath)
+      // delta deletes come BEFORE the stats publish — the stats write is
+      // the commit point. The stale delta's codes were encoded against
+      // the OLD codebooks; serving them under the NEW codebook LUTs
+      // would be silently wrong ADC distances. Crash windows:
+      //  - after the rebuild, before the deletes: stats_delta and stats
+      //    both survive unchanged, so a restart re-evaluates the SAME
+      //    deterministic trigger, re-triggers, and the idempotent
+      //    rebuild + deletes heal (single-writer contract, like
+      //    [[compactIvfPqDelta]]: re-run the maintenance step before
+      //    serving after a crash);
+      //  - between the deletes and the stats publish: serving is already
+      //    consistent (new index, no delta); stats keep the old fit's
+      //    basis, so the NEXT ingest's drift comparison may spuriously
+      //    re-trigger one rebuild — which refreshes stats. Fails safe
+      //    (one wasted rebuild), never serves mixed-epoch codes.
       graft.engine.Fs.deleteDir(spark, s"$indexPath/delta")
       graft.engine.Fs.deleteDir(spark, deltaStats)
+      cidStats(assignScored(corpusE, coarse), "n_fit", "fit_mean_cos")
+        .coalesce(1).write.mode("overwrite").parquet(statsPath)
     }
     triggered
   }
@@ -953,8 +987,13 @@ object Similarity {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the epoch bound makes the compact+ingest pair replay-safe: a
+        // crashed epoch N re-runs the compaction WITHOUT folding its own
+        // batch_id=N delta (left from the crashed attempt), so the
+        // re-ingest replaces that partition idempotently instead of
+        // duplicating its rows across base and delta
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactIvfPqDelta(batch.sparkSession, indexPath)
+          compactIvfPqDelta(batch.sparkSession, indexPath, batchId)
         ingestIvfPqBatch(batch, indexPath, batchId, m); ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -196,15 +196,22 @@ object ClusterMaintain {
             s"maxBroadcastDocs=$maxBroadcastDocs — degrading to shuffled probe joins")
       ok
     }
+    // the stored index is GROUP rows of prior batches (one per distinct
+    // token set) — the probe surface a clone-heavy corpus wants. Read
+    // (and its eager file listing) happens BEFORE the index publish
+    // launches: on a batch replay the publish atomically replaces this
+    // path's batch_id=N partition, and a concurrent recursive listing
+    // can catch the rename window as a transient FileNotFoundException —
+    // in exactly the replay path the exactly-once contract covers. The
+    // read excludes batch_id=N rows anyway, so ordering it first costs
+    // nothing.
+    val stored = readOrEmpty(spark, idxPath, CorpusIngest.indexSchema, batchId)
     // the index publish needs only the contraction — it rides a future
     // across the entire candidate + fixpoint chain below
     val idxPub = Future {
       Layers.replacePartitionsPath(
         gsig.withColumn("batch_id", lit(batchId)), idxPath, Seq("batch_id"))
     }
-    // the stored index is GROUP rows of prior batches (one per distinct
-    // token set) — the probe surface a clone-heavy corpus wants
-    val stored = readOrEmpty(spark, idxPath, CorpusIngest.indexSchema, batchId)
     // survivor-scale; feeds the touched-set, the graph and the merge legs
     val cand = candidateEdges(gsig, stored, threshold, broadcastOk).localCheckpoint(true)
     lap("cross")

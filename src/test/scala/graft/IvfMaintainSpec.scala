@@ -127,6 +127,38 @@ class IvfMaintainSpec extends SparkSpec {
     assert(ids.length == ids.map(_.getLong(0)).distinct.length, "duplicate rows survived")
   }
 
+  test("epoch-bounded compaction keeps a crash-replayed compact+ingest epoch exactly-once") {
+    val idx = Files.createTempDirectory("ivf_epoch").toString + "/idx"
+    val e = Similarity.preparedCk(spark, sf)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val b1 = e.filter(col("vec_id") % 8 === 3)
+    val b2 = e.filter(col("vec_id") % 8 === 7)
+    Similarity.buildIvfPqIndexOn(base, idx, 10, 3, m, codes, 2)
+    Similarity.ingestIvfPqBatch(b1, idx, 1L, m)
+    // epoch 2 = compact(below epoch) + ingest, the ivfPqSink foreachBatch
+    // body; run once, then crash-replay the WHOLE epoch. Unbounded
+    // compaction would fold the crashed attempt's own batch_id=2 delta
+    // into base and the re-ingest would re-append it — every batch-2
+    // vector served twice. The epoch bound keeps the replay idempotent.
+    def epoch2(): Unit = {
+      Similarity.compactIvfPqDelta(spark, idx, belowBatchId = 2L)
+      Similarity.ingestIvfPqBatch(b2, idx, 2L, m)
+    }
+    epoch2()
+    val served = serveRows(e, idx)
+    epoch2() // the replay
+    assert(serveRows(e, idx) == served, "replayed epoch changed serve output")
+    // batch-2 rows live ONLY in their delta partition, never doubled into
+    // base — every vector appears exactly once across the scan set
+    val ids = spark.read.parquet(s"$idx/lists").select("neighbor_id")
+      .unionByName(spark.read.parquet(s"$idx/delta").select("neighbor_id"))
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      "a vector is served twice after the epoch replay")
+    assert(new java.io.File(s"$idx/delta/batch_id=2").exists,
+      "the replayed epoch's own delta must stay batch-keyed, not folded")
+  }
+
   test("retrainIfDrifted: fires on a drifted batch (and refits), stays quiet under a huge tolerance") {
     val idx = Files.createTempDirectory("ivf_rt").toString + "/idx"
     val e = Similarity.preparedCk(spark, sf)
