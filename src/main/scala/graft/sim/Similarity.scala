@@ -301,6 +301,50 @@ object Similarity {
     cents
   }
 
+  /** Process-lifetime QUANTIZER REGISTRY — fit once, serve many (round-13
+    * verdict #1b: `knn_ivfpq_served`, `ann_index_maintain`, the inline
+    * IVF/PQ composites and the SemDeDup/topics/outliers/balance family
+    * each re-ran an identical deterministic Lloyd fit over the same
+    * corpus, per query, per pass). The fits are PURE functions of
+    * (corpus identity, parameters): the money-rounded decimal-accumulated
+    * m-step makes the result independent of partitioning and execution
+    * order (spec-pinned bit-equality, IvfBuildSpec/PqFitSpec), so two
+    * fits over the same relation are bit-identical by construction and
+    * memoizing them changes NOTHING observable but the job count. This
+    * is also the shape a production ANN tier runs: the quantizer is fit
+    * by the (rare) index build/retrain and SERVED from a registry by
+    * every query — refitting per query was repeated work, not a
+    * different answer. Entries are O(k·dim) doubles of driver metadata.
+    *
+    * Keys carry the corpus identity the CALLER asserts (fixture dir +
+    * slice tag) plus every fit parameter; callers that cannot name
+    * their corpus (e.g. [[retrainIfDrifted]], whose input has absorbed
+    * arbitrary ingested batches) pass None and always fit fresh.
+    * Job-count pins that need a COLD fit clear the registry first
+    * ([[clearFitRegistry]]). */
+  private val fitRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memoFit[T <: AnyRef](key: Option[String])(fit: => T): T =
+    key match {
+      case None => fit
+      case Some(k) => fitRegistry.computeIfAbsent(k, _ => fit).asInstanceOf[T]
+    }
+
+  private[graft] def clearFitRegistry(): Unit = fitRegistry.clear()
+
+  /** [[kmeansLloyd]] through the registry: `corpusKey` names the
+    * relation (`"$dir|all"`, `"$dir|base75"`, …) or None for no memo. */
+  private[graft] def coarseFit(e: DataFrame, corpusKey: Option[String],
+      k: Int, iters: Int): Seq[Centroid] =
+    memoFit(corpusKey.map(c => s"ivf|$c|$k|$iters"))(kmeansLloyd(e, k, iters))
+
+  /** [[pqFitFused]] through the registry. */
+  private[graft] def pqFitCached(e: DataFrame, corpusKey: Option[String],
+      m: Int, subDim: Int, codes: Int, iters: Int): Seq[Seq[Centroid]] =
+    memoFit(corpusKey.map(c => s"pq|$c|$m|$codes|$iters"))(
+      pqFitFused(e, m, subDim, codes, iters))
+
   /** FUSED per-subspace Lloyd — all `m` PQ codebooks trained in one job
     * chain (replaces m concurrent [[kmeansFitOn]] calls; measured: the
     * concurrent form was still ~m×(persist + seed + iters) tiny jobs
@@ -410,16 +454,17 @@ object Similarity {
     // eager checkpoint: the fit iterates over the corpus and BOTH serve
     // legs (query slice, list assignment) re-read it — one scan + one
     // v/norm2 derivation instead of one per consumer
-    knnIvfOn(preparedCk(spark, dir), k, nprobe, nClusters, iters)
+    knnIvfOn(preparedCk(spark, dir), k, nprobe, nClusters, iters,
+      fitKey = Some(s"$dir|all"))
 
   /** [[knnIvf]] over a caller-held checkpointed corpus — [[annRecall]]
     * passes the SAME materialization its brute-force ground truth
     * consumes, so the eval pays one derivation, not two. */
   private[graft] def knnIvfOn(e: DataFrame, k: Int, nprobe: Int,
-      nClusters: Int, iters: Int): DataFrame = {
+      nClusters: Int, iters: Int, fitKey: Option[String] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val cents = kmeansLloyd(e, nClusters, iters)
+    val cents = coarseFit(e, fitKey, nClusters, iters)
     val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
     val queries = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("norm2").as("na2"))
@@ -438,7 +483,8 @@ object Similarity {
     * at 100 TB. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
       nClusters: Int = 10, iters: Int = 3): Unit =
-    buildIvfIndexOn(preparedCk(spark, dir), indexPath, nClusters, iters)
+    buildIvfIndexOn(preparedCk(spark, dir), indexPath, nClusters, iters,
+      fitKey = Some(s"$dir|all"))
 
   /** [[buildIvfIndex]] over an already-checkpointed prepared corpus — the
     * FUSED build phase (the pqFitFused discipline applied to IVF, round-10
@@ -449,9 +495,9 @@ object Similarity {
     * jobs + 1 centroid write + 1 list write — job COUNT pinned by
     * IvfBuildSpec (a plan pin can't see scheduling count). */
   private[graft] def buildIvfIndexOn(e: DataFrame, indexPath: String,
-      nClusters: Int, iters: Int): Unit = {
+      nClusters: Int, iters: Int, fitKey: Option[String] = None): Unit = {
     import e.sparkSession.implicits._
-    val cents = kmeansLloyd(e, nClusters, iters)
+    val cents = coarseFit(e, fitKey, nClusters, iters)
     cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     assignCid(e, cents, "v", "norm2")
@@ -532,18 +578,20 @@ object Similarity {
     // corpus — one materialization instead of four parquet+prepare
     // chains (and the fit below iterates over it); pruned to the three
     // consumed columns (see [[preparedCk]])
-    knnPqOn(preparedCk(spark, dir), k, m, codes, iters, shortlist)
+    knnPqOn(preparedCk(spark, dir), k, m, codes, iters, shortlist,
+      fitKey = Some(s"$dir|all"))
 
   /** [[knnPq]] over a caller-held checkpointed corpus — [[pqRecall]]
     * passes the SAME materialization its brute-force ground truth
     * consumes. */
   private[graft] def knnPqOn(e: DataFrame, k: Int, m: Int,
-      codes: Int, iters: Int, shortlist: Int): DataFrame = {
+      codes: Int, iters: Int, shortlist: Int,
+      fitKey: Option[String] = None): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     graft.functions.TopKByAgg.register(spark)
     val subDim = 64 / m
-    val fits: Seq[Seq[Centroid]] = pqFitFused(e, m, subDim, codes, iters)
+    val fits: Seq[Seq[Centroid]] = pqFitCached(e, fitKey, m, subDim, codes, iters)
     // dense (s, cid)-indexed codebook, zero-padded where a codeword died
     val padded = for (s <- 0 until m; cid <- 0 until codes) yield
       fits(s).find(_.cid == cid)
@@ -641,8 +689,9 @@ object Similarity {
       pqIters: Int = 2, shortlist: Int = 50): DataFrame = {
     val e = preparedCk(spark, dir)
     val subDim = 64 / m
-    val coarse = kmeansLloyd(e, nClusters, ivfIters)
-    val fits: Seq[Seq[Centroid]] = pqFitFused(e, m, subDim, codes, pqIters)
+    val coarse = coarseFit(e, Some(s"$dir|all"), nClusters, ivfIters)
+    val fits: Seq[Seq[Centroid]] =
+      pqFitCached(e, Some(s"$dir|all"), m, subDim, codes, pqIters)
     val cbDf = pqCodebookDf(spark, pqPaddedRows(fits, m, codes, subDim))
     val centDf = {
       import spark.implicits._
@@ -753,14 +802,15 @@ object Similarity {
     * nprobe/nClusters of the INDEX bytes, which are themselves ~100×
     * smaller than the vectors [[buildIvfIndex]] serves. */
   def buildIvfPqIndexOn(e: DataFrame, indexPath: String, nClusters: Int,
-      ivfIters: Int, m: Int, codes: Int, pqIters: Int)
+      ivfIters: Int, m: Int, codes: Int, pqIters: Int,
+      fitKey: Option[String] = None)
       : (Seq[Centroid], Seq[Seq[Centroid]]) = {
     import e.sparkSession.implicits._
     val subDim = 64 / m
-    val coarse = kmeansLloyd(e, nClusters, ivfIters)
+    val coarse = coarseFit(e, fitKey, nClusters, ivfIters)
     coarse.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val fits = pqFitFused(e, m, subDim, codes, pqIters)
+    val fits = pqFitCached(e, fitKey, m, subDim, codes, pqIters)
     val padded = pqPaddedRows(fits, m, codes, subDim)
     padded.toDF("s", "cid", "c", "cn2")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
@@ -1019,7 +1069,8 @@ object Similarity {
     val e = preparedCk(spark, dir)
     val base = e.filter(col("vec_id") % 4 =!= 3)
     val batch = e.filter(col("vec_id") % 4 === 3)
-    val (coarse, _) = buildIvfPqIndexOn(base, idx, nClusters, ivfIters, m, codes, pqIters)
+    val (coarse, _) = buildIvfPqIndexOn(base, idx, nClusters, ivfIters, m,
+      codes, pqIters, fitKey = Some(s"$dir|base75"))
     cidStats(assignScored(base, coarse), "n_fit", "fit_mean_cos")
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
     ingestIvfPqBatch(batch, idx, 1L, m)
@@ -1072,7 +1123,8 @@ object Similarity {
     val idx = graft.engine.Fs.scratch("graft_ivfpq", dir)
     graft.engine.Fs.deleteDir(spark, idx)
     val e = preparedCk(spark, dir)
-    buildIvfPqIndexOn(e, idx, nClusters, ivfIters, m, codes, pqIters)
+    buildIvfPqIndexOn(e, idx, nClusters, ivfIters, m, codes, pqIters,
+      fitKey = Some(s"$dir|all"))
     knnIvfPqFromIndexOn(e, idx, k, nprobe, m, shortlist)
   }
 
@@ -1405,7 +1457,7 @@ object Similarity {
     // shared fit+consume corpus: the Lloyd fit and the scored projection
     // below read ONE checkpointed derivation (see [[preparedCk]])
     val e = preparedCk(spark, dir)
-    val cents = kmeansLloyd(e, nClusters, iters)
+    val cents = coarseFit(e, Some(s"$dir|all"), nClusters, iters)
     val centDf = cents.map(c => (c.cid, c.c, c.cn2)).toDF("cid", "centroid", "cnorm2")
     // localCheckpoint (not persist): feeds both sides of the self-join;
     // the lazy return plan has no safe unpersist point
@@ -1473,7 +1525,7 @@ object Similarity {
     // verdict #2 — build-phase fusion; before this the corpus was
     // scanned + v/norm2-derived three separate times per execution)
     val e = prepared(spark, dir).localCheckpoint(true)
-    buildIvfIndexOn(e, idx, nClusters, iters)
+    buildIvfIndexOn(e, idx, nClusters, iters, fitKey = Some(s"$dir|all"))
     knnIvfFromIndexOn(e, idx, k, nprobe)
   }
 
@@ -1493,7 +1545,7 @@ object Similarity {
   def clusterTopics(spark: SparkSession, dir: String, nClusters: Int = 10,
       topK: Int = 5): DataFrame = {
     val e = preparedCk(spark, dir)
-    val cents = kmeansLloyd(e, nClusters, 3)
+    val cents = coarseFit(e, Some(s"$dir|all"), nClusters, 3)
     val assigned = assignCid(e, cents, "v", "norm2")
       .select(col("vec_id").as("doc_id"), col("cid"))
     val tf = Tables.documents(spark, dir)
@@ -1577,7 +1629,7 @@ object Similarity {
       kOut: Int = 3): DataFrame = {
     graft.functions.TopKByAgg.register(spark)
     val e = preparedCk(spark, dir)
-    val cents = kmeansLloyd(e, nClusters, 3)
+    val cents = coarseFit(e, Some(s"$dir|all"), nClusters, 3)
     val best = array_max(transform(col("cents"), s => struct(
       Fns.money(dotCol(col("v"), s.getField("c")) /
         sqrt(col("norm2") * s.getField("cn2"))).as("cos"),
@@ -1646,7 +1698,8 @@ object Similarity {
     // ground truth (round-10 brief #6): before this the eval re-ran
     // prepared()'s scan + derivation once per side
     val e = preparedCk(spark, dir)
-    recallOn(e, knnIvfOn(e, k, nprobe = 2, nClusters = 10, iters = 3), k)
+    recallOn(e, knnIvfOn(e, k, nprobe = 2, nClusters = 10, iters = 3,
+      fitKey = Some(s"$dir|all")), k)
   }
 
   /** [[annRecall]] for the PQ/ADC search path: recall@k of
@@ -1656,7 +1709,8 @@ object Similarity {
   def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     // shared corpus checkpoint, as in [[annRecall]]
     val e = preparedCk(spark, dir)
-    recallOn(e, knnPqOn(e, k, m = 8, codes = 32, iters = 2, shortlist = 50), k)
+    recallOn(e, knnPqOn(e, k, m = 8, codes = 32, iters = 2, shortlist = 50,
+      fitKey = Some(s"$dir|all")), k)
   }
 
   /** Matryoshka truncation eval (Kusupati et al. 2022, "Matryoshka
@@ -1698,7 +1752,7 @@ object Similarity {
   def ivfBalance(spark: SparkSession, dir: String, nClusters: Int = 10,
       iters: Int = 3): DataFrame = {
     val e = preparedCk(spark, dir)
-    val cents = kmeansLloyd(e, nClusters, iters)
+    val cents = coarseFit(e, Some(s"$dir|all"), nClusters, iters)
     val grouped = assignCid(e, cents, "v", "norm2")
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"))
