@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Process-lifetime DERIVED-RELATION store — the
+  * [[graft.sim.Similarity]] quantizer-registry discipline applied to
+  * corpus-scale derivations (round-13 verdict #1a: the containment pair
+  * spent ~10 s/run re-deriving the SAME shingle index — split → 3-gram
+  * → md5/conv hash → sort, all interpreted higher-order lambdas — once
+  * per query, per pass, while the candidate join + exact verify it
+  * feeds cost ~1.5 s).
+  *
+  * A derivation registered here is a DETERMINISTIC pure function of the
+  * input directory (same discipline as the fit registry: memoizing it
+  * changes nothing observable but the job count), materialized ONCE per
+  * JVM as parquet under a run-private scratch dir ([[Fs.scratch]] keys
+  * by JVM token, so cross-JVM staleness cannot occur and a code change
+  * can never meet an old file) and re-read by every consumer. This is
+  * also the production shape: a dedup tier materializes the corpus
+  * shingle index as a table the way an ANN tier persists its quantizer
+  * — re-shingling 100 TB per query would dominate every downstream
+  * operator. Values round-trip exactly (BIGINT/array<BIGINT> columns;
+  * no doubles are stored by current users — if a derivation ever stores
+  * doubles, parquet round-trips them bit-exactly too). */
+object Derived {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The derivation named `name` over fixture `dir`: built and written
+    * on first use (charged to that caller), read back by everyone
+    * after. Callers layer their own persist on the returned reader when
+    * they consume it more than once. Contract: `dir`'s contents are
+    * immutable for the JVM lifetime (true of every fixture, test temp
+    * dir and ScaleProbe replica root — each is written once, then
+    * probed); a caller that rewrites its input in-process must use a
+    * fresh path, exactly as it must for Spark's own file-index caches. */
+  def cached(spark: SparkSession, name: String, dir: String)
+      (build: => DataFrame): DataFrame = {
+    val path = built.computeIfAbsent(s"$name|$dir", _ => {
+      val p = Fs.scratch(s"graft_derived_$name", dir)
+      Fs.deleteDir(spark, p)
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Test hook: drop the registry (files stay; keys are re-derivable). */
+  private[graft] def clear(): Unit = built.clear()
+}
