@@ -160,6 +160,28 @@ object Bench {
     }
   }
 
+  /** Committed-priors band gate (round-13 verdict #5: 9 of 188 queries
+    * tripped in-set stall reprobes in the r13 driver run at set_factor
+    * 1.388 — the reprobe mechanism worked, but nothing REFUSED such a
+    * recording as priors if its total happened to beat). A run measured
+    * on a hot host band carries medians inflated by that band; adopting
+    * them as priors poisons every future band_factor/set_factor and the
+    * budget-gate projection. So: a full run whose own set_factor vs the
+    * committed priors exceeds [[MaxCommitSetFactor]], or that needed
+    * more than [[MaxCommitReprobes]] stall reprobes, never touches
+    * BENCH_TOTAL.json (even with a better total — on a band that hot a
+    * better total means the calm-band medians are better still; wait
+    * for one). `SPARK_GRAFT_BENCH_FORCE_TOTAL=1` still overrides. */
+  private[graft] val MaxCommitSetFactor = 1.25
+  private[graft] val MaxCommitReprobes = 8
+  private[graft] def refuseAsPriors(setFactor: Option[Double],
+      nReprobes: Int): Option[String] =
+    if (setFactor.exists(_ > MaxCommitSetFactor))
+      Some(f"set_factor ${setFactor.get}%.3f > $MaxCommitSetFactor (hot host band)")
+    else if (nReprobes > MaxCommitReprobes)
+      Some(s"$nReprobes stall reprobes > $MaxCommitReprobes (unstable run)")
+    else None
+
   /** A query is a stall SUSPECT when its fresh median at least doubles its
     * committed prior AND the absolute regression exceeds 1 s (sub-second
     * queries double inside normal host jitter). Failed queries (-1
@@ -593,9 +615,14 @@ object Bench {
     // ALWAYS on stdout above, so no information is lost by skipping.
     val fullRun = only.isEmpty && failed.isEmpty
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE_TOTAL").contains("1")
+    val bandRefusal = refuseAsPriors(setFac, reprobes.size)
+    bandRefusal.foreach(r => System.err.println(
+      s"[bench] recording refused as priors: $r — medians stay on stdout; " +
+        "re-record on a calm band (or SPARK_GRAFT_BENCH_FORCE_TOTAL=1)"))
     val commit: Option[(Map[String, Double], Boolean)] =
       if (force) Some((medians.toMap, false))
-      else if (fullRun) priorsToCommit(priorsFile, sfDir, medians.toMap)
+      else if (fullRun && bandRefusal.isEmpty)
+        priorsToCommit(priorsFile, sfDir, medians.toMap)
       else None
     commit match {
       case Some((pm, merged)) =>

@@ -143,21 +143,14 @@ object Dedup {
   private def minhashGroupPairs(spark: SparkSession, dir: String,
       threshold: Double, bandSubset: Option[Seq[Int]]): (DataFrame, DataFrame) = {
     graft.functions.ArrayOps.register(spark)
-    // eager checkpoints, not persist: both relations feed multiple
-    // branches of the returned lazy plan (no safe unpersist point)
-    val fpD = Tables.documents(spark, dir)
-      .withColumn("th", expr(
-        s"""array_sort(array_distinct(transform(array_distinct(split(text, ' ')),
-            t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P)))"""))
-      .select(col("doc_id"), col("th"))
-      .localCheckpoint(true)
-    val groups = fpD.groupBy(col("th"))
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      // native one-pass signature (graft.functions.MinhashSig; K/P pinned
-      // there to this object's constants) — the HOF nest evaluates
-      // interpreted at K x |th| lambda calls per row
-      .withColumn("sig", expr("minhash_sig(th)"))
-      .localCheckpoint(true)
+    // the contraction (token-hash sets → one row per distinct set, with
+    // members and the MinHash signature) is a deterministic derivation
+    // of the corpus — materialized once per JVM via the derived-relation
+    // store (the shingle-index discipline) and shared by the pair
+    // pipeline, the threshold curve and the sketch-agreement eval. The
+    // eager checkpoint on the read stays: the relation feeds multiple
+    // branches of the returned lazy plan (no safe unpersist point).
+    val groups = minhashGroups(spark, dir).localCheckpoint(true)
 
     // band rows carry size(th) (ONE int) so the size-ratio prefilter —
     // jaccard ≤ min/max, the same lossless cut jaccardAtLeast re-applies
@@ -208,6 +201,33 @@ object Dedup {
       .select(col("rep_a"), col("rep_b"), Fns.money(col("jaccard_raw")).as("jaccard"))
     (groups, verified)
   }
+
+  /** The MinHash token-set contraction `(th, rep, members, sig)` — one
+    * row per distinct sorted token-hash set, with the group's member
+    * list and its one-pass native MinHash signature (K/P pinned in
+    * [[graft.functions.MinhashSig]]; min over a set is duplicate/order-
+    * independent, so sorted-distinct input gives the oracle-identical
+    * value). Derived once per JVM ([[graft.engine.Derived]]). */
+  private def minhashGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Derived.cached(spark, "minhash_groups", dir) {
+      Tables.documents(spark, dir)
+        .withColumn("th", expr(
+          s"""array_sort(array_distinct(transform(array_distinct(split(text, ' ')),
+              t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % $P)))"""))
+        .select(col("doc_id"), col("th"))
+        .groupBy(col("th"))
+        .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+        .withColumn("sig", expr("minhash_sig(th)"))
+    }
+
+  /** The SimHash fingerprint contraction `(simhash, rep, m, members)` —
+    * [[fpGroups]] over the 64-bit corpus fingerprints, derived once per
+    * JVM and shared by the pair pipeline and the whole CC family
+    * (clusters, canonical docs, size histogram, source dup ratio). */
+  private def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Derived.cached(spark, "simhash_groups", dir) {
+      fpGroups(simhashFingerprints(spark, dir))
+    }
 
   /** Doc-level pair generation — the path the `maxBucketSize` hot-bucket
     * cut runs on: the cap's semantics COUNT DOCS per band bucket (the
@@ -562,7 +582,7 @@ object Dedup {
     // branches of the returned lazy plan, which has no safe unpersist
     // point; checkpoint blocks are freed by the context cleaner when the
     // result is dereferenced
-    val groups = fpGroups(simhashFingerprints(spark, dir)).localCheckpoint(true)
+    val groups = simhashGroups(spark, dir).localCheckpoint(true)
     val fpp = fpPairs(groups, maxHamming)
     val cross = fpp
       .join(groups.select(col("simhash").as("sh_a"), col("members").as("mem_a")), "sh_a")
@@ -655,7 +675,7 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     // eager checkpoint: groups feed the pair pipeline (via the fixpoint's
     // edge materialization) AND the labeled output below
-    val groups = fpGroups(simhashFingerprints(spark, dir)).localCheckpoint(true)
+    val groups = simhashGroups(spark, dir).localCheckpoint(true)
     val labels = minLabelFixpoint(fpPairs(groups, maxHamming)
       .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
     // eager checkpoint: feeds both the size aggregate and the doc-level

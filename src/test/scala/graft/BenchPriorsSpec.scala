@@ -159,6 +159,19 @@ class BenchPriorsSpec extends AnyFunSuite {
       Map("q1" -> 9.0)) == Some((Map("q1" -> 9.0), false)))
   }
 
+  test("band gate: hot-band or reprobe-heavy recordings are refused as priors") {
+    // calm band, few reprobes: no refusal
+    assert(Bench.refuseAsPriors(Some(1.05), 2).isEmpty)
+    assert(Bench.refuseAsPriors(None, 0).isEmpty)
+    // exactly the threshold is still acceptable (strictly-greater refuses)
+    assert(Bench.refuseAsPriors(Some(Bench.MaxCommitSetFactor),
+      Bench.MaxCommitReprobes).isEmpty)
+    // the r13 driver shape: set_factor 1.388, 9 reprobes — refused on
+    // band alone (and would be refused on reprobe count too)
+    assert(Bench.refuseAsPriors(Some(1.388), 9).exists(_.contains("set_factor")))
+    assert(Bench.refuseAsPriors(Some(1.0), 9).exists(_.contains("reprobes")))
+  }
+
   test("budget gate: committed priors + declared new-query budgets project under 90% of the ceiling") {
     // the REAL committed artifact and the REAL query surface — this is
     // the surface-growth gate, not a fixture: adding a query without a
