@@ -257,6 +257,53 @@ object ScaleProbe {
                 .select(col("vec_id"), col("v"), col("norm2")),
               idx, 5, 2, 8, 50).count())
         }
+        // partial-refit probe: corpus grows ×m; the claim is refit cost
+        // ∝ the DRIFTED FRACTION's members, not the corpus — one drifted
+        // list of 10 must cost ~1/10 of the full coarse work at every m,
+        // while the full rebuild pays the whole corpus fit + encode.
+        // Drift is fabricated per run by a stats_delta whose rows sit
+        // far below the fit means for exactly the chosen cids.
+        if (want("ann_refit")) {
+          val arRoot = s"/tmp/graft_scale_ar_x$m"
+          val emb = Tables.embeddings(spark, base)
+          val embReps = emb +: (1 until m).map(i => emb.withColumn("vec_id",
+            col("vec_id") * 2 + lit(1L) + lit(i * 100000000L)))
+          embReps.reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(s"$arRoot/embeddings.parquet")
+          val idx = s"$arRoot/idx"
+          def freshIndex(): Unit = {
+            graft.engine.Fs.deleteDir(spark, idx)
+            val e = graft.sim.Similarity.preparedCk(spark, arRoot)
+            val (coarse, _) = graft.sim.Similarity.buildIvfPqIndexOn(
+              e, idx, 10, 3, 8, 32, 2)
+            graft.sim.Similarity.cidStats(
+                graft.sim.Similarity.assignScored(e, coarse), "n_fit", "fit_mean_cos")
+              .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+          }
+          def fakeDrift(cids: Seq[Int]): Unit =
+            spark.read.parquet(s"$idx/stats")
+              .filter(col("cid").isin(cids: _*))
+              .select(col("cid"), col("n_fit").as("n_batch"),
+                (col("fit_mean_cos") - lit(1.0)).as("batch_mean_cos"),
+                lit(1L).as("batch_id"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats_delta")
+          freshIndex()
+          time(f"ar_full_rebuild  x$m") {
+            graft.sim.Similarity.buildIvfPqIndexOn(
+              graft.sim.Similarity.preparedCk(spark, arRoot), idx, 10, 3, 8, 32, 2)
+            1L
+          }
+          freshIndex(); fakeDrift(Seq(3))
+          time(f"ar_refit_1of10   x$m") {
+            graft.sim.Similarity.refitDriftedLists(
+              graft.sim.Similarity.preparedCk(spark, arRoot), idx).toLong
+          }
+          freshIndex(); fakeDrift(0 until 10)
+          time(f"ar_refit_10of10  x$m") {
+            graft.sim.Similarity.refitDriftedLists(
+              graft.sim.Similarity.preparedCk(spark, arRoot), idx).toLong
+          }
+        }
         // streaming-compact probe: the STORE is fixed ×1 but the merge
         // FOREST is salted with a 50k·m-edge chain (the adversarial
         // lifetime shape: years of cluster-merge events, chained so the

@@ -973,26 +973,36 @@ object Similarity {
     * the rebuild cost is paid exactly when the data moved. Returns
     * true iff a retrain ran. Single-writer maintenance contract, like
     * [[compactIvfPqDelta]]. */
+  /** The drifted-list set: cids whose LATEST batch assignment quality
+    * sits more than `driftTol` below their fit-time mean — the shared
+    * trigger of [[retrainIfDrifted]] (global reset) and
+    * [[refitDriftedLists]] (the scale path). O(nClusters) driver
+    * metadata; money values compare exactly on both engines. */
+  private def driftedCids(spark: SparkSession, indexPath: String,
+      driftTol: Double): Seq[Int] = {
+    val statsPath = s"$indexPath/stats"
+    val deltaStats = s"$indexPath/stats_delta"
+    if (!graft.engine.Fs.exists(spark, statsPath) ||
+        !graft.engine.Fs.exists(spark, deltaStats)) return Seq.empty
+    val fit = spark.read.parquet(statsPath)
+    val bat = spark.read.parquet(deltaStats)
+    val latest = bat.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+            .orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    fit.join(latest, "cid")
+      .filter(col("batch_mean_cos") + lit(driftTol) < col("fit_mean_cos"))
+      .select(col("cid")).collect().map(_.getInt(0)).toSeq.sorted
+  }
+
   def retrainIfDrifted(corpusE: DataFrame, indexPath: String,
       nClusters: Int = 10, ivfIters: Int = 3, m: Int = 8, codes: Int = 32,
       pqIters: Int = 2, driftTol: Double = 0.05): Boolean = {
     val spark = corpusE.sparkSession
     val statsPath = s"$indexPath/stats"
     val deltaStats = s"$indexPath/stats_delta"
-    if (!graft.engine.Fs.exists(spark, statsPath) ||
-        !graft.engine.Fs.exists(spark, deltaStats)) return false
-    val fit = spark.read.parquet(statsPath)
-    val bat = spark.read.parquet(deltaStats)
-    // latest batch per cid is the live signal; money values compare
-    // exactly on both engines
-    val latest = bat.withColumn("__rn",
-        org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
-            .orderBy(col("batch_id").desc)))
-      .filter(col("__rn") === 1).drop("__rn")
-    val triggered = fit.join(latest, "cid")
-      .filter(col("batch_mean_cos") + lit(driftTol) < col("fit_mean_cos"))
-      .limit(1).count() > 0
+    val triggered = driftedCids(spark, indexPath, driftTol).nonEmpty
     if (triggered) {
       val (coarse, _) = buildIvfPqIndexOn(corpusE, indexPath, nClusters,
         ivfIters, m, codes, pqIters)
@@ -1017,6 +1027,118 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(statsPath)
     }
     triggered
+  }
+
+  /** PARTIAL refit — the 100 TB scale path for the drift trigger
+    * (round-13 verdict #3: [[retrainIfDrifted]]'s full rebuild pays a
+    * whole-corpus fit when drift is typically localized). Re-clusters
+    * ONLY the drifted lists' members, in place:
+    *
+    *  1. drifted cids D from the shared trigger ([[driftedCids]]);
+    *  2. their member rows — base `lists/cid∈D` (partition-pruned) plus
+    *     any `delta/…/cid∈D` rows — and ONLY those members' vectors,
+    *     fetched by one join against the caller's corpus;
+    *  3. a local deterministic Lloyd over that slice with k = |D| (the
+    *     SAME seed/assign/update rules as the global fit; surviving
+    *     centroid i takes over drifted cid D(i) — cids are labels);
+    *  4. members reassign among the NEW D-centroids and their list
+    *     partitions rewrite; every other list, the codebooks, and every
+    *     code byte stay BIT-UNTOUCHED — PQ codes are a pure function of
+    *     the codebooks, so reassignment moves rows between lists without
+    *     re-encoding, and no mixed-epoch ADC mismatch can exist (the
+    *     correctness axis of the full path's crash argument); coarse-
+    *     centroid changes affect only probe routing, i.e. recall;
+    *  5. the folded `delta/…/cid∈D` partitions delete (their rows now
+    *     live in base), `stats_delta` clears (the drift signal resets;
+    *     the next ingest re-reports), and the refreshed D-list fit stats
+    *     MERGE into `stats` as the commit point — the
+    *     [[retrainIfDrifted]] ordering.
+    *
+    * Cost ∝ the drifted fraction: one pruned list read, one Lloyd over
+    * the drifted members, one |D|-partition rewrite — never a corpus
+    * fit. When EVERY list drifts, the member slice is the indexed
+    * corpus and k = the fit's list count, so the coarse re-fit is
+    * bit-identical to the full rebuild's (spec-pinned); the codebooks
+    * are the one thing only [[retrainIfDrifted]] refreshes.
+    *
+    * Crash windows (single-writer re-run contract, as everywhere in
+    * this family): reassignment PERMUTES members within D — a crash
+    * mid-rewrite leaves some member duplicated across two D-partitions,
+    * and the re-run's member collection dedups on `neighbor_id`, so it
+    * re-derives the identical refit and the final rewrite + stale-
+    * partition deletes heal exactly. The trigger survives every window
+    * before the final stats write because `stats_delta` deletes only
+    * after the list/centroid rewrites. Returns |D| (0 = no drift). */
+  def refitDriftedLists(corpusE: DataFrame, indexPath: String,
+      ivfIters: Int = 3, driftTol: Double = 0.05): Int = {
+    val spark = corpusE.sparkSession
+    import spark.implicits._
+    val drifted = driftedCids(spark, indexPath, driftTol)
+    if (drifted.isEmpty) return 0
+    val listsPath = s"$indexPath/lists"
+    val deltaPath = s"$indexPath/delta"
+    val base = spark.read.parquet(listsPath)
+    val withDelta =
+      if (graft.engine.Fs.exists(spark, deltaPath))
+        base.unionByName(spark.read.parquet(deltaPath).drop("batch_id")
+          .select(base.columns.map(col).toIndexedSeq: _*))
+      else base
+    // drifted members, deduped (a prior crashed refit can leave a member
+    // in two D-partitions; either copy is bit-identical)
+    val dRows = withDelta.filter(col("cid").isin(drifted: _*))
+      .select(col("neighbor_id"), col("codes"), col("recon_n2"))
+      .dropDuplicates("neighbor_id")
+      .localCheckpoint(true)
+    val memVec = corpusE
+      .join(dRows.select(col("neighbor_id").as("vec_id")), "vec_id")
+      .select(col("vec_id"), col("v"), col("norm2"))
+      .localCheckpoint(true)
+    val cents0 = kmeansLloyd(memVec, drifted.size, ivfIters)
+    val relabeled = cents0.map(c => Centroid(drifted(c.cid), c.c, c.cn2))
+    val reassigned = assignCid(memVec, relabeled, "v", "norm2")
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+      .join(dRows, "neighbor_id")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    // refreshed stats for the refit region, materialized BEFORE any
+    // store mutation (they read the pre-rewrite checkpoints anyway)
+    val dStats = cidStats(assignScored(memVec, relabeled), "n_fit", "fit_mean_cos")
+      .localCheckpoint(true)
+    // (4) rewrite the D list partitions, then clear D-cids that lost
+    // every member (their rows now live in sibling D-partitions)
+    graft.engine.Layers.replacePartitionsPath(reassigned, listsPath, Seq("cid"))
+    val live = reassigned.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    (drifted.toSet -- live).foreach(c =>
+      graft.engine.Fs.deleteDir(spark, s"$listsPath/cid=$c"))
+    // centroid store: D rows replaced, the rest verbatim (merged frame
+    // materialized before the self-overwrite)
+    val centPath = s"$indexPath/centroids"
+    val mergedCents = spark.read.parquet(centPath)
+      .filter(!col("cid").isin(drifted: _*))
+      .unionByName(relabeled.map(c => (c.cid, c.c, c.cn2))
+        .toDF("cid", "centroid", "cnorm2"))
+      .localCheckpoint(true)
+    mergedCents.coalesce(1).write.mode("overwrite").parquet(centPath)
+    // (5) fold-source deletes, then the stats merge as the commit point
+    graft.engine.Fs.listDirs(spark, deltaPath).foreach { b =>
+      graft.engine.Fs.listDirs(spark, b.toString)
+        .filter(c => drifted.map(d => s"cid=$d").contains(c.getName))
+        .foreach(c => graft.engine.Fs.deleteDir(spark, c.toString))
+      if (graft.engine.Fs.listDirs(spark, b.toString).isEmpty)
+        graft.engine.Fs.deleteDir(spark, b.toString)
+    }
+    if (graft.engine.Fs.exists(spark, deltaPath) &&
+        graft.engine.Fs.listDirs(spark, deltaPath).isEmpty)
+      graft.engine.Fs.deleteDir(spark, deltaPath)
+    graft.engine.Fs.deleteDir(spark, s"$indexPath/stats_delta")
+    val statsPath = s"$indexPath/stats"
+    val mergedStats = spark.read.parquet(statsPath)
+      .filter(!col("cid").isin(drifted: _*))
+      .unionByName(dStats)
+      .localCheckpoint(true)
+    mergedStats.coalesce(1).write.mode("overwrite").parquet(statsPath)
+    drifted.size
   }
 
   /** Streaming form of the maintenance loop — the

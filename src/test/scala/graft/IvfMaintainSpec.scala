@@ -184,6 +184,88 @@ class IvfMaintainSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("partial refit: untouched lists bit-identical, codes unchanged, members conserved, trigger cleared") {
+    val idx = Files.createTempDirectory("ivf_partial").toString + "/idx"
+    val e = Similarity.preparedCk(spark, sf)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val (coarse, _) = Similarity.buildIvfPqIndexOn(base, idx, 10, 3, m, codes, 2)
+    Similarity.cidStats(Similarity.assignScored(base, coarse), "n_fit", "fit_mean_cos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    val drifted = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("v", expr("transform(v, x -> -x)"))
+    Similarity.ingestIvfPqBatch(drifted, idx, 1L, m)
+    // full corpus as the refit's vector source (base + the drifted batch)
+    val corpus = base.unionByName(drifted).localCheckpoint(true)
+    val dCids = spark.read.parquet(s"$idx/stats").join(
+        spark.read.parquet(s"$idx/stats_delta"), "cid")
+      .filter(col("batch_mean_cos") + lit(0.05) < col("fit_mean_cos"))
+      .select("cid").collect().map(_.getInt(0)).toSet
+    assert(dCids.nonEmpty, "fixture produced no drifted list")
+    val untouched = (0 until 10).toSet -- dCids
+    def listFiles(cid: Int) = snapshot(s"$idx/lists/cid=$cid")
+    val untouchedBefore = untouched.map(c => c -> listFiles(c)).toMap
+    // codes are a pure function of the codebooks: the refit may MOVE
+    // rows between D-lists but never change a code byte
+    def codeMap() = spark.read.parquet(s"$idx/lists")
+      .select(col("neighbor_id"), col("codes"), col("recon_n2")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toList, r.getDouble(2)))).toMap
+    val deltaCodes = spark.read.parquet(s"$idx/delta")
+      .filter(col("cid").isin(dCids.toSeq: _*))
+      .select(col("neighbor_id"), col("codes"), col("recon_n2")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toList, r.getDouble(2)))).toMap
+    val baseCodesBefore = codeMap()
+    val dMembersBefore = spark.read.parquet(s"$idx/lists")
+      .filter(col("cid").isin(dCids.toSeq: _*))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet ++ deltaCodes.keySet
+    val n = Similarity.refitDriftedLists(corpus, idx)
+    assert(n == dCids.size, s"refit count $n != drifted ${dCids.size}")
+    // (a) untouched list partitions are bit-identical files
+    untouched.foreach(c => assert(listFiles(c) == untouchedBefore(c),
+      s"untouched list cid=$c was rewritten"))
+    // (b) every code byte unchanged; folded delta rows carried verbatim
+    val after = codeMap()
+    assert((baseCodesBefore ++ deltaCodes).forall { case (k, v) => after.get(k).contains(v) },
+      "a code or recon_n2 changed during partial refit")
+    // (c) D members conserved (reassignment permutes within D)
+    val dMembersAfter = spark.read.parquet(s"$idx/lists")
+      .filter(col("cid").isin(dCids.toSeq: _*))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(dMembersAfter == dMembersBefore, "drifted members lost or leaked")
+    // (d) the drift signal reset: stats_delta gone, second call a no-op,
+    // stats refreshed for exactly the D rows
+    assert(!new java.io.File(s"$idx/stats_delta").exists)
+    assert(Similarity.refitDriftedLists(corpus, idx) == 0)
+    // (e) serving still works over the refit index (no delta double-serve)
+    assert(serveRows(e, idx).nonEmpty)
+    val ids = spark.read.parquet(s"$idx/lists").select("neighbor_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "a member is in two lists")
+  }
+
+  test("partial refit with EVERY list drifted == the full rebuild's coarse fit, bit for bit") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("ivf_partial_all").toString + "/idx"
+    val e = Similarity.preparedCk(spark, sf)
+    val (coarse, _) = Similarity.buildIvfPqIndexOn(e, idx, 10, 3, m, codes, 2)
+    val stats = Similarity.cidStats(
+      Similarity.assignScored(e, coarse), "n_fit", "fit_mean_cos")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    // fabricate a universally-drifted signal: every list reports far
+    // below its fit mean
+    stats.select(col("cid"), col("n_fit").as("n_batch"),
+        (col("fit_mean_cos") - lit(1.0)).as("batch_mean_cos"),
+        org.apache.spark.sql.functions.lit(1L).as("batch_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats_delta")
+    assert(Similarity.refitDriftedLists(e, idx) == coarse.size)
+    // all members = the corpus and k = the fit's list count, so the
+    // local Lloyd IS the global one — centroids bit-identical
+    val expect = Similarity.kmeansLloyd(e, coarse.size, 3)
+      .map(c => (c.cid, c.c, c.cn2)).toSet
+    val got = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSet
+    assert(got == expect, "all-drifted partial refit diverges from the global coarse fit")
+  }
+
   test("ivfPqSink: micro-batched stream ingests into the same store a direct ingest builds") {
     import spark.implicits._
     val root = Files.createTempDirectory("ivf_sink").toString
