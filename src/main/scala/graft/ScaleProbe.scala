@@ -257,6 +257,29 @@ object ScaleProbe {
                 .select(col("vec_id"), col("v"), col("norm2")),
               idx, 5, 2, 8, 50).count())
         }
+        // compaction-cadence probe (round-13 verdict #6): at what forest
+        // size does compactMerges pay for itself within ONE batch? For
+        // m·1000 chain edges, measure (a) ingest carrying the forest,
+        // (b) the compaction, (c) ingest after — the per-batch forest
+        // tax is (a)−(c); compaction is break-even within one batch
+        // when (a)−(c) ≥ (b). Pass mults like 2,10,25,50 to sweep E.
+        if (want("compact_cadence")) {
+          val czRoot = s"/tmp/graft_scale_cz_x$m/store"
+          graft.engine.Fs.deleteDir(spark, czRoot)
+          graft.streaming.ClusterMaintain.ingestBatch(
+            docs.filter(col("doc_id") % 7 =!= 3), czRoot, 0L)
+          spark.range(1000L * m)
+            .select((col("id") + lit(1000000001L)).as("old_label"),
+              (col("id") + lit(1000000000L)).as("new_label"))
+            .write.mode("overwrite").parquet(s"$czRoot/merges/batch_id=1")
+          val batch = docs.filter(col("doc_id") % 7 === 3)
+          timed2(f"cz_ingest_forest ${m}k")(
+            graft.streaming.ClusterMaintain.ingestBatch(batch, czRoot, 2L))
+          time(f"cz_compact       ${m}k")(
+            graft.streaming.ClusterMaintain.compactMerges(spark, czRoot))
+          timed2(f"cz_ingest_after  ${m}k")(
+            graft.streaming.ClusterMaintain.ingestBatch(batch, czRoot, 2L))
+        }
         // partial-refit probe: corpus grows ×m; the claim is refit cost
         // ∝ the DRIFTED FRACTION's members, not the corpus — one drifted
         // list of 10 must cost ~1/10 of the full coarse work at every m,

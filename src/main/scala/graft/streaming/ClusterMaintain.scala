@@ -397,25 +397,49 @@ object ClusterMaintain {
     labels(spark, root).orderBy(col("doc_id"))
   }
 
+  /** Current merge-forest size — one footer-metadata count over the
+    * (cluster-event-scale) merges store; 0 when absent. */
+  private[graft] def forestEdges(spark: SparkSession, root: String): Long =
+    if (Fs.exists(spark, s"$root/merges"))
+      spark.read.schema(mergeSchema.add("batch_id", LongType))
+        .parquet(s"$root/merges").count()
+    else 0L
+
   /** Streaming form: each micro-batch maintains the cluster store via
     * [[ingestBatch]] keyed by its epoch id — checkpoint replay is
-    * idempotent through the batch-keyed sinks. `compactEvery = k > 0`
-    * runs [[compactMerges]] before every k-th epoch's ingest (inside
-    * the SAME foreachBatch, so a crash-replay of the epoch re-runs the
-    * idempotent compaction and then re-derives the ingest from the
-    * resolved basis — the exactly-once contract holds through
-    * compaction); 0 (default) never compacts. */
+    * idempotent through the batch-keyed sinks.
+    *
+    * Compaction cadence (round-13 verdict #6, measured — BASELINE.md
+    * "compaction cadence" table): the default is SIZE-TRIGGERED, not
+    * scheduled — before an epoch's ingest the forest edge count (one
+    * footer-metadata job over the cluster-event-scale merges store) is
+    * compared against `compactAtEdges`, and [[compactMerges]] runs when
+    * it's reached. The threshold default (2 000) is the smallest swept
+    * point of the sf0.1 chain-forest probe, where compaction (2.3 s)
+    * already repays itself within ONE batch (per-batch forest tax
+    * 4.1 s) — i.e. by the time the trigger fires, compacting is
+    * strictly cheaper than carrying the forest even once. 0 disables.
+    * `compactEvery = k > 0` additionally forces every k-th epoch (the
+    * fixed-cadence lever, kept for operators who want determinism).
+    * Replay note: a crash-replayed epoch may see the already-compacted
+    * store and skip the trigger its first attempt took — harmless, as
+    * compaction is semantics-preserving and idempotent (labels resolve
+    * identically either way; spec-pinned equivalence), and the ingest
+    * itself stays batch-keyed exactly-once. */
   def sink(docs: DataFrame, root: String, checkpoint: String,
       threshold: Double = 0.9, availableNow: Boolean = true,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, compactAtEdges: Long = 2000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val writer = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactMerges(batch.sparkSession, root)
+        val spark = batch.sparkSession
+        val due = batchId > 0 &&
+          ((compactEvery > 0 && batchId % compactEvery == 0) ||
+            (compactAtEdges > 0 && forestEdges(spark, root) >= compactAtEdges))
+        if (due) compactMerges(spark, root)
         ingestBatch(batch, root, batchId, threshold); ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

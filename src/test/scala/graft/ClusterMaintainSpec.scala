@@ -116,6 +116,39 @@ class ClusterMaintainSpec extends SparkSpec {
       20L -> ((15L, 2L)), 15L -> ((15L, 2L)), 30L -> ((30L, 1L))), s"got $got")
   }
 
+  test("sink size-trigger: compaction fires mid-stream once the forest reaches the threshold") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cm_sizetrig").toString
+    val in = s"$root/incoming"; val ckpt = s"$root/ckpt"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    Seq((10L, t1), (20L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f0")
+    Seq((5L, t1), (15L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f1")   // merges 10->5, 20->15
+    Seq((3L, t1)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f2")   // bridges t1's cluster to 3
+    new java.io.File(s"$in/f1").listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() + 60000))
+    new java.io.File(s"$in/f2").listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() + 120000))
+    val schema = spark.read.parquet(s"$in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    val q = ClusterMaintain.sink(stream, s"$root/store", ckpt, compactAtEdges = 1L)
+    q.awaitTermination(120000)
+    val got = ClusterMaintain.labels(spark, s"$root/store")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(3L -> ((3L, 3L)), 5L -> ((3L, 3L)), 10L -> ((3L, 3L)),
+      20L -> ((15L, 2L)), 15L -> ((15L, 2L))), s"got $got")
+    // epoch 2's pre-ingest size check saw the two epoch-1 merges ≥ the
+    // threshold and compacted them into the label store — the surviving
+    // forest holds ONLY epoch 2's own bridge (5 -> 3); without the
+    // trigger all three edges would be present
+    assert(ClusterMaintain.forestEdges(spark, s"$root/store") == 1L,
+      "size-triggered compaction did not fold the epoch-1 merges")
+  }
+
   test("compaction: labels unchanged, forest gone, idempotent") {
     import spark.implicits._
     val root = Files.createTempDirectory("cm_compact").toString + "/store"
