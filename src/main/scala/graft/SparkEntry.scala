@@ -85,6 +85,7 @@ object SparkEntry {
     "mmr_select"         -> ((s, d) => Similarity.mmrSelect(s, d)),
     "knn_ivfpq_served"   -> ((s, d) => Similarity.knnIvfPqServed(s, d)),
     "ann_index_maintain" -> ((s, d) => Similarity.annIndexMaintain(s, d)),
+    "ann_compacted_serve" -> ((s, d) => Similarity.annCompactedServe(s, d)),
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -248,6 +249,31 @@ object SparkEntry {
       require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
       src.substring(0, cut) + graft.sim.Similarity.ivfpqServeSql()
     }
+    // the knn_ivf prefix with its FIT region retargeted to the 75% base
+    // slice `pb` — everything from the seed CTE on is the FIT; both the
+    // table references (`FROM p`) and the qualified column references
+    // (`p.vec_id` etc) are rewritten, occurrence-counted so a prefix
+    // edit can't silently detune either consumer (ann_index_maintain's
+    // drift report and ann_compacted_serve's base-fit composite)
+    val basePrefixSql = {
+      val src = m("knn_ivf")
+      val cut = src.indexOf("q AS (")
+      require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
+      val prefix0 = src.substring(0, cut)
+      val at = prefix0.indexOf("cent0 AS")
+      require(at > 0, "knn_ivf oracle lost its seed CTE marker")
+      val fitRegion = prefix0.substring(at)
+      val fromRefs = "FROM p\\b".r.findAllIn(fitRegion).size
+      val colRefs = "\\bp\\.".r.findAllIn(fitRegion).size
+      require(fromRefs == 4 && colRefs == 15,
+        s"knn_ivf fit prefix expected 4 FROM + 15 qualified corpus refs, " +
+          s"found $fromRefs + $colRefs")
+      val fit = "\\bp\\.".r.replaceAllIn(
+        "FROM p\\b".r.replaceAllIn(fitRegion, "FROM pb"), "pb.")
+      prefix0.substring(0, at) +
+        "pb AS MATERIALIZED (SELECT vec_id, v, norm2 FROM p WHERE vec_id % 4 <> 3),\n      " +
+        fit
+    }
     // the served variant is bit-identical to the in-memory IVF search
     // (parquet round-trips doubles exactly), so one oracle covers both
     m + ("knn_ivf_served" -> m("knn_ivf")) +
@@ -356,6 +382,13 @@ object SparkEntry {
       ("mmr_select" -> graft.sim.Similarity.mmrOracleSql()) +
       ("knn_ivfpq" -> ivfpqSql) +
       ("knn_ivfpq_served" -> ivfpqSql) +
+      // generated SQL: the compacted maintained index — base-slice fits
+      // (coarse via the retargeted prefix, PQ via fitSrc=pb), encode +
+      // serve over the FULL corpus; post-compaction serving is
+      // spec-pinned identical to serving with the delta in place, so
+      // this one inline replay covers the whole compaction path
+      ("ann_compacted_serve" ->
+        (basePrefixSql + graft.sim.Similarity.ivfpqServeSql(fitSrc = Some("pb")))) +
       // generated SQL: the cluster-aware split shares dedup_clusters'
       // recursive-CC oracle verbatim — only the final SELECT grows the
       // h64(cluster_id)-mod-10 split column
@@ -378,27 +411,7 @@ object SparkEntry {
       // per-list drift report (decimal-accumulated money means — the
       // m-step discipline) replayed exactly
       ("ann_index_maintain" -> {
-        val src = m("knn_ivf")
-        val cut = src.indexOf("q AS (")
-        require(cut > 0, "knn_ivf oracle lost its serving CTE marker")
-        val prefix0 = src.substring(0, cut)
-        val at = prefix0.indexOf("cent0 AS")
-        require(at > 0, "knn_ivf oracle lost its seed CTE marker")
-        // everything from the seed CTE on is the FIT — retarget both the
-        // table references (`FROM p`) and the qualified column references
-        // (`p.vec_id` etc) to the base slice; occurrence-counted so a
-        // prefix edit can't silently detune the oracle
-        val fitRegion = prefix0.substring(at)
-        val fromRefs = "FROM p\\b".r.findAllIn(fitRegion).size
-        val colRefs = "\\bp\\.".r.findAllIn(fitRegion).size
-        require(fromRefs == 4 && colRefs == 15,
-          s"knn_ivf fit prefix expected 4 FROM + 15 qualified corpus refs, " +
-            s"found $fromRefs + $colRefs")
-        val fit = "\\bp\\.".r.replaceAllIn(
-          "FROM p\\b".r.replaceAllIn(fitRegion, "FROM pb"), "pb.")
-        prefix0.substring(0, at) +
-          "pb AS MATERIALIZED (SELECT vec_id, v, norm2 FROM p WHERE vec_id % 4 <> 3),\n      " +
-          fit + """fasg AS (
+        basePrefixSql + """fasg AS (
         SELECT pb.vec_id, c.cid,
                floor((list_reduce(list_transform(range(1, len(pb.v) + 1), j -> pb.v[j] * c.centroid[j]), (x, y) -> x + y)
                  / sqrt(pb.norm2 * c.cnorm2)) * 10000 + 0.5) / 10000 AS cos

@@ -1209,6 +1209,32 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** The `ann_compacted_serve` query surface (round-13 verdict #4 — the
+    * compaction path's end-to-end oracle row): build on the 75% base
+    * slice, ingest the remaining 25% as a maintained-delta batch, FOLD
+    * the delta into the base lists via [[compactIvfPqDelta]], then serve
+    * from the compacted store. Serving after compaction is spec-pinned
+    * bit-identical to serving with the delta in place, and the DuckDB
+    * oracle independently replays the whole composite inline (coarse +
+    * PQ fits on the base slice, encode + serve over the full corpus) —
+    * so a green row proves the compacted store, not just the spec's
+    * internal consistency. Shares the base-slice fused fit with
+    * [[annIndexMaintain]] through the quantizer registry. */
+  def annCompactedServe(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 2, nClusters: Int = 10, ivfIters: Int = 3, m: Int = 8,
+      codes: Int = 32, pqIters: Int = 2, shortlist: Int = 50): DataFrame = {
+    val idx = graft.engine.Fs.scratch("graft_ivfpq_compact", dir)
+    graft.engine.Fs.deleteDir(spark, idx)
+    val e = preparedCk(spark, dir)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val batch = e.filter(col("vec_id") % 4 === 3)
+    buildIvfPqIndexOn(base, idx, nClusters, ivfIters, m, codes, pqIters,
+      fitKey = Some(s"$dir|base75"))
+    ingestIvfPqBatch(batch, idx, 1L, m)
+    compactIvfPqDelta(spark, idx)
+    knnIvfPqFromIndexOn(e, idx, k, nprobe, m, shortlist)
+  }
+
   /** Serve IVF-PQ from a persisted index: probe routing against stored
     * centroids, ADC over the stored coded lists (partition-pruned on
     * `cid`), exact re-rank against the caller's corpus relation. A
@@ -1256,18 +1282,29 @@ object Similarity {
     * (`s{s}cent`), and per-vector code assignment (`s{s}e`). `src`
     * names the prepared-corpus CTE providing `(vec_id, v)` — the two
     * callers bind different preambles. */
-  private def pqSubspaceCtes(src: String, m: Int, codes: Int, iters: Int): String = {
+  private def pqSubspaceCtes(src: String, m: Int, codes: Int, iters: Int,
+      fitSrc: Option[String] = None): String = {
     val subDim = 64 / m
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(range(1, ${subDim + 1}), j -> $a[j] * $b[j]), (x, y) -> x + y)"
     (0 until m).map { s =>
       val (lo, hi) = (s * subDim + 1, (s + 1) * subDim)
+      // when the fit corpus differs from the encode corpus (base-fit
+      // maintained indexes), training CTEs read a separate slice
+      // relation s{s}nf; otherwise they read s{s}n itself so the
+      // long-verified single-corpus oracles stay byte-identical
+      val trainN = if (fitSrc.isDefined) s"s${s}nf" else s"s${s}n"
+      val fitNCte = fitSrc.map(f => s"""s${s}nf AS MATERIALIZED (
+        SELECT vec_id, list_slice(v, $lo, $hi) AS sv,
+               list_reduce(list_transform(range(1, ${subDim + 1}), j -> list_slice(v, $lo, $hi)[j] * list_slice(v, $lo, $hi)[j]), (x, y) -> x + y) AS sn2
+        FROM $f),
+      """).getOrElse("")
       val iterCtes = (1 to iters).map { i =>
         s"""s${s}b$i AS (
         SELECT n.vec_id, n.sv, n.sn2, c.cid,
                floor((${dot("n.sv", "c.centroid")}
                  / sqrt(n.sn2 * ${dot("c.centroid", "c.centroid")})) * 10000 + 0.5) / 10000 AS cos
-        FROM s${s}n n CROSS JOIN s${s}c${i - 1} c),
+        FROM $trainN n CROSS JOIN s${s}c${i - 1} c),
       s${s}a$i AS (
         SELECT vec_id, sv, sn2, cid FROM s${s}b$i
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
@@ -1282,10 +1319,10 @@ object Similarity {
         SELECT vec_id, list_slice(v, $lo, $hi) AS sv,
                list_reduce(list_transform(range(1, ${subDim + 1}), j -> list_slice(v, $lo, $hi)[j] * list_slice(v, $lo, $hi)[j]), (x, y) -> x + y) AS sn2
         FROM $src),
-      s${s}c0 AS (
+      ${fitNCte}s${s}c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1 AS INT) AS cid,
                sv AS centroid
-        FROM s${s}n QUALIFY cid < $codes),
+        FROM $trainN QUALIFY cid < $codes),
       $iterCtes,
       s${s}cent AS MATERIALIZED (
         SELECT cid, centroid,
@@ -1495,8 +1532,9 @@ object Similarity {
     * Every rounding rule matches the Spark side's money-rounded
     * doubles, so the composite replays hash-exactly. */
   def ivfpqServeSql(m: Int = 8, codes: Int = 32, iters: Int = 2, k: Int = 5,
-      nprobe: Int = 2, shortlist: Int = 50): String = {
-    val sub = pqSubspaceCtes("pm", m, codes, iters)
+      nprobe: Int = 2, shortlist: Int = 50,
+      fitSrc: Option[String] = None): String = {
+    val sub = pqSubspaceCtes("pm", m, codes, iters, fitSrc)
     val (encJoins, encCols, adcTerms, reconTerms, centJoins) = pqServeParts(m, "qq")
     s"""pm AS MATERIALIZED (SELECT vec_id, v, norm2 FROM p),
       cbf AS (
