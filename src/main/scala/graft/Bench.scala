@@ -44,7 +44,9 @@ object Bench {
     // maintained-index serve (3-pass builder median 4.57 s at a
     // set_factor ≈ 1.17 band → band-corrected ≈ 3.9 s; declared with
     // margin — BASELINE.md budget table).
-    Map("ann_compacted_serve" -> 5.0)
+    // dedup_containment_incr: 3-pass builder median 0.59 s on a warm
+    // band (shares the derived shingle index; probe FLAT ×1/×2/×4)
+    Map("ann_compacted_serve" -> 5.0, "dedup_containment_incr" -> 1.0)
   /** Projected full-set total: committed prior medians where they
     * exist, declared budgets for the rest; Left = queries with NEITHER
     * (an undeclared new query must fail the gate loudly). */

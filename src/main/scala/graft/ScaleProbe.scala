@@ -93,7 +93,7 @@ object ScaleProbe {
 
         // CC-family root: token-salted replicas (disjoint graph copies)
         val ccRoot = s"/tmp/graft_scale_cc_x$m"
-        if (want("cc") || want("containment"))
+        if (want("cc") || want("containment") || want("containment_incr"))
           (0 until m).map(i => docs.select(
               (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
               (if (i == 0) col("text")
@@ -256,6 +256,24 @@ object ScaleProbe {
               graft.sim.Similarity.prepared(spark, amRoot)
                 .select(col("vec_id"), col("v"), col("norm2")),
               idx, 5, 2, 8, 50).count())
+        }
+        // incremental-containment probe: FIXED batch (replica-0 docs
+        // with doc_id % 10 = 0) against a corpus growing ×m via the
+        // token-salted replicas (disjoint shingle spaces — cross-replica
+        // candidates impossible, so candidate volume stays ×1 while the
+        // map-only corpus posting scan grows ∝ m: growth must be gently
+        // linear in the scan term, never in the pair term)
+        if (want("containment_incr")) {
+          timed2(f"containment_incr x$m") {
+            val docsIdx = graft.dedup.Dedup.shingleIndex(spark, ccRoot)
+              .filter(col("n_sh") > 0)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val n = graft.dedup.Dedup.containmentIncrementalOn(docsIdx,
+              col("doc_id") < 10000000L && col("doc_id") % 10 === 0,
+              0.8, 500000L).count()
+            docsIdx.unpersist()
+            n
+          }
         }
         // compaction-cadence probe (round-13 verdict #6): at what forest
         // size does compactMerges pay for itself within ONE batch? For

@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"        -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_containment"  -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_containment_incr" -> ((s, d) => Dedup.containmentIncremental(s, d)),
     "dedup_containment_capped" -> ((s, d) =>
       Dedup.containmentPairs(s, d, maxShingleFreq = Some(5))),
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, maxShingleFreq = Some(5))),
@@ -2376,6 +2377,36 @@ object SparkEntry {
              floor(c_raw * 10000 + 0.5) / 10000 AS containment
       FROM dirs
       WHERE c_raw >= 0.8
+      ORDER BY doc_id, container_id
+    """,
+    // incremental containment admission (batch = doc_id % 10 = 0 vs the
+    // stored corpus): the prefix filter and the in-join size cut are
+    // both lossless on the sliced pair space, so the oracle states the
+    // plain inverted-index semantics directly — shared shingles between
+    // a batch doc and a corpus doc over the containee's size
+    "dedup_containment_incr" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, len(toks) - 1), i ->
+                          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   END),
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS s
+        FROM t),
+      shn AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+      binv AS (SELECT doc_id, n_sh, unnest(s) AS sh FROM shn WHERE doc_id % 10 = 0),
+      cinv AS (SELECT doc_id AS container_id, n_sh AS nb, unnest(s) AS sh
+               FROM shn WHERE doc_id % 10 <> 0),
+      shared AS (
+        SELECT b.doc_id, c.container_id, b.n_sh AS na, count(*) AS inter
+        FROM binv b JOIN cinv c ON b.sh = c.sh
+        GROUP BY 1, 2, 3)
+      SELECT doc_id, container_id,
+             floor((inter / na) * 10000 + 0.5) / 10000 AS containment
+      FROM shared
+      WHERE inter / na >= 0.8
       ORDER BY doc_id, container_id
     """,
     // capped containment replays the Spark plan's candidate semantics

@@ -860,7 +860,7 @@ object Dedup {
     * it per query was the dominant cost of the whole dedup-containment
     * family. Production shape: the shingle index is a materialized
     * table maintained beside the corpus, not a per-query recompute. */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     graft.engine.Derived.cached(spark, "shingles3", dir) {
       withShingles(Tables.documents(spark, dir))
         .withColumn("shh", expr(
@@ -970,6 +970,66 @@ object Dedup {
       .filter(col("c_raw") >= threshold)
       .select(col("doc_id"), col("container_id"), Fns.money(col("c_raw")).as("containment"))
       .orderBy(col("doc_id"), col("container_id"))
+  }
+
+  /** INCREMENTAL containment admission — the [[dedupIncremental]]
+    * discipline applied to doc-inside-doc dedup: an arriving batch is
+    * checked for being CONTAINED IN stored corpus docs (`|S_b ∩ S_c| /
+    * |S_b| ≥ threshold` with b from the batch, c from the corpus — the
+    * admission question "does this new doc add anything, or is it an
+    * excerpt/reprint of something we already hold"). The batch's
+    * asymmetric PREFIX index (the [[containmentPairs]] lossless cut —
+    * only ~(1−τ) of each batch doc's shingles) BROADCASTS, and the
+    * corpus posting explode scans MAP-ONLY against it: the corpus never
+    * shuffles, which is the whole point at 100 TB where the corpus is
+    * the big side and the batch is the small one. Above
+    * `maxBroadcastDocs` batch docs the probe degrades loudly to a
+    * shuffled join — same rows, the map-only promise traded for not
+    * OOMing. Survivors re-verify exactly on full sorted sets
+    * (merge-scan `sorted_intersect_size`), so the prefix filter stays
+    * lossless and the oracle replays plain inverted-index semantics on
+    * the sliced pair space. */
+  def containmentIncremental(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxBroadcastDocs: Long = 500000L): DataFrame = {
+    graft.functions.ArrayOps.register(spark)
+    val docs = shingleIndex(spark, dir).filter(col("n_sh") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    containmentIncrementalOn(docs, col("doc_id") % 10 === 0, threshold,
+      maxBroadcastDocs)
+      .orderBy(col("doc_id"), col("container_id"))
+  }
+
+  /** [[containmentIncremental]] over a caller-held `(doc_id, shh, n_sh)`
+    * shingle relation with an explicit batch predicate — the ScaleProbe
+    * entry (fixed batch against a growing corpus). */
+  private[graft] def containmentIncrementalOn(docs: DataFrame,
+      isBatch: Column, threshold: Double, maxBroadcastDocs: Long): DataFrame = {
+    val batchD = docs.filter(isBatch)
+    val corpusD = docs.filter(!isBatch)
+    val pre = batchD.select(col("doc_id"), col("n_sh"), explode(expr(
+      s"slice(shh, 1, size(shh) - CAST(floor($threshold * size(shh)) AS INT) + 1)")).as("sh"))
+    val broadcastOk = batchD.count() <= maxBroadcastDocs
+    if (!broadcastOk)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"containmentIncremental: batch exceeds maxBroadcastDocs=" +
+          s"$maxBroadcastDocs — degrading to a shuffled probe join")
+    val corpusIdx = corpusD.select(col("doc_id").as("container_id"),
+      col("n_sh").as("nb"), explode(col("shh")).as("sh"))
+    val probeSide = if (broadcastOk) broadcast(pre) else pre
+    // the size cut rides IN the join so non-qualifying pairs die before
+    // the distinct (inter ≤ nb ⟹ b→c needs nb ≥ τ·nb_batch)
+    val cand = corpusIdx.join(probeSide,
+        corpusIdx("sh") === probeSide("sh") &&
+          col("nb") >= lit(threshold) * col("n_sh"))
+      .select(col("doc_id"), col("container_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id"), col("shh").as("sh_a"), col("n_sh").as("na")), "doc_id")
+      .join(docs.select(col("doc_id").as("container_id"), col("shh").as("sh_b")), "container_id")
+      .withColumn("c_raw",
+        expr("sorted_intersect_size(sh_a, sh_b)") / col("na"))
+      .filter(col("c_raw") >= threshold)
+      .select(col("doc_id"), col("container_id"), Fns.money(col("c_raw")).as("containment"))
   }
 
   /** N-gram Jaccard near-duplicates via inverted shingle index: docs

@@ -187,6 +187,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment admission == the full directed pairs restricted to batch→corpus") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("doc_id"), r.getAs[Long]("container_id")),
+        r.getAs[Double]("containment"))).toMap
+    val full = toMap(Dedup.containmentPairs(spark, sf))
+    val expected = full.filter { case ((d, c), _) => d % 10 == 0 && c % 10 != 0 }
+    val got = toMap(Dedup.containmentIncremental(spark, sf))
+    assert(got == expected,
+      s"only-got=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-expected=${(expected.keySet -- got.keySet).take(3)}")
+    assert(got.nonEmpty, "fixture produced no batch→corpus containment pair")
+    // the loud degradation path (shuffled probe join) yields identical rows
+    assert(toMap(Dedup.containmentIncremental(spark, sf, maxBroadcastDocs = 0L)) == got)
+  }
+
   test("containment cap: generous cap is a no-op, survivors keep exact values") {
     def pairs(cap: Option[Int]) =
       Dedup.containmentPairs(spark, sf, threshold = 0.8, maxShingleFreq = cap)
