@@ -289,6 +289,17 @@ class PlanQualitySpec extends SparkSpec {
       s.contains("doc_id") && !s.contains("n_tokens")), plan)
   }
 
+  test("dedup_containment_incr: corpus probe is a broadcast hash join — corpus postings never shuffle") {
+    val plan = formatted(graft.dedup.Dedup.containmentIncremental(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the admission promise: the batch prefix index broadcasts and the
+    // corpus posting explode meets it map-only — a sort-merge join here
+    // would mean the corpus crossed an exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("knn_ivfpq: ADC scan joins probed lists by cid — equi-joins only, no cartesian") {
     val plan = formatted(graft.sim.Similarity.knnIvfPq(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
