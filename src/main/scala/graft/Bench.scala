@@ -38,15 +38,12 @@ object Bench {
     * whose queries have entered the committed priors are dead (the
     * prior wins in [[projectedTotal]]) and get pruned on touch.
     * Mirror each entry with a row in BASELINE.md's budget table. */
-  private[graft] val newQueryBudget: Map[String, Double] =
-    // r13's three declarations entered the committed priors via the
-    // 188-query merged recording and were pruned. r14: the compacted-
-    // maintained-index serve (3-pass builder median 4.57 s at a
-    // set_factor ≈ 1.17 band → band-corrected ≈ 3.9 s; declared with
-    // margin — BASELINE.md budget table).
-    // dedup_containment_incr: 3-pass builder median 0.59 s on a warm
-    // band (shares the derived shingle index; probe FLAT ×1/×2/×4)
-    Map("ann_compacted_serve" -> 5.0, "dedup_containment_incr" -> 1.0)
+  private[graft] val newQueryBudget: Map[String, Double] = Map.empty
+    // r14's two declarations (ann_compacted_serve 5.0,
+    // dedup_containment_incr 1.0 — BASELINE.md budget table) entered
+    // the committed priors via the 190-query merged recording (3.61 /
+    // 0.40 s, both under budget) and were pruned; the next new query
+    // starts here.
   /** Projected full-set total: committed prior medians where they
     * exist, declared budgets for the rest; Left = queries with NEITHER
     * (an undeclared new query must fail the gate loudly). */

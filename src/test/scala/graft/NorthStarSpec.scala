@@ -184,6 +184,17 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       assert(capped.forall { case (k, v) => expected.get(k).contains(v) },
         s"trial $trial: capped result not an exact subset")
+      // incremental admission on an arbitrary batch predicate == the
+      // brute-force directed pairs restricted to batch→corpus
+      val docsIdx = Dedup.shingleIndex(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("n_sh") > 0)
+      val gotInc = Dedup.containmentIncrementalOn(docsIdx,
+          org.apache.spark.sql.functions.col("doc_id") % 3 === 0, 0.8, 500000L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val expInc = expected.filter { case ((a, b), _) => a % 3 == 0 && b % 3 != 0 }
+      assert(gotInc == expInc, s"trial $trial: incremental admission diverged — " +
+        s"only-got=${(gotInc.keySet -- expInc.keySet).take(3)} " +
+        s"only-expected=${(expInc.keySet -- gotInc.keySet).take(3)}")
     }
   }
 
