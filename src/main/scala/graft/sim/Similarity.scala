@@ -1150,9 +1150,24 @@ object Similarity {
     * re-runs the idempotent compaction, then re-derives the ingest —
     * the exactly-once contract holds through compaction). The batch
     * relation must already carry `(vec_id, v, norm2)` — compose with
-    * the caller's prepare step. */
+    * the caller's prepare step.
+    *
+    * `refitCorpus` closes the drift loop IN the stream: when set, each
+    * epoch's ingest is followed by [[refitDriftedLists]] — the trigger
+    * check is two O(nClusters) metadata reads, so a quiet epoch pays
+    * almost nothing, and a drifted epoch pays a refit bounded by the
+    * drifted lists' members (never a corpus fit). The thunk supplies
+    * the CURRENT full corpus (base + every ingested batch) because the
+    * index stores only codes — the caller owns the vectors, exactly as
+    * for [[retrainIfDrifted]]. Replay note: a crash-replayed epoch may
+    * find the refit already applied and its trigger cleared — harmless;
+    * the re-ingest stays batch-keyed exactly-once, and the next genuine
+    * drift re-triggers (refit is the same idempotent single-writer
+    * maintenance step it is standalone). */
   def ivfPqSink(batches: DataFrame, indexPath: String, checkpoint: String,
-      m: Int = 8, compactEvery: Int = 0, availableNow: Boolean = true)
+      m: Int = 8, compactEvery: Int = 0, availableNow: Boolean = true,
+      refitCorpus: Option[() => DataFrame] = None,
+      driftTol: Double = 0.05)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val writer = batches.writeStream
@@ -1166,7 +1181,10 @@ object Similarity {
         // duplicating its rows across base and delta
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIvfPqDelta(batch.sparkSession, indexPath, batchId)
-        ingestIvfPqBatch(batch, indexPath, batchId, m); ()
+        ingestIvfPqBatch(batch, indexPath, batchId, m)
+        refitCorpus.foreach(c => refitDriftedLists(c(), indexPath,
+          driftTol = driftTol))
+        ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

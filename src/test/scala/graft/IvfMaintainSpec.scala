@@ -286,6 +286,44 @@ class IvfMaintainSpec extends SparkSpec {
       "streamed ingest diverges from direct ingest")
   }
 
+  test("ivfPqSink with refitCorpus: streamed drift-refit equals the direct one") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivf_sink_refit").toString
+    val e = Similarity.preparedCk(spark, sf)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val drifted = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("v", expr("transform(v, x -> -x)"))
+      .localCheckpoint(true)
+    val corpus = base.unionByName(drifted).localCheckpoint(true)
+    def freshIndex(idx: String): Unit = {
+      val (coarse, _) = Similarity.buildIvfPqIndexOn(base, idx, 10, 3, m, codes, 2)
+      Similarity.cidStats(Similarity.assignScored(base, coarse), "n_fit", "fit_mean_cos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    }
+    val idxStream = s"$root/idx_stream"; val idxDirect = s"$root/idx_direct"
+    freshIndex(idxStream); freshIndex(idxDirect)
+    // direct twin: ingest the drifted batch, then the partial refit
+    Similarity.ingestIvfPqBatch(drifted, idxDirect, 0L, m)
+    assert(Similarity.refitDriftedLists(corpus, idxDirect) > 0,
+      "fixture batch did not drift — the twin comparison would be vacuous")
+    // streamed: the same batch through the sink with the refit hook
+    drifted.coalesce(1).write.parquet(s"$root/incoming/f0")
+    val schema = spark.read.parquet(s"$root/incoming/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/incoming/*")
+    val q = Similarity.ivfPqSink(stream, idxStream, s"$root/ckpt", m,
+      refitCorpus = Some(() => corpus))
+    q.awaitTermination(120000)
+    assert(serveRows(e, idxStream) == serveRows(e, idxDirect),
+      "streamed drift-refit diverges from the direct refit")
+    // both sides cleared the trigger and carry refreshed stats
+    assert(!new java.io.File(s"$idxStream/stats_delta").exists)
+    def statsSet(idx: String) = spark.read.parquet(s"$idx/stats").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Long]("n_fit"),
+        r.getAs[Double]("fit_mean_cos"))).toSet
+    assert(statsSet(idxStream) == statsSet(idxDirect))
+  }
+
   test("ingest schedules a bounded handful of executions — none over the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
     import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
