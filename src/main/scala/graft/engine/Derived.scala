@@ -24,8 +24,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * doubles, parquet round-trips them bit-exactly too). */
 object Derived {
 
+  /** One registry slot: the multi-second Spark build runs under the
+    * SLOT's own lazy-val lock, never under the ConcurrentHashMap bin
+    * lock — concurrent first-touch of the SAME key still serializes
+    * (must not double-build), but other keys sharing the hash bin
+    * proceed, and a derivation whose build itself calls
+    * [[Derived.cached]] (nested derivations) cannot hit
+    * computeIfAbsent's "recursive update" IllegalStateException. A
+    * failed build leaves the lazy val uninitialized, so the next caller
+    * retries rather than caching the failure. */
+  private final class Slot(thunk: () => String) { lazy val path: String = thunk() }
+
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Slot]()
 
   /** The derivation named `name` over fixture `dir`: built and written
     * on first use (charged to that caller), read back by everyone
@@ -37,13 +48,13 @@ object Derived {
     * fresh path, exactly as it must for Spark's own file-index caches. */
   def cached(spark: SparkSession, name: String, dir: String)
       (build: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent(s"$name|$dir", _ => {
+    val slot = built.computeIfAbsent(s"$name|$dir", _ => new Slot(() => {
       val p = Fs.scratch(s"graft_derived_$name", dir)
       Fs.deleteDir(spark, p)
       build.write.mode("overwrite").parquet(p)
       p
-    })
-    spark.read.parquet(path)
+    }))
+    spark.read.parquet(slot.path)
   }
 
   /** Test hook: drop the registry (files stay; keys are re-derivable). */

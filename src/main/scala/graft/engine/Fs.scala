@@ -27,9 +27,21 @@ object Fs {
   val runToken: String = java.util.UUID.randomUUID().toString.take(8)
 
   /** Scratch dir under java.io.tmpdir, unique to (prefix, input dir,
-    * this JVM). `& 0x7fffffff` not math.abs: abs(Int.MinValue) < 0. */
-  def scratch(prefix: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${dir.hashCode & 0x7fffffff}_$runToken"
+    * this JVM). The dir component is a COLLISION-RESISTANT digest, not
+    * String.hashCode: the derived-relation store ([[Derived]]) keys its
+    * registry by the full dir string but serves files from this path —
+    * a 31-bit collision between two input dirs would silently point two
+    * registry entries at ONE parquet directory (the second build
+    * delete-and-overwrites the first, both keys then serve the wrong
+    * relation with no error). 16 hex chars of MD5 = 64 bits, collision
+    * odds negligible at any realistic dir count; MD5 here is a path
+    * discriminator, not a security boundary. */
+  def scratch(prefix: String, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val hex = md.take(8).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${hex}_$runToken"
+  }
 
   def resolve(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)

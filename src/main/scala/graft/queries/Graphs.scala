@@ -73,9 +73,20 @@ object Graphs {
     * M-row relation never crosses a join again. Hub rows are O(deg)
     * state, the same bound the [[partSimilarity]] lists carry; the
     * 100 TB guard for pathological hubs is [[partSimilarityCapped]]'s
-    * signature path. */
+    * signature path.
+    *
+    * The relation is a pure function of `dir` and the SHARED input of
+    * six graph queries, so it lives in the derived-relation store
+    * ([[graft.engine.Derived]]) — built once per JVM, read back by every
+    * consumer (the production shape: an adjacency table is maintained,
+    * not re-derived per query). Each consumer still localCheckpoints its
+    * read: the per-round joins of the iterative algorithms re-read the
+    * node-scale relation many times, and block-manager blocks beat
+    * re-decoding parquet per round. */
   private[graft] def coPurchaseAdjacency(spark: SparkSession, dir: String): DataFrame =
-    coPurchaseAdjacencyPlanProbe(spark, dir).localCheckpoint(true)
+    graft.engine.Derived.cached(spark, "copurchase_adj", dir) {
+      coPurchaseAdjacencyPlanProbe(spark, dir)
+    }.localCheckpoint(true)
 
   /** The adjacency build BEFORE the checkpoint — the plan-quality spec
     * pins the one-exchange, join-free shape here (the checkpoint hides

@@ -898,6 +898,15 @@ object Similarity {
     val cbFlat = spark.read.parquet(s"$indexPath/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3))).toSeq
     val cbDf = pqCodebookDf(spark, cbFlat)
+    // the whole batch_id=N subtree clears BEFORE the write, so the
+    // replace is truly BATCH-keyed, not (batch, cid)-keyed: a replayed
+    // ingest that runs after an intervening refit ([[refitDriftedLists]]
+    // may move the coarse centroids) can assign a row to a DIFFERENT cid
+    // than the crashed attempt did, and a per-(batch,cid) replace would
+    // leave the old attempt's stale cid partition serving that row twice.
+    // Crash between the delete and the publish leaves batch N absent —
+    // healed by the stream's own replay of the batch.
+    graft.engine.Fs.deleteDir(spark, s"$indexPath/delta/batch_id=$batchId")
     graft.engine.Layers.replacePartitionsPath(
       pqEncodeCoded(batchE, coarse, fits, m, subDim, cbDf)
         .withColumn("batch_id", lit(batchId)),
@@ -1067,10 +1076,27 @@ object Similarity {
     * and the re-run's member collection dedups on `neighbor_id`, so it
     * re-derives the identical refit and the final rewrite + stale-
     * partition deletes heal exactly. The trigger survives every window
-    * before the final stats write because `stats_delta` deletes only
-    * after the list/centroid rewrites. Returns |D| (0 = no drift). */
+    * before the final stats MERGE (the commit point): `stats_delta`
+    * deletes strictly AFTER the merge, so a crash between them leaves a
+    * live trigger that re-fires and re-runs the idempotent refit — the
+    * fail-safe direction ([[retrainIfDrifted]]'s ordering) — never a
+    * silently stale fit baseline.
+    *
+    * `belowBatchId` bounds the delta fold to `batch_id < belowBatchId`,
+    * exactly as for [[compactIvfPqDelta]] — REQUIRED when a crash-
+    * replayable caller ingests and refits inside one epoch
+    * ([[ivfPqSink]] passes its epoch id): an unbounded refit would fold
+    * the epoch's OWN just-ingested `batch_id=N` delta into the base
+    * lists, and the replayed epoch's re-ingest would re-write that
+    * delta partition — those vectors then live in BOTH base and delta,
+    * served twice forever (the union in [[knnIvfPqFromIndexOn]] does
+    * not dedup, by design — a healthy store never duplicates). Bounded,
+    * the current epoch's delta stays batch-keyed and the re-ingest
+    * replaces it idempotently; its rows fold at the next compaction or
+    * a later epoch's refit. Returns |D| (0 = no drift). */
   def refitDriftedLists(corpusE: DataFrame, indexPath: String,
-      ivfIters: Int = 3, driftTol: Double = 0.05): Int = {
+      ivfIters: Int = 3, driftTol: Double = 0.05,
+      belowBatchId: Long = Long.MaxValue): Int = {
     val spark = corpusE.sparkSession
     import spark.implicits._
     val drifted = driftedCids(spark, indexPath, driftTol)
@@ -1080,7 +1106,8 @@ object Similarity {
     val base = spark.read.parquet(listsPath)
     val withDelta =
       if (graft.engine.Fs.exists(spark, deltaPath))
-        base.unionByName(spark.read.parquet(deltaPath).drop("batch_id")
+        base.unionByName(spark.read.parquet(deltaPath)
+          .filter(col("batch_id") < belowBatchId).drop("batch_id")
           .select(base.columns.map(col).toIndexedSeq: _*))
       else base
     // drifted members, deduped (a prior crashed refit can leave a member
@@ -1120,24 +1147,31 @@ object Similarity {
         .toDF("cid", "centroid", "cnorm2"))
       .localCheckpoint(true)
     mergedCents.coalesce(1).write.mode("overwrite").parquet(centPath)
-    // (5) fold-source deletes, then the stats merge as the commit point
-    graft.engine.Fs.listDirs(spark, deltaPath).foreach { b =>
-      graft.engine.Fs.listDirs(spark, b.toString)
-        .filter(c => drifted.map(d => s"cid=$d").contains(c.getName))
-        .foreach(c => graft.engine.Fs.deleteDir(spark, c.toString))
-      if (graft.engine.Fs.listDirs(spark, b.toString).isEmpty)
-        graft.engine.Fs.deleteDir(spark, b.toString)
-    }
+    // (5) fold-source deletes (ONLY the folded batches — the epoch
+    // bound keeps the current epoch's delta batch-keyed), then the
+    // stats MERGE as the commit point, then the trigger clear LAST: a
+    // crash anywhere before the clear leaves a live trigger that
+    // re-fires the idempotent refit — never a stale baseline
+    graft.engine.Fs.listDirs(spark, deltaPath)
+      .filter(b => b.getName.startsWith("batch_id=") &&
+        b.getName.stripPrefix("batch_id=").toLong < belowBatchId)
+      .foreach { b =>
+        graft.engine.Fs.listDirs(spark, b.toString)
+          .filter(c => drifted.map(d => s"cid=$d").contains(c.getName))
+          .foreach(c => graft.engine.Fs.deleteDir(spark, c.toString))
+        if (graft.engine.Fs.listDirs(spark, b.toString).isEmpty)
+          graft.engine.Fs.deleteDir(spark, b.toString)
+      }
     if (graft.engine.Fs.exists(spark, deltaPath) &&
         graft.engine.Fs.listDirs(spark, deltaPath).isEmpty)
       graft.engine.Fs.deleteDir(spark, deltaPath)
-    graft.engine.Fs.deleteDir(spark, s"$indexPath/stats_delta")
     val statsPath = s"$indexPath/stats"
     val mergedStats = spark.read.parquet(statsPath)
       .filter(!col("cid").isin(drifted: _*))
       .unionByName(dStats)
       .localCheckpoint(true)
     mergedStats.coalesce(1).write.mode("overwrite").parquet(statsPath)
+    graft.engine.Fs.deleteDir(spark, s"$indexPath/stats_delta")
     drifted.size
   }
 
@@ -1159,11 +1193,17 @@ object Similarity {
     * drifted lists' members (never a corpus fit). The thunk supplies
     * the CURRENT full corpus (base + every ingested batch) because the
     * index stores only codes — the caller owns the vectors, exactly as
-    * for [[retrainIfDrifted]]. Replay note: a crash-replayed epoch may
-    * find the refit already applied and its trigger cleared — harmless;
-    * the re-ingest stays batch-keyed exactly-once, and the next genuine
-    * drift re-triggers (refit is the same idempotent single-writer
-    * maintenance step it is standalone). */
+    * for [[retrainIfDrifted]]. Replay note: the refit is EPOCH-BOUNDED
+    * exactly like the compaction (`belowBatchId = batchId`) — it never
+    * folds the epoch's own just-ingested delta, so a crash-replayed
+    * epoch's re-ingest replaces that delta batch-keyed and exactly-once
+    * (an unbounded fold would leave the batch's vectors in BOTH base
+    * and delta on replay, served twice forever — pinned by
+    * IvfMaintainSpec's epoch-bounded refit test). A replayed epoch may
+    * find the refit applied and its trigger cleared, or re-trigger
+    * against the refreshed stats — either way the refit is the same
+    * idempotent single-writer maintenance step it is standalone, and
+    * every vector stays exactly-once across base ∪ delta. */
   def ivfPqSink(batches: DataFrame, indexPath: String, checkpoint: String,
       m: Int = 8, compactEvery: Int = 0, availableNow: Boolean = true,
       refitCorpus: Option[() => DataFrame] = None,
@@ -1183,7 +1223,7 @@ object Similarity {
           compactIvfPqDelta(batch.sparkSession, indexPath, batchId)
         ingestIvfPqBatch(batch, indexPath, batchId, m)
         refitCorpus.foreach(c => refitDriftedLists(c(), indexPath,
-          driftTol = driftTol))
+          driftTol = driftTol, belowBatchId = batchId))
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -886,8 +886,23 @@ object TextAnalysis {
     * carries the bigram STRING per row, and serializing millions of
     * string rows through the block manager costs more than re-running
     * the whole-stage-codegen'd tokenize + explode per consumer. Rule:
-    * checkpoint narrow numeric relations, recompute string-keyed ones. */
-  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    * checkpoint narrow numeric relations, recompute string-keyed ones.
+    *
+    * The per-doc OUTPUT, by contrast, IS a narrow numeric relation
+    * (doc_id, n_bigrams, bits_per_token, ppl — one row per document)
+    * and a pure function of `dir` consumed by THREE queries
+    * (`lm_perplexity`, [[perplexityGate]], [[doremiWeights]]), so it
+    * lives in the derived-relation store: the bigram-LM chain runs once
+    * per JVM and every consumer reads the scored table back — the
+    * production shape (perplexity scores are scored-once columns, not
+    * per-query recomputes). Doubles round-trip parquet bit-exactly. */
+  private[graft] def lmPerDocScores(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Derived.cached(spark, "lm_perdoc", dir) {
+      lmPerDocScoresBuild(spark, dir)
+    }
+
+  /** The scoring chain BEFORE the store (plan-spec target). */
+  private[graft] def lmPerDocScoresBuild(spark: SparkSession, dir: String): DataFrame = {
     val docBg = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -915,8 +930,10 @@ object TextAnalysis {
         Fns.money(-Fns.sumMoney(col("w")) / sum(col("k")).cast("double"))
           .as("bits_per_token"))
       .withColumn("ppl", Fns.money(pow(lit(2.0), col("bits_per_token"))))
-      .orderBy(col("doc_id"))
   }
+
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerDocScores(spark, dir).orderBy(col("doc_id"))
 
   /** CCNet's head/middle/tail perplexity gate (Wenzek et al. 2019 §4.3,
     * the step AFTER [[lmPerplexity]] scoring): within each language,
@@ -941,7 +958,7 @@ object TextAnalysis {
   def perplexityGate(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("bits_per_token"), col("doc_id"))
-    lmPerplexity(spark, dir)
+    lmPerDocScores(spark, dir)
       .select(col("doc_id"), col("bits_per_token"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("tercile", ntile(3).over(w))
@@ -1009,9 +1026,10 @@ object TextAnalysis {
   def doremiWeights(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint: the scored relation feeds both the reference
     // scalar and the per-source rollup — without it each branch re-runs
-    // the whole bigram-LM chain (checkpoint blocks are freed by the
+    // the scoring read + source join (the bigram-LM chain itself is
+    // served by the derived store; checkpoint blocks are freed by the
     // context cleaner once the result is dereferenced)
-    val scored = lmPerplexity(spark, dir)
+    val scored = lmPerDocScores(spark, dir)
       .select(col("doc_id"), col("bits_per_token"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
       .localCheckpoint(true)
@@ -1074,20 +1092,23 @@ object TextAnalysis {
     * broadcast (the [[qualityGatePerLang]] pattern), which keeps
     * selection shuffle-free. */
   def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("toks"))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """concat(toks, CASE WHEN size(toks) < 2 THEN array()
-           ELSE transform(sequence(1, size(toks) - 1), i ->
-             concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END)"""))
-        .as("f"))
-      .withColumn("b", Fns.h64(col("f")) % buckets)
-      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
-      // eager checkpoint: the model chain and the scoring join both read
-      // this relation — without it the tokenize + bigram explode (the
-      // only corpus-weight work in the query) runs once per side; the
-      // lazy return plan has no safe unpersist point for a bare persist
-      .localCheckpoint(true)
+    // derived-relation store, not a per-query checkpoint: the hashed
+    // feature counts are a pure function of (dir, buckets) — the
+    // tokenize + bigram explode (the only corpus-weight work in the
+    // query) runs once per JVM, and both the model chain and the
+    // scoring join read the narrow all-numeric counts back (the 100 TB
+    // deployment persists exactly this relation)
+    val perDoc = graft.engine.Derived.cached(spark, s"dsir_perdoc_$buckets", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("toks"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """concat(toks, CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(1, size(toks) - 1), i ->
+               concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END)"""))
+          .as("f"))
+        .withColumn("b", Fns.h64(col("f")) % buckets)
+        .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    }.localCheckpoint(true)
     val corpus = perDoc.groupBy(col("b")).agg(
       sum(col("c")).as("cq"),
       sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))

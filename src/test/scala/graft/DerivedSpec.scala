@@ -36,4 +36,41 @@ class DerivedSpec extends SparkSpec {
     assert(builds == 4)
     assert(a3.collect().forall(_.getString(2) == "rebuilt"))
   }
+
+  test("a derivation may itself consume another derivation (no recursive-update)") {
+    // builds run under the slot's own lock, OUTSIDE the registry map's
+    // bin lock — a nested Derived.cached call inside a build thunk must
+    // not throw ConcurrentHashMap's "Recursive update" ISE
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("derived_nested").toString
+    val outer = graft.engine.Derived.cached(spark, "spec_outer", dir) {
+      val inner = graft.engine.Derived.cached(spark, "spec_inner", dir) {
+        Seq((1L, 10L), (2L, 20L)).toDF("id", "x")
+      }
+      inner.withColumn("x", col("x") * 2)
+    }
+    assert(outer.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 20L), (2L, 40L)))
+    // the inner entry registered independently and serves on its own
+    val inner2 = graft.engine.Derived.cached(spark, "spec_inner", dir) {
+      sys.error("inner must already be cached"): org.apache.spark.sql.DataFrame
+    }
+    assert(inner2.count() == 2)
+  }
+
+  test("a failed build is not cached — the next call retries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("derived_fail").toString
+    var attempts = 0
+    def flaky() = {
+      attempts += 1
+      if (attempts == 1) sys.error("transient build failure")
+      Seq((1L, 1L)).toDF("id", "x")
+    }
+    intercept[RuntimeException] {
+      graft.engine.Derived.cached(spark, "spec_flaky", dir)(flaky())
+    }
+    val ok = graft.engine.Derived.cached(spark, "spec_flaky", dir)(flaky())
+    assert(ok.count() == 1 && attempts == 2)
+  }
 }

@@ -159,6 +159,54 @@ class IvfMaintainSpec extends SparkSpec {
       "the replayed epoch's own delta must stay batch-keyed, not folded")
   }
 
+  test("epoch-bounded refit keeps a crash-replayed ingest+refit epoch exactly-once") {
+    // the ivfPqSink foreachBatch body with refitCorpus: ingest(N) then
+    // refit bounded below N. Unbounded, the refit folds the epoch's OWN
+    // batch_id=N delta into base; the crash-replay's re-ingest re-writes
+    // that delta and the vectors are served from BOTH stores forever
+    // (the serve union does not dedup). Bounded, the batch stays
+    // batch-keyed and the replay replaces it idempotently.
+    val idx = Files.createTempDirectory("ivf_refit_epoch").toString + "/idx"
+    val e = Similarity.preparedCk(spark, sf)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val drifted = e.filter(col("vec_id") % 4 === 3)
+      .withColumn("v", expr("transform(v, x -> -x)"))
+      .localCheckpoint(true)
+    val corpus = base.unionByName(drifted).localCheckpoint(true)
+    val (coarse, _) = Similarity.buildIvfPqIndexOn(base, idx, 10, 3, m, codes, 2)
+    Similarity.cidStats(Similarity.assignScored(base, coarse), "n_fit", "fit_mean_cos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    def epoch0(): Int = {
+      Similarity.ingestIvfPqBatch(drifted, idx, 0L, m)
+      Similarity.refitDriftedLists(corpus, idx, belowBatchId = 0L)
+    }
+    // the first run's refit must have fired (else the pin is vacuous)
+    // and must NOT have folded the epoch's own delta into base
+    assert(epoch0() > 0, "fixture batch did not drift — the pin would be vacuous")
+    assert(new java.io.File(s"$idx/delta/batch_id=0").exists,
+      "the epoch's own delta was folded by its refit")
+    def scanIds() = spark.read.parquet(s"$idx/lists").select("neighbor_id")
+      .unionByName(spark.read.parquet(s"$idx/delta").select("neighbor_id"))
+      .collect().map(_.getLong(0))
+    val idsOnce = scanIds()
+    assert(idsOnce.length == idsOnce.distinct.length,
+      "a vector is duplicated across base and delta after one epoch")
+    epoch0() // the crash replay of the WHOLE epoch
+    val ids = scanIds()
+    assert(ids.length == ids.distinct.length,
+      "a vector is served twice after the epoch replay")
+    assert(ids.toSet == idsOnce.toSet, "the replay lost or leaked vectors")
+    assert(new java.io.File(s"$idx/delta/batch_id=0").exists,
+      "the replayed epoch's own delta must stay batch-keyed, not folded")
+    // a later epoch's compaction (bounded ABOVE batch 0) folds batch 0
+    // into base; the full corpus stays exactly-once through the fold
+    Similarity.compactIvfPqDelta(spark, idx, belowBatchId = 1L)
+    val idsAfter = spark.read.parquet(s"$idx/lists").select("neighbor_id")
+      .collect().map(_.getLong(0))
+    assert(idsAfter.length == idsAfter.distinct.length)
+    assert(idsAfter.toSet == idsOnce.toSet, "the fold lost or leaked vectors")
+  }
+
   test("retrainIfDrifted: fires on a drifted batch (and refits), stays quiet under a huge tolerance") {
     val idx = Files.createTempDirectory("ivf_rt").toString + "/idx"
     val e = Similarity.preparedCk(spark, sf)
@@ -302,9 +350,11 @@ class IvfMaintainSpec extends SparkSpec {
     }
     val idxStream = s"$root/idx_stream"; val idxDirect = s"$root/idx_direct"
     freshIndex(idxStream); freshIndex(idxDirect)
-    // direct twin: ingest the drifted batch, then the partial refit
+    // direct twin: ingest the drifted batch, then the partial refit —
+    // epoch-bounded below the batch id, exactly the sink's foreachBatch
+    // discipline (the batch's own delta stays batch-keyed on both sides)
     Similarity.ingestIvfPqBatch(drifted, idxDirect, 0L, m)
-    assert(Similarity.refitDriftedLists(corpus, idxDirect) > 0,
+    assert(Similarity.refitDriftedLists(corpus, idxDirect, belowBatchId = 0L) > 0,
       "fixture batch did not drift — the twin comparison would be vacuous")
     // streamed: the same batch through the sink with the refit hook
     drifted.coalesce(1).write.parquet(s"$root/incoming/f0")

@@ -352,11 +352,19 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("lm_perplexity: model/prefix joins stay equi-joins; only the 1-row vocab scalar nests") {
-    val plan = formatted(graft.text.TextAnalysis.lmPerplexity(spark, sf))
+    // the BUILD chain (runs once per JVM into the derived store): the
+    // model/prefix/scoring joins stay equi-joins and the corpus scan is
+    // pruned to (doc_id, text)
+    val plan = formatted(graft.text.TextAnalysis.lmPerDocScoresBuild(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
     // doc-bigram ⋈ model ⋈ prefix are hash joins on g / w1
     assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).nonEmpty, plan)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    // the QUERY surface serves from the derived store: one narrow
+    // numeric read, no bigram chain, no corpus scan
+    val served = formatted(graft.text.TextAnalysis.lmPerplexity(spark, sf))
+    assert(!served.contains("text:string"), served)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(served).size == 1, served)
   }
 
   test("knn_pq: the scored scan is the CODED corpus — no full-vector column past encoding") {
