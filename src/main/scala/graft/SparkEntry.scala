@@ -87,6 +87,7 @@ object SparkEntry {
     "knn_ivfpq_served"   -> ((s, d) => Similarity.knnIvfPqServed(s, d)),
     "ann_index_maintain" -> ((s, d) => Similarity.annIndexMaintain(s, d)),
     "ann_compacted_serve" -> ((s, d) => Similarity.annCompactedServe(s, d)),
+    "ann_streamed_refit" -> ((s, d) => Similarity.annStreamedRefit(s, d)),
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     "lang_id"            -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"       -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -390,6 +391,14 @@ object SparkEntry {
       // this one inline replay covers the whole compaction path
       ("ann_compacted_serve" ->
         (basePrefixSql + graft.sim.Similarity.ivfpqServeSql(fitSrc = Some("pb")))) +
+      // generated SQL: the streamed drift loop — base-slice fits, both
+      // epochs' ingests (epoch 1 negated), the drift trigger, the
+      // dynamic-k refit Lloyd over the drifted lists' members, member
+      // reassignment, and the serve against the merged centroid store
+      // (Similarity.streamedRefitOracleSql) — one inline replay of the
+      // ivfPqSink+refitCorpus composite
+      ("ann_streamed_refit" ->
+        (basePrefixSql + graft.sim.Similarity.streamedRefitOracleSql())) +
       // generated SQL: the cluster-aware split shares dedup_clusters'
       // recursive-CC oracle verbatim — only the final SELECT grows the
       // h64(cluster_id)-mod-10 split column
