@@ -861,13 +861,19 @@ object Dedup {
     * family. Production shape: the shingle index is a materialized
     * table maintained beside the corpus, not a per-query recompute. */
   private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    graft.engine.Derived.cached(spark, "shingles3", dir) {
-      withShingles(Tables.documents(spark, dir))
-        .withColumn("shh", expr(
-          """array_sort(array_distinct(transform(shingles, s ->
-             CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))))"""))
-        .select(col("doc_id"), col("shh"), expr("size(shh)").as("n_sh"))
-    }
+    graft.engine.Derived.cached(spark, "shingles3", dir)(shingleIndexBuild(spark, dir))
+
+  /** Footer-metadata row bound of the shingle index (no Spark job) —
+    * an upper bound on any slice of it, for broadcast admission guards. */
+  private def shingleIndexRowBound(spark: SparkSession, dir: String): Long =
+    graft.engine.Derived.rowCount(spark, "shingles3", dir)(shingleIndexBuild(spark, dir))
+
+  private def shingleIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    withShingles(Tables.documents(spark, dir))
+      .withColumn("shh", expr(
+        """array_sort(array_distinct(transform(shingles, s ->
+           CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))))"""))
+      .select(col("doc_id"), col("shh"), expr("size(shh)").as("n_sh"))
 
   /** Distinct word 3-gram shingles per doc. */
   private def withShingles(docs: DataFrame): DataFrame =
@@ -995,20 +1001,27 @@ object Dedup {
     val docs = shingleIndex(spark, dir).filter(col("n_sh") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     containmentIncrementalOn(docs, col("doc_id") % 10 === 0, threshold,
-      maxBroadcastDocs)
+      maxBroadcastDocs, docsRowBound = Some(shingleIndexRowBound(spark, dir)))
       .orderBy(col("doc_id"), col("container_id"))
   }
 
   /** [[containmentIncremental]] over a caller-held `(doc_id, shh, n_sh)`
     * shingle relation with an explicit batch predicate — the ScaleProbe
-    * entry (fixed batch against a growing corpus). */
+    * entry (fixed batch against a growing corpus). `docsRowBound` is an
+    * optional caller-known UPPER BOUND on |docs| (manifest / parquet
+    * footer stats): when it already fits the broadcast cap, the guard
+    * needs no `count()` action at all — a batch slice can only be
+    * smaller. Only when the bound is absent or exceeds the cap does the
+    * exact batch count run (the loud-degradation path must be exact). */
   private[graft] def containmentIncrementalOn(docs: DataFrame,
-      isBatch: Column, threshold: Double, maxBroadcastDocs: Long): DataFrame = {
+      isBatch: Column, threshold: Double, maxBroadcastDocs: Long,
+      docsRowBound: Option[Long] = None): DataFrame = {
     val batchD = docs.filter(isBatch)
     val corpusD = docs.filter(!isBatch)
     val pre = batchD.select(col("doc_id"), col("n_sh"), explode(expr(
       s"slice(shh, 1, size(shh) - CAST(floor($threshold * size(shh)) AS INT) + 1)")).as("sh"))
-    val broadcastOk = batchD.count() <= maxBroadcastDocs
+    val broadcastOk = docsRowBound.exists(_ <= maxBroadcastDocs) ||
+      batchD.count() <= maxBroadcastDocs
     if (!broadcastOk)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"containmentIncremental: batch exceeds maxBroadcastDocs=" +

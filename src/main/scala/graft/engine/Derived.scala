@@ -47,16 +47,35 @@ object Derived {
     * probed); a caller that rewrites its input in-process must use a
     * fresh path, exactly as it must for Spark's own file-index caches. */
   def cached(spark: SparkSession, name: String, dir: String)
-      (build: => DataFrame): DataFrame = {
-    val slot = built.computeIfAbsent(s"$name|$dir", _ => new Slot(() => {
+      (build: => DataFrame): DataFrame =
+    spark.read.parquet(slotFor(spark, name, dir)(build).path)
+
+  private def slotFor(spark: SparkSession, name: String, dir: String)
+      (build: => DataFrame): Slot =
+    built.computeIfAbsent(s"$name|$dir", _ => new Slot(() => {
       val p = Fs.scratch(s"graft_derived_$name", dir)
       Fs.deleteDir(spark, p)
       build.write.mode("overwrite").parquet(p)
       p
     }))
-    spark.read.parquet(slot.path)
+
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Row count of the derivation from parquet FOOTER metadata
+    * ([[Fs.parquetRowCount]] — driver-side, NO Spark job), memoized per
+    * key: the manifest-stats path for guards that need only a row bound
+    * (e.g. broadcast-vs-shuffle admission decisions), instead of a
+    * `count()` action over the relation. Builds the derivation first if
+    * this is its first touch. */
+  def rowCount(spark: SparkSession, name: String, dir: String)
+      (build: => DataFrame): Long = {
+    val slot = slotFor(spark, name, dir)(build)
+    counts.computeIfAbsent(s"$name|$dir",
+      _ => java.lang.Long.valueOf(Fs.parquetRowCount(spark, slot.path)))
+      .longValue()
   }
 
   /** Test hook: drop the registry (files stay; keys are re-derivable). */
-  private[graft] def clear(): Unit = built.clear()
+  private[graft] def clear(): Unit = { built.clear(); counts.clear() }
 }

@@ -68,6 +68,27 @@ object Fs {
     fs.exists(p) && fs.delete(p, true)
   }
 
+  /** Row count of a parquet directory from FOOTER METADATA — resolved
+    * driver-side (no Spark job, no scan): the parquet footer records
+    * per-row-group counts, which is exactly the statistic a manifest /
+    * table format serves for free. For guards that only need a row
+    * BOUND (broadcast-vs-shuffle decisions), this replaces a `count()`
+    * action. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val (fs, p) = resolve(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(p).toIndexedSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum
+  }
+
   /** Atomic directory move (HDFS/local rename; S3A's best-effort
     * equivalent). Creates the destination's parent first — Hadoop rename
     * fails, rather than creates, missing parents. */
