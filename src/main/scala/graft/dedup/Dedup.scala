@@ -672,21 +672,33 @@ object Dedup {
     * touch `members`; doc-level consumers expand via ONE explode — no
     * doc-scale join, no separate fingerprint checkpoint. */
   private def fpClusters(spark: SparkSession, dir: String,
-      maxHamming: Int): DataFrame = {
-    // eager checkpoint: groups feed the pair pipeline (via the fixpoint's
-    // edge materialization) AND the labeled output below
-    val groups = simhashGroups(spark, dir).localCheckpoint(true)
-    val labels = minLabelFixpoint(fpPairs(groups, maxHamming)
-      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
-    // eager checkpoint: feeds both the size aggregate and the doc-level
-    // expansion explode of the (lazy) consumer plans
-    groups
-      .join(labels.withColumnRenamed("doc_id", "__m"),
-        col("rep") === col("__m"), "left")
-      .select(col("simhash"), col("rep"), col("m"), col("members"),
-        coalesce(col("label"), col("rep")).as("cluster_id"))
-      .localCheckpoint(true)
-  }
+      maxHamming: Int): DataFrame =
+    // derived-relation store, not a per-query checkpoint: the labeled
+    // group relation is a pure function of (dir, maxHamming) consumed by
+    // FIVE query surfaces (dedup_clusters, dedup_canonical,
+    // cluster_size_hist, source_dup_ratio, cluster_split) — the CC
+    // fixpoint runs once per JVM and everyone reads the labels back (a
+    // production dedup tier maintains cluster labels as a table; the
+    // streaming ingest path in ClusterMaintain IS that maintenance).
+    // Longs/arrays round-trip parquet exactly; the fixpoint is
+    // order-independent (min-label), hence deterministic. The read
+    // re-checkpoints per query: consumers fan out into a size aggregate
+    // plus a doc-level explode, and block-manager blocks beat
+    // re-decoding parquet per consumer. NESTED derivation by design
+    // (simhashGroups is itself Derived-cached — the Slot build runs
+    // outside the registry's bin lock).
+    graft.engine.Derived.cached(spark, s"fpclusters_h$maxHamming", dir) {
+      // eager checkpoint: groups feed the pair pipeline (via the
+      // fixpoint's edge materialization) AND the labeled output below
+      val groups = simhashGroups(spark, dir).localCheckpoint(true)
+      val labels = minLabelFixpoint(fpPairs(groups, maxHamming)
+        .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")))
+      groups
+        .join(labels.withColumnRenamed("doc_id", "__m"),
+          col("rep") === col("__m"), "left")
+        .select(col("simhash"), col("rep"), col("m"), col("members"),
+          coalesce(col("label"), col("rep")).as("cluster_id"))
+    }.localCheckpoint(true)
 
   /** Hash-to-min label-propagation fixpoint with pointer jumping over an
     * undirected pair list `(doc_a, doc_b)` — returns `(doc_id, label)`

@@ -59,6 +59,23 @@ object Derived {
       p
     }))
 
+  /** A deterministic STORE build memoized per (name, dir) — [[cached]]
+    * for derivations that materialize a DIRECTORY (e.g. a manifest
+    * table with committed version history) rather than one parquet
+    * relation. `populate` runs once per JVM into a fresh scratch path;
+    * every later caller gets the same path back. Contract: the store's
+    * content is a pure function of (name, dir) and callers treat it as
+    * READ-ONLY after the build — queries whose measured semantics ARE
+    * writes (reload/retry proofs) must keep building their own stores. */
+  def store(spark: SparkSession, name: String, dir: String)
+      (populate: String => Unit): String =
+    built.computeIfAbsent(s"store:$name|$dir", _ => new Slot(() => {
+      val p = Fs.scratch(s"graft_derived_$name", dir)
+      Fs.deleteDir(spark, p)
+      populate(p)
+      p
+    })).path
+
   private val counts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 

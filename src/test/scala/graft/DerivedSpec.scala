@@ -94,6 +94,27 @@ class DerivedSpec extends SparkSpec {
       s"rowCount scheduled ${execs.get()} Spark executions — must be footer-only")
   }
 
+  test("store: a directory build runs once per (name, dir) and the path is stable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("derived_store").toString
+    var builds = 0
+    def populate(p: String): Unit = {
+      builds += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .write.mode("overwrite").parquet(s"$p/v0")
+      Seq((3L, "c")).toDF("id", "s")
+        .write.mode("overwrite").parquet(s"$p/v1")
+    }
+    val p1 = graft.engine.Derived.store(spark, "spec_store", dir)(populate(_))
+    val p2 = graft.engine.Derived.store(spark, "spec_store", dir)(populate(_))
+    assert(builds == 1 && p1 == p2, s"store rebuilt or moved: builds=$builds")
+    assert(spark.read.parquet(s"$p1/v0").count() == 2)
+    assert(spark.read.parquet(s"$p1/v1").count() == 1)
+    // a different name over the same dir is its own store
+    val p3 = graft.engine.Derived.store(spark, "spec_store2", dir)(populate(_))
+    assert(builds == 2 && p3 != p1)
+  }
+
   test("a failed build is not cached — the next call retries") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("derived_fail").toString
