@@ -89,6 +89,19 @@ object Fs {
       }.sum
   }
 
+  /** Recursive directory copy — snapshot RESTORE for memoized store
+    * templates ([[Derived.store]]) that callers then mutate: cloning a
+    * built index/table directory is file-IO-scale (the compressed store
+    * bytes), where rebuilding it is compute-scale. */
+  def copyDir(spark: SparkSession, from: String, to: String): Unit = {
+    val (fs, src) = resolve(spark, from)
+    val dst = new Path(to)
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+      false, true, spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+
   /** Atomic directory move (HDFS/local rename; S3A's best-effort
     * equivalent). Creates the destination's parent first — Hadoop rename
     * fails, rather than creates, missing parents. */

@@ -95,14 +95,27 @@ object Bpe {
     (merges.toSeq, words)
   }
 
+  /** [[trainCore]] through the derived-relation store: the trainer is a
+    * pure deterministic function of (dir, k) consumed by BOTH query
+    * surfaces (`bpe_merges` reads the merge sequence, `bpe_segment` the
+    * final symbolization) — a production pipeline trains the tokenizer
+    * once and persists the vocabulary; the k driver rounds run once per
+    * JVM and both relations read back. Strings/longs round-trip parquet
+    * exactly. */
+  private def trainedStore(spark: SparkSession, dir: String, k: Int): String =
+    graft.engine.Derived.store(spark, s"bpe_k$k", dir) { out =>
+      import spark.implicits._
+      val (merges, words) = trainCore(spark, dir, k)
+      merges.toDF("merge_rank", "left", "right", "pair_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/merges")
+      words.write.mode("overwrite").parquet(s"$out/words")
+    }
+
   /** Learn `k` BPE merges; returns `(merge_rank, left, right, pair_count)`
     * in learned order. */
-  def trainMerges(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import spark.implicits._
-    trainCore(spark, dir, k)._1
-      .toDF("merge_rank", "left", "right", "pair_count")
+  def trainMerges(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    spark.read.parquet(s"${trainedStore(spark, dir, k)}/merges")
       .orderBy(col("merge_rank"))
-  }
 
   /** DuckDB oracle for [[trainMerges]]: the training loop UNROLLED as a
     * generated CTE chain, `k` rounds of (pair-count → `LIMIT 1` argmax →
@@ -181,7 +194,7 @@ object Bpe {
     * unique word with its final subword segmentation (for inspection and
     * the encode step of a downstream tokenizer). */
   def segmentedVocab(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    trainCore(spark, dir, k)._2
+    spark.read.parquet(s"${trainedStore(spark, dir, k)}/words")
       .select(col("word"), col("cnt"),
         array_join(col("syms"), " ").as("segmentation"))
       .orderBy(col("cnt").desc, col("word"))
