@@ -70,7 +70,11 @@ object Derived {
   def store(spark: SparkSession, name: String, dir: String)
       (populate: String => Unit): String =
     built.computeIfAbsent(s"store:$name|$dir", _ => new Slot(() => {
-      val p = Fs.scratch(s"graft_derived_$name", dir)
+      // scratch prefix is namespaced apart from cached's — a store and a
+      // cached relation sharing a NAME must not share a PATH (the second
+      // build would delete-and-overwrite the first's files while both
+      // registry entries keep pointing there)
+      val p = Fs.scratch(s"graft_derived_store_$name", dir)
       Fs.deleteDir(spark, p)
       populate(p)
       p

@@ -78,15 +78,28 @@ object Fs {
     import scala.jdk.CollectionConverters._
     val (fs, p) = resolve(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
-    fs.listStatus(p).toIndexedSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(f, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-        finally r.close()
-      }.sum
+    // RECURSIVE: partitioned layouts keep their files under key=value
+    // subdirectories; a top-level-only listing would return 0, which is
+    // the UNSAFE direction for a broadcast-admission guard (a silent
+    // 0 "upper bound" admits anything)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !f.getPath.toString.contains("/_"))
+        files += f
+    }
+    require(files.nonEmpty,
+      s"parquetRowCount: no parquet footers under $path — refusing to " +
+        "report 0 for a layout this reader cannot see")
+    files.toIndexedSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.sum
   }
 
   /** Recursive directory copy — snapshot RESTORE for memoized store

@@ -643,15 +643,27 @@ object Extras {
     * affected month from committed v0. */
   private def ordersTwoVersionStore(spark: SparkSession, dir: String): String =
     graft.engine.Derived.store(spark, "orders_2v", dir) { out =>
-      val src = Tables.orders(spark, dir)
-        .withColumn("ingestion_month",
-          date_format(col("o_orderdate"), "yyyyMM").cast("int"))
-      graft.engine.Manifest.replacePartitions(src, out, Seq("ingestion_month"))
+      commitOrdersV0(spark, dir, out)
       val rewrite = graft.engine.Manifest
         .readPoint(spark, out, "ingestion_month", latestMonth(spark, out), Some(0L))
         .withColumn("o_totalprice", col("o_totalprice") / 2)
       graft.engine.Manifest.replacePartitions(rewrite, out, Seq("ingestion_month"))
+      ()
     }
+
+  /** The shared v0 commit choreography of the two manifest fixture
+    * stores: orders with the yyyyMM ingestion month committed by month.
+    * ONE definition so the CDF/refresh and snapshot-diff oracles can
+    * assume identical v0 semantics; returns the month-stamped source
+    * for the caller's restate leg. */
+  private def commitOrdersV0(spark: SparkSession, dir: String,
+      out: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
+      .withColumn("ingestion_month",
+        date_format(col("o_orderdate"), "yyyyMM").cast("int"))
+    graft.engine.Manifest.replacePartitions(src, out, Seq("ingestion_month"))
+    src
+  }
 
   def manifestCdf(spark: SparkSession, dir: String): DataFrame = {
     val out = ordersTwoVersionStore(spark, dir)
@@ -678,10 +690,7 @@ object Extras {
     // JVM (the ordersTwoVersionStore rationale); this query measures
     // snapshotDiff, not the fixture commit
     val out = graft.engine.Derived.store(spark, "orders_2v_mixed", dir) { o =>
-      val src = Tables.orders(spark, dir)
-        .withColumn("ingestion_month",
-          date_format(col("o_orderdate"), "yyyyMM").cast("int"))
-      graft.engine.Manifest.replacePartitions(src, o, Seq("ingestion_month"))
+      val src = commitOrdersV0(spark, dir, o)
       // restate the BUSIEST month (ties → latest) — unlike manifest_cdf's
       // latest-month rewrite, the target must carry all three key classes,
       // and the tail month can be a single order (at sf0.001 it is ONE

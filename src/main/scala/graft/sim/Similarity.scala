@@ -1373,7 +1373,16 @@ object Similarity {
       .option("maxFilesPerTrigger", "1").parquet(s"$io/in/*")
     val q = ivfPqSink(stream, idx, s"$io/ckpt", m,
       refitCorpus = Some(() => e), driftTol = driftTol)
-    q.awaitTermination(120000)
+    // fail LOUDLY on a stalled stream: awaitTermination(timeout) returns
+    // false instead of throwing, and serving while foreachBatch is still
+    // mutating the store would be a nondeterministic read racing the
+    // maintenance writer (AvailableNow terminates on its own, so a calm
+    // run never waits this long)
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      sys.error("ann_streamed_refit: stream did not terminate in 300s — " +
+        "refusing to serve from a store still being mutated")
+    }
     knnIvfPqFromIndexOn(e, idx, k, nprobe, m, shortlist)
   }
 
