@@ -38,22 +38,12 @@ object Bench {
     * whose queries have entered the committed priors are dead (the
     * prior wins in [[projectedTotal]]) and get pruned on touch.
     * Mirror each entry with a row in BASELINE.md's budget table. */
-  private[graft] val newQueryBudget: Map[String, Double] = Map(
-    // r15: the streamed drift-loop oracle row (r14 verdict #4) — build
-    // shares the base-slice fused fit via the registry; the measured
-    // cost is the two-epoch streaming sink (2 map-only ingests + epoch
-    // machinery), the ALL-drifted in-stream refit (full negation trips
-    // every touched list — the refit-all ≈ rebuild case of the r14
-    // probe table), and the pruned serve. Measured at sf0.1: 7.16 s
-    // median in a warm 4-query context (ann_compacted_serve read 3.96 ≈
-    // its 3.61 in-set prior in the same run), 8.72 s isolated-cold;
-    // declared with band margin. BASELINE.md r15 budget table has the
-    // breakdown.
-    "ann_streamed_refit" -> 8.0)
-    // r14's two declarations (ann_compacted_serve 5.0,
-    // dedup_containment_incr 1.0 — BASELINE.md budget table) entered
-    // the committed priors via the 190-query merged recording (3.61 /
-    // 0.40 s, both under budget) and were pruned.
+  private[graft] val newQueryBudget: Map[String, Double] = Map.empty
+    // r15's declaration (ann_streamed_refit 8.0 — BASELINE.md r15
+    // budget table) entered the committed priors via the 191-query
+    // recordings (5.36, then 4.89 s after the snapshot-clone sweep,
+    // both under budget) and was pruned, like r14's two before it; the
+    // next new query starts here.
   /** Projected full-set total: committed prior medians where they
     * exist, declared budgets for the rest; Left = queries with NEITHER
     * (an undeclared new query must fail the gate loudly). */
