@@ -207,6 +207,23 @@ class IvfMaintainSpec extends SparkSpec {
     assert(idsAfter.toSet == idsOnce.toSet, "the fold lost or leaked vectors")
   }
 
+  test("maintenance queries never mutate the shared base-index template") {
+    // the snapshot-clone design's failure mode: a query that writes into
+    // the TEMPLATE instead of its clone corrupts every later maintenance
+    // query in the JVM. Pin: the template's files are bit-identical
+    // across repeated maintenance runs.
+    val tpl = graft.engine.Fs.scratch(
+      "graft_derived_store_ivfpq_base75_10_3_8_32_2", sf)
+    Similarity.annIndexMaintain(spark, sf) // first touch builds the template
+    assert(new java.io.File(tpl).exists, s"expected the template at $tpl")
+    val before = snapshot(tpl)
+    assert(before.nonEmpty)
+    Similarity.annCompactedServe(spark, sf)
+    Similarity.annIndexMaintain(spark, sf)
+    assert(snapshot(tpl) == before,
+      "a maintenance query mutated the shared base-index template")
+  }
+
   test("retrainIfDrifted: fires on a drifted batch (and refits), stays quiet under a huge tolerance") {
     val idx = Files.createTempDirectory("ivf_rt").toString + "/idx"
     val e = Similarity.preparedCk(spark, sf)
